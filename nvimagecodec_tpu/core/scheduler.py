@@ -1,0 +1,297 @@
+"""Batch orchestration: sort, split per codec, backend chain with fallback.
+
+TPU-native counterpart of ImageGenericDecoder/ImageGenericEncoder +
+DecoderWorker/EncoderWorker
+(reference: src/image_generic_decoder.cpp:51-285 — sortSamples largest-first
+:134-178, distributeWork :265-285; src/decoder_worker.cpp:29-307 — per-codec
+worker with canDecode filter, fallback chain, runtime failure re-routing
+:158-199; load_hint saturation per extensions/nvjpeg/hw_decoder.cpp:199,244).
+
+Differences by design (TPU-first):
+- Workers are tasks on a shared thread pool rather than one dedicated thread
+  per (codec, priority) — the host side exists to feed the TPU, and batches
+  are re-bucketed by shape downstream, so sub-batch tasks + futures give the
+  same overlap with less thread churn.
+- The backend ladder is TPU_ONLY/HYBRID_CPU_TPU → CPU_ONLY instead of
+  HW_GPU → GPU → CPU.
+"""
+from __future__ import annotations
+
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, List, Optional, Sequence
+
+from .code_stream import CodeStream
+from .interfaces import (
+    DecodeParams,
+    DecodeResult,
+    DecoderPlugin,
+    EncodeParams,
+    EncodeResult,
+    EncoderPlugin,
+)
+from .logger import get_logger
+from .promise import ProcessingResultsFuture, ProcessingResultsPromise
+from .registry import CodecRegistry, global_registry
+from .types import Backend, ChromaSubsampling, ProcessingStatus
+
+log = get_logger(__name__)
+
+_CSS_SORT_CLASS = {
+    # Group samples so equal-subsampling images decode together, biggest first
+    # (reference: sortSamples subsampling-class then area ordering,
+    # src/image_generic_decoder.cpp:134-178).
+    ChromaSubsampling.CSS_444: 0,
+    ChromaSubsampling.CSS_440: 1,
+    ChromaSubsampling.CSS_422: 2,
+    ChromaSubsampling.CSS_420: 3,
+    ChromaSubsampling.CSS_411: 4,
+    ChromaSubsampling.CSS_410: 5,
+    ChromaSubsampling.GRAY: 6,
+    ChromaSubsampling.CSS_410V: 7,
+    ChromaSubsampling.UNSUPPORTED: 8,
+}
+
+
+def _allowed(plugin, backends: Optional[Sequence[Backend]]) -> bool:
+    """Backend allowlist filter (reference: getDecoder skips disallowed
+    backends, src/decoder_worker.cpp:63-93)."""
+    if not backends:
+        return True
+    return any(b.kind == plugin.backend_kind for b in backends)
+
+
+def _load_hint(plugin, backends: Optional[Sequence[Backend]]) -> float:
+    if not backends:
+        return 1.0
+    for b in backends:
+        if b.kind == plugin.backend_kind:
+            return b.load_hint
+    return 1.0
+
+
+class GenericBatchProcessor:
+    """Shared machinery for decode/encode orchestration."""
+
+    def __init__(
+        self,
+        registry: Optional[CodecRegistry] = None,
+        backends: Optional[Sequence[Backend]] = None,
+        options: str = "",
+        max_num_cpu_threads: int = 0,
+    ):
+        self.registry = registry or global_registry()
+        self.backends = list(backends) if backends else None
+        self.options = options
+        import os
+
+        n = max_num_cpu_threads or min(8, (os.cpu_count() or 2))
+        # Per-device thread pool analog (reference: DefaultExecutor lazily
+        # creates one ThreadPool per device, src/default_executor.cpp:25-77).
+        self._pool = ThreadPoolExecutor(max_workers=n, thread_name_prefix="imgcodec")
+
+
+class GenericDecoder(GenericBatchProcessor):
+    """Batch decode front-door (reference: ImageGenericDecoder,
+    src/image_generic_decoder.cpp:181-198 decode / :265-285 distributeWork)."""
+
+    def decode_batch_async(
+        self,
+        streams: Sequence[CodeStream],
+        params: Optional[DecodeParams] = None,
+    ) -> ProcessingResultsFuture[DecodeResult]:
+        params = params or DecodeParams()
+        n = len(streams)
+        promise: ProcessingResultsPromise[DecodeResult] = ProcessingResultsPromise(n)
+
+        # Parse all infos up front (parse errors fail just that sample).
+        entries = []  # (orig_index, stream, info, codec_name)
+        for i, cs in enumerate(streams):
+            try:
+                info = cs.get_image_info()
+                entries.append((i, cs, info, cs.codec_name))
+            except Exception as e:  # malformed stream
+                promise.set(i, DecodeResult(ProcessingStatus.FAIL | ProcessingStatus.IMAGE_CORRUPTED, error=str(e)))
+
+        # Sort largest-first within subsampling class for bucketing efficiency
+        # (reference: src/image_generic_decoder.cpp:134-178).
+        entries.sort(
+            key=lambda e: (
+                _CSS_SORT_CLASS.get(e[2].chroma_subsampling, 9),
+                -(e[2].height * e[2].width),
+            )
+        )
+
+        # Split per codec (reference: distributeWork, :265-285).
+        per_codec: Dict[str, list] = {}
+        for e in entries:
+            per_codec.setdefault(e[3], []).append(e)
+
+        for codec_name, group in per_codec.items():
+            self._pool.submit(self._process_codec_group, codec_name, group, params, promise)
+        return promise.future()
+
+    # -- per-codec chain ----------------------------------------------------
+    def _process_codec_group(self, codec_name, group, params, promise) -> None:
+        try:
+            codec = self.registry.codec(codec_name)
+            chain = [d for d in codec.decoders if _allowed(d, self.backends)]
+            self._run_chain(chain, group, params, promise)
+        except Exception as e:  # pragma: no cover - defensive
+            log.exception("codec group %s failed", codec_name)
+            for idx, _cs, _info, _name in group:
+                try:
+                    promise.set(idx, DecodeResult(ProcessingStatus.FAIL, error=str(e)))
+                except RuntimeError:
+                    pass
+
+    def _run_chain(self, chain: List[DecoderPlugin], group, params, promise) -> None:
+        """Try each backend in priority order; samples rejected by canDecode or
+        failing at runtime fall through to the next backend
+        (reference: src/decoder_worker.cpp:114-199,252-307)."""
+        if not group:
+            return
+        if not chain:
+            for idx, _cs, _info, _name in group:
+                promise.set(
+                    idx,
+                    DecodeResult(
+                        ProcessingStatus.FAIL | ProcessingStatus.CODEC_UNSUPPORTED,
+                        error="no decoder backend available",
+                    ),
+                )
+            return
+
+        decoder, rest = chain[0], chain[1:]
+        data = [e[1].data for e in group]
+        infos = [e[2] for e in group]
+        try:
+            statuses = decoder.can_decode(data, infos, params)
+        except Exception as e:
+            log.warning("canDecode of %s raised: %s", decoder.plugin_id, e)
+            statuses = [ProcessingStatus.FAIL] * len(group)
+
+        accepted = [e for e, s in zip(group, statuses) if s & ProcessingStatus.SUCCESS]
+        rejected = [e for e, s in zip(group, statuses) if not (s & ProcessingStatus.SUCCESS)]
+
+        # load_hint: backend takes only ceil(hint * batch) samples, the rest
+        # are SATURATED onto the fallback (reference:
+        # extensions/nvjpeg/hw_decoder.cpp:199,244).
+        hint = _load_hint(decoder, self.backends)
+        if hint < 1.0 and rest:
+            import math
+
+            take = math.ceil(hint * len(accepted))
+            rejected = accepted[take:] + rejected
+            accepted = accepted[:take]
+
+        if rejected:
+            self._run_chain(rest, rejected, params, promise)
+
+        if accepted:
+            adata = [e[1].data for e in accepted]
+            ainfos = [e[2] for e in accepted]
+            try:
+                results = decoder.decode_batch(adata, ainfos, params)
+            except Exception as e:
+                log.warning("decode_batch of %s raised: %s", decoder.plugin_id, e)
+                results = [DecodeResult(ProcessingStatus.FAIL, error=str(e))] * len(accepted)
+
+            # Runtime fallback for per-sample failures
+            # (reference: processCurrentResults, src/decoder_worker.cpp:158-199).
+            failed = []
+            for e, r in zip(accepted, results):
+                if r.status & ProcessingStatus.SUCCESS:
+                    promise.set(e[0], r)
+                elif rest:
+                    failed.append(e)
+                else:
+                    promise.set(e[0], r)
+            if failed:
+                self._run_chain(rest, failed, params, promise)
+
+    # -- sync convenience ---------------------------------------------------
+    def decode_batch(
+        self, streams: Sequence[CodeStream], params: Optional[DecodeParams] = None
+    ) -> List[DecodeResult]:
+        return self.decode_batch_async(streams, params).wait_all()
+
+
+class GenericEncoder(GenericBatchProcessor):
+    """Batch encode front-door (reference: ImageGenericEncoder,
+    src/image_generic_encoder.cpp:127-230; encode does not sort samples,
+    :138)."""
+
+    def encode_batch_async(
+        self,
+        arrays: Sequence[object],
+        infos: Sequence[object],
+        codec_name: str,
+        params: Optional[EncodeParams] = None,
+    ) -> ProcessingResultsFuture[EncodeResult]:
+        params = params or EncodeParams()
+        n = len(arrays)
+        promise: ProcessingResultsPromise[EncodeResult] = ProcessingResultsPromise(n)
+        group = list(zip(range(n), arrays, infos))
+        self._pool.submit(self._process_group, codec_name, group, params, promise)
+        return promise.future()
+
+    def _process_group(self, codec_name, group, params, promise) -> None:
+        try:
+            codec = self.registry.codec(codec_name)
+            chain = [e for e in codec.encoders if _allowed(e, self.backends)]
+            self._run_chain(chain, group, params, promise)
+        except Exception as e:  # pragma: no cover - defensive
+            log.exception("encode group %s failed", codec_name)
+            for idx, _a, _i in group:
+                try:
+                    promise.set(idx, EncodeResult(ProcessingStatus.FAIL, error=str(e)))
+                except RuntimeError:
+                    pass
+
+    def _run_chain(self, chain: List[EncoderPlugin], group, params, promise) -> None:
+        if not group:
+            return
+        if not chain:
+            for idx, _a, _i in group:
+                promise.set(
+                    idx,
+                    EncodeResult(
+                        ProcessingStatus.FAIL | ProcessingStatus.CODEC_UNSUPPORTED,
+                        error="no encoder backend available",
+                    ),
+                )
+            return
+        encoder, rest = chain[0], chain[1:]
+        arrays = [e[1] for e in group]
+        infos = [e[2] for e in group]
+        try:
+            statuses = encoder.can_encode(arrays, infos, params)
+        except Exception as e:
+            log.warning("canEncode of %s raised: %s", encoder.plugin_id, e)
+            statuses = [ProcessingStatus.FAIL] * len(group)
+
+        accepted = [e for e, s in zip(group, statuses) if s & ProcessingStatus.SUCCESS]
+        rejected = [e for e, s in zip(group, statuses) if not (s & ProcessingStatus.SUCCESS)]
+        if rejected:
+            self._run_chain(rest, rejected, params, promise)
+        if accepted:
+            try:
+                results = encoder.encode_batch(
+                    [e[1] for e in accepted], [e[2] for e in accepted], params
+                )
+            except Exception as e:
+                log.warning("encode_batch of %s raised: %s", encoder.plugin_id, e)
+                results = [EncodeResult(ProcessingStatus.FAIL, error=str(e))] * len(accepted)
+            failed = []
+            for e, r in zip(accepted, results):
+                if r.status & ProcessingStatus.SUCCESS:
+                    promise.set(e[0], r)
+                elif rest:
+                    failed.append(e)
+                else:
+                    promise.set(e[0], r)
+            if failed:
+                self._run_chain(rest, failed, params, promise)
+
+    def encode_batch(self, arrays, infos, codec_name, params=None) -> List[EncodeResult]:
+        return self.encode_batch_async(arrays, infos, codec_name, params).wait_all()

@@ -1,0 +1,228 @@
+"""ctypes wrapper for the test-only ground-truth oracle (see oracle.c).
+
+Builds the shared library on first use (cached next to the source). Used by
+tests to synthesize the encoded corpus and provide independent reference
+decodes — the role OpenCV plays in the reference's tests
+(reference: test/python/utils.py:61-72).
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional, Tuple
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "oracle.c")
+_SO = os.path.join(_DIR, "liboracle.so")
+
+_lib: Optional[ctypes.CDLL] = None
+
+
+def _build() -> None:
+    cmd = [
+        "cc", "-O2", "-shared", "-fPIC", _SRC, "-o", _SO,
+        "-ljpeg", "-lpng", "-lwebp", "-lz",
+    ]
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+def lib() -> ctypes.CDLL:
+    global _lib
+    if _lib is None:
+        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+            _build()
+        _lib = ctypes.CDLL(_SO)
+        _sig(_lib)
+    return _lib
+
+
+c_u8p = ctypes.POINTER(ctypes.c_uint8)
+c_i16p = ctypes.POINTER(ctypes.c_int16)
+
+
+def _sig(L: ctypes.CDLL) -> None:
+    L.oracle_free.argtypes = [ctypes.c_void_p]
+    L.oracle_webp_free.argtypes = [ctypes.c_void_p]
+    L.oracle_jpeg_decode.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t, ctypes.POINTER(c_u8p),
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+    ]
+    L.oracle_jpeg_encode.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(c_u8p), ctypes.POINTER(ctypes.c_size_t),
+    ]
+    L.oracle_jpeg_read_coefficients.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t, c_i16p * 4,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_uint16), ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+    ]
+    L.oracle_png_decode.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t, ctypes.POINTER(c_u8p),
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+    ]
+    L.oracle_png_encode.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(c_u8p), ctypes.POINTER(ctypes.c_size_t),
+    ]
+    L.oracle_webp_decode_rgba.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t, ctypes.POINTER(c_u8p),
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+    ]
+    L.oracle_webp_encode_rgb.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_float, ctypes.c_int,
+        ctypes.POINTER(c_u8p), ctypes.POINTER(ctypes.c_size_t),
+    ]
+
+
+SUBSAMP = {"444": 0, "422": 1, "420": 2, "gray": 3, "440": 4, "411": 5, "410": 6}
+
+
+def jpeg_decode(data: bytes, fancy_upsampling: bool = True) -> np.ndarray:
+    L = lib()
+    out = c_u8p()
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    ch = ctypes.c_int()
+    rc = L.oracle_jpeg_decode(data, len(data), ctypes.byref(out),
+                              ctypes.byref(w), ctypes.byref(h), ctypes.byref(ch),
+                              int(fancy_upsampling))
+    if rc != 0:
+        raise RuntimeError("oracle jpeg decode failed")
+    n = w.value * h.value * ch.value
+    arr = np.ctypeslib.as_array(out, (n,)).copy()
+    L.oracle_free(out)
+    a = arr.reshape(h.value, w.value, ch.value)
+    return a[:, :, 0] if ch.value == 1 else a
+
+
+def jpeg_encode(pix: np.ndarray, quality: int = 90, subsamp: str = "420",
+                progressive: bool = False, optimize: bool = False,
+                restart_interval: int = 0) -> bytes:
+    L = lib()
+    pix = np.ascontiguousarray(pix, np.uint8)
+    if pix.ndim == 2:
+        pix = pix[:, :, None]
+    h, w, ch = pix.shape
+    if ch == 1:
+        subsamp = "gray"
+    out = c_u8p()
+    outlen = ctypes.c_size_t()
+    rc = L.oracle_jpeg_encode(pix.tobytes(), w, h, ch, quality, SUBSAMP[subsamp],
+                              int(progressive), int(optimize), restart_interval,
+                              ctypes.byref(out), ctypes.byref(outlen))
+    if rc != 0:
+        raise RuntimeError("oracle jpeg encode failed")
+    data = ctypes.string_at(out, outlen.value)
+    L.oracle_free(out)
+    return data
+
+
+def jpeg_read_coefficients(data: bytes):
+    """Return ([coef_blocks per comp], [quant per comp], [(h,v) samp])."""
+    L = lib()
+    coefs = (c_i16p * 4)()
+    bw = (ctypes.c_int * 4)()
+    bh = (ctypes.c_int * 4)()
+    quant = (ctypes.c_uint16 * 256)()
+    ncomp = ctypes.c_int()
+    hs = (ctypes.c_int * 4)()
+    vs = (ctypes.c_int * 4)()
+    rc = L.oracle_jpeg_read_coefficients(
+        data, len(data), coefs,
+        ctypes.cast(bw, ctypes.POINTER(ctypes.c_int)),
+        ctypes.cast(bh, ctypes.POINTER(ctypes.c_int)),
+        ctypes.cast(quant, ctypes.POINTER(ctypes.c_uint16)),
+        ctypes.byref(ncomp),
+        ctypes.cast(hs, ctypes.POINTER(ctypes.c_int)),
+        ctypes.cast(vs, ctypes.POINTER(ctypes.c_int)),
+    )
+    if rc != 0:
+        raise RuntimeError("oracle jpeg read coefficients failed")
+    out_coefs, out_quant, out_samp = [], [], []
+    for c in range(ncomp.value):
+        n = bw[c] * bh[c] * 64
+        arr = np.ctypeslib.as_array(coefs[c], (n,)).copy().reshape(bh[c], bw[c], 64)
+        L.oracle_free(coefs[c])
+        out_coefs.append(arr)
+        out_quant.append(np.array(quant[c * 64:(c + 1) * 64], np.uint16))
+        out_samp.append((hs[c], vs[c]))
+    return out_coefs, out_quant, out_samp
+
+
+def png_decode(data: bytes) -> np.ndarray:
+    L = lib()
+    out = c_u8p()
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    ch = ctypes.c_int()
+    bd = ctypes.c_int()
+    rc = L.oracle_png_decode(data, len(data), ctypes.byref(out), ctypes.byref(w),
+                             ctypes.byref(h), ctypes.byref(ch), ctypes.byref(bd))
+    if rc != 0:
+        raise RuntimeError("oracle png decode failed")
+    nbytes = w.value * h.value * ch.value * (bd.value // 8)
+    raw = ctypes.string_at(out, nbytes)
+    L.oracle_free(out)
+    if bd.value == 16:
+        arr = np.frombuffer(raw, ">u2").astype(np.uint16)
+    else:
+        arr = np.frombuffer(raw, np.uint8)
+    a = arr.reshape(h.value, w.value, ch.value)
+    return a[:, :, 0] if ch.value == 1 else a
+
+
+def png_encode(pix: np.ndarray) -> bytes:
+    L = lib()
+    if pix.ndim == 2:
+        pix = pix[:, :, None]
+    h, w, ch = pix.shape
+    if pix.dtype == np.uint16:
+        bd = 16
+        body = pix.astype(">u2").tobytes()
+    else:
+        bd = 8
+        body = np.ascontiguousarray(pix, np.uint8).tobytes()
+    out = c_u8p()
+    outlen = ctypes.c_size_t()
+    rc = L.oracle_png_encode(body, w, h, ch, bd, ctypes.byref(out), ctypes.byref(outlen))
+    if rc != 0:
+        raise RuntimeError("oracle png encode failed")
+    data = ctypes.string_at(out, outlen.value)
+    L.oracle_free(out)
+    return data
+
+
+def webp_decode_rgba(data: bytes) -> np.ndarray:
+    L = lib()
+    out = c_u8p()
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    rc = L.oracle_webp_decode_rgba(data, len(data), ctypes.byref(out),
+                                   ctypes.byref(w), ctypes.byref(h))
+    if rc != 0:
+        raise RuntimeError("oracle webp decode failed")
+    arr = np.ctypeslib.as_array(out, (h.value * w.value * 4,)).copy()
+    L.oracle_webp_free(out)
+    return arr.reshape(h.value, w.value, 4)
+
+
+def webp_encode_rgb(pix: np.ndarray, quality: float = 80.0, lossless: bool = False) -> bytes:
+    L = lib()
+    pix = np.ascontiguousarray(pix, np.uint8)
+    h, w, _ = pix.shape
+    out = c_u8p()
+    outlen = ctypes.c_size_t()
+    rc = L.oracle_webp_encode_rgb(pix.tobytes(), w, h, quality, int(lossless),
+                                  ctypes.byref(out), ctypes.byref(outlen))
+    if rc != 0:
+        raise RuntimeError("oracle webp encode failed")
+    data = ctypes.string_at(out, outlen.value)
+    L.oracle_webp_free(out)
+    return data

@@ -1,0 +1,291 @@
+/* Test-only ground-truth oracle.
+ *
+ * Binds the system libjpeg-turbo / libpng / libwebp to (a) synthesize an
+ * encoded test corpus and (b) provide independent reference decodes, playing
+ * the role the reference's tests give to OpenCV
+ * (reference: test/extensions/common_ext_decoder_test.h:37-60 and
+ * test/python/utils.py:61-72 — decode compared against OpenCV).
+ *
+ * This library is a TEST dependency only; the framework's own codecs never
+ * call it.
+ */
+#include <stdint.h>
+#include <stdio.h>
+#include <stdlib.h>
+#include <string.h>
+#include <setjmp.h>
+
+#include <jpeglib.h>
+#include <png.h>
+#include <webp/decode.h>
+#include <webp/encode.h>
+
+/* ---------------------------------------------------------------- common */
+
+void oracle_free(void *p) { free(p); }
+
+/* ------------------------------------------------------------------ jpeg */
+
+struct jerr_mgr {
+    struct jpeg_error_mgr pub;
+    jmp_buf jb;
+};
+
+static void jerr_exit(j_common_ptr cinfo) {
+    struct jerr_mgr *e = (struct jerr_mgr *)cinfo->err;
+    longjmp(e->jb, 1);
+}
+
+/* Decode to packed 8-bit pixels; out_ch = 1 (gray) or 3 (RGB) or 4 (CMYK). */
+int oracle_jpeg_decode(const uint8_t *data, size_t len, uint8_t **out,
+                       int *w, int *h, int *ch, int fancy_upsampling) {
+    struct jpeg_decompress_struct cinfo;
+    struct jerr_mgr jerr;
+    cinfo.err = jpeg_std_error(&jerr.pub);
+    jerr.pub.error_exit = jerr_exit;
+    *out = NULL;
+    if (setjmp(jerr.jb)) {
+        jpeg_destroy_decompress(&cinfo);
+        free(*out);
+        *out = NULL;
+        return -1;
+    }
+    jpeg_create_decompress(&cinfo);
+    jpeg_mem_src(&cinfo, data, len);
+    jpeg_read_header(&cinfo, TRUE);
+    cinfo.do_fancy_upsampling = fancy_upsampling ? TRUE : FALSE;
+    if (cinfo.jpeg_color_space == JCS_GRAYSCALE)
+        cinfo.out_color_space = JCS_GRAYSCALE;
+    else if (cinfo.jpeg_color_space == JCS_CMYK ||
+             cinfo.jpeg_color_space == JCS_YCCK)
+        cinfo.out_color_space = JCS_CMYK;
+    else
+        cinfo.out_color_space = JCS_RGB;
+    jpeg_start_decompress(&cinfo);
+    *w = cinfo.output_width;
+    *h = cinfo.output_height;
+    *ch = cinfo.output_components;
+    size_t stride = (size_t)(*w) * (*ch);
+    *out = (uint8_t *)malloc(stride * (*h));
+    while (cinfo.output_scanline < cinfo.output_height) {
+        uint8_t *row = *out + stride * cinfo.output_scanline;
+        jpeg_read_scanlines(&cinfo, &row, 1);
+    }
+    jpeg_finish_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+    return 0;
+}
+
+/* Dump dequantization-ready DCT coefficients, per component, in raster block
+ * order (natural order within each 8x8 block). Caller passes out buffers for
+ * up to 4 components; fills blocks_w/blocks_h per component. Also dumps the
+ * quant table applied to each component. */
+int oracle_jpeg_read_coefficients(const uint8_t *data, size_t len,
+                                  int16_t **coefs /*[4]*/,
+                                  int *blocks_w /*[4]*/, int *blocks_h /*[4]*/,
+                                  uint16_t *quant /*[4*64]*/,
+                                  int *ncomp, int *hsamp /*[4]*/, int *vsamp /*[4]*/) {
+    struct jpeg_decompress_struct cinfo;
+    struct jerr_mgr jerr;
+    cinfo.err = jpeg_std_error(&jerr.pub);
+    jerr.pub.error_exit = jerr_exit;
+    if (setjmp(jerr.jb)) {
+        jpeg_destroy_decompress(&cinfo);
+        return -1;
+    }
+    jpeg_create_decompress(&cinfo);
+    jpeg_mem_src(&cinfo, data, len);
+    jpeg_read_header(&cinfo, TRUE);
+    jvirt_barray_ptr *barrays = jpeg_read_coefficients(&cinfo);
+    if (!barrays) {
+        jpeg_destroy_decompress(&cinfo);
+        return -2;
+    }
+    *ncomp = cinfo.num_components;
+    for (int c = 0; c < cinfo.num_components && c < 4; c++) {
+        jpeg_component_info *comp = &cinfo.comp_info[c];
+        int bw = comp->width_in_blocks, bh = comp->height_in_blocks;
+        blocks_w[c] = bw;
+        blocks_h[c] = bh;
+        hsamp[c] = comp->h_samp_factor;
+        vsamp[c] = comp->v_samp_factor;
+        if (comp->quant_table)
+            for (int k = 0; k < 64; k++)
+                quant[c * 64 + k] = comp->quant_table->quantval[k];
+        coefs[c] = (int16_t *)malloc((size_t)bw * bh * 64 * sizeof(int16_t));
+        for (int by = 0; by < bh; by++) {
+            JBLOCKARRAY rows = (cinfo.mem->access_virt_barray)(
+                (j_common_ptr)&cinfo, barrays[c], by, 1, FALSE);
+            for (int bx = 0; bx < bw; bx++)
+                memcpy(coefs[c] + ((size_t)by * bw + bx) * 64, rows[0][bx],
+                       64 * sizeof(int16_t));
+        }
+    }
+    jpeg_finish_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+    return 0;
+}
+
+/* subsamp: 0=444 1=422 2=420 3=gray(input must be 1ch) 4=440 5=411 6=410 */
+int oracle_jpeg_encode(const uint8_t *pix, int w, int h, int ch, int quality,
+                       int subsamp, int progressive, int optimize,
+                       int restart_interval,
+                       uint8_t **out, size_t *outlen) {
+    struct jpeg_compress_struct cinfo;
+    struct jerr_mgr jerr;
+    cinfo.err = jpeg_std_error(&jerr.pub);
+    jerr.pub.error_exit = jerr_exit;
+    unsigned long sz = 0;
+    *out = NULL;
+    if (setjmp(jerr.jb)) {
+        jpeg_destroy_compress(&cinfo);
+        return -1;
+    }
+    jpeg_create_compress(&cinfo);
+    jpeg_mem_dest(&cinfo, out, &sz);
+    cinfo.image_width = w;
+    cinfo.image_height = h;
+    cinfo.input_components = ch;
+    cinfo.in_color_space = (ch == 1) ? JCS_GRAYSCALE : JCS_RGB;
+    jpeg_set_defaults(&cinfo);
+    jpeg_set_quality(&cinfo, quality, TRUE);
+    if (ch == 3) {
+        static const int HS[7] = {1, 2, 2, 1, 1, 4, 4};
+        static const int VS[7] = {1, 1, 2, 1, 2, 1, 2};
+        cinfo.comp_info[0].h_samp_factor = HS[subsamp];
+        cinfo.comp_info[0].v_samp_factor = VS[subsamp];
+        cinfo.comp_info[1].h_samp_factor = 1;
+        cinfo.comp_info[1].v_samp_factor = 1;
+        cinfo.comp_info[2].h_samp_factor = 1;
+        cinfo.comp_info[2].v_samp_factor = 1;
+    }
+    if (progressive) jpeg_simple_progression(&cinfo);
+    if (optimize) cinfo.optimize_coding = TRUE;
+    cinfo.restart_interval = restart_interval;
+    jpeg_start_compress(&cinfo, TRUE);
+    size_t stride = (size_t)w * ch;
+    while (cinfo.next_scanline < cinfo.image_height) {
+        const uint8_t *row = pix + stride * cinfo.next_scanline;
+        jpeg_write_scanlines(&cinfo, (JSAMPARRAY)&row, 1);
+    }
+    jpeg_finish_compress(&cinfo);
+    jpeg_destroy_compress(&cinfo);
+    *outlen = sz;
+    return 0;
+}
+
+/* ------------------------------------------------------------------- png */
+
+struct png_mem_reader {
+    const uint8_t *data;
+    size_t len, pos;
+};
+
+static void png_mem_read(png_structp png, png_bytep out, png_size_t n) {
+    struct png_mem_reader *r = (struct png_mem_reader *)png_get_io_ptr(png);
+    if (r->pos + n > r->len) png_error(png, "eof");
+    memcpy(out, r->data + r->pos, n);
+    r->pos += n;
+}
+
+/* Decode PNG keeping bit depth (8 or 16); palette expanded to RGB.
+ * bitdepth returns 8 or 16; data is big-endian for 16-bit (PNG native). */
+int oracle_png_decode(const uint8_t *data, size_t len, uint8_t **out,
+                      int *w, int *h, int *ch, int *bitdepth) {
+    png_structp png = png_create_read_struct(PNG_LIBPNG_VER_STRING, NULL, NULL, NULL);
+    png_infop info = png_create_info_struct(png);
+    *out = NULL;
+    if (setjmp(png_jmpbuf(png))) {
+        png_destroy_read_struct(&png, &info, NULL);
+        free(*out);
+        *out = NULL;
+        return -1;
+    }
+    struct png_mem_reader r = {data, len, 0};
+    png_set_read_fn(png, &r, png_mem_read);
+    png_read_info(png, info);
+    png_byte color = png_get_color_type(png, info);
+    png_byte depth = png_get_bit_depth(png, info);
+    if (color == PNG_COLOR_TYPE_PALETTE) png_set_palette_to_rgb(png);
+    if (color == PNG_COLOR_TYPE_GRAY && depth < 8) png_set_expand_gray_1_2_4_to_8(png);
+    if (png_get_valid(png, info, PNG_INFO_tRNS)) png_set_tRNS_to_alpha(png);
+    png_set_interlace_handling(png);
+    png_read_update_info(png, info);
+    *w = png_get_image_width(png, info);
+    *h = png_get_image_height(png, info);
+    *ch = png_get_channels(png, info);
+    *bitdepth = png_get_bit_depth(png, info);
+    size_t stride = png_get_rowbytes(png, info);
+    *out = (uint8_t *)malloc(stride * (*h));
+    png_bytep *rows = (png_bytep *)malloc(sizeof(png_bytep) * (*h));
+    for (int y = 0; y < *h; y++) rows[y] = *out + stride * y;
+    png_read_image(png, rows);
+    free(rows);
+    png_destroy_read_struct(&png, &info, NULL);
+    return 0;
+}
+
+struct png_mem_writer {
+    uint8_t *data;
+    size_t len, cap;
+};
+
+static void png_mem_write(png_structp png, png_bytep in, png_size_t n) {
+    struct png_mem_writer *wr = (struct png_mem_writer *)png_get_io_ptr(png);
+    if (wr->len + n > wr->cap) {
+        wr->cap = (wr->cap + n) * 2;
+        wr->data = (uint8_t *)realloc(wr->data, wr->cap);
+    }
+    memcpy(wr->data + wr->len, in, n);
+    wr->len += n;
+}
+
+static void png_mem_flush(png_structp png) { (void)png; }
+
+/* Encode 8/16-bit gray/ga/rgb/rgba. 16-bit input big-endian. */
+int oracle_png_encode(const uint8_t *pix, int w, int h, int ch, int bitdepth,
+                      uint8_t **out, size_t *outlen) {
+    png_structp png = png_create_write_struct(PNG_LIBPNG_VER_STRING, NULL, NULL, NULL);
+    png_infop info = png_create_info_struct(png);
+    struct png_mem_writer wr = {NULL, 0, 0};
+    if (setjmp(png_jmpbuf(png))) {
+        png_destroy_write_struct(&png, &info);
+        free(wr.data);
+        return -1;
+    }
+    png_set_write_fn(png, &wr, png_mem_write, png_mem_flush);
+    int color = (ch == 1) ? PNG_COLOR_TYPE_GRAY
+              : (ch == 2) ? PNG_COLOR_TYPE_GRAY_ALPHA
+              : (ch == 3) ? PNG_COLOR_TYPE_RGB
+                          : PNG_COLOR_TYPE_RGBA;
+    png_set_IHDR(png, info, w, h, bitdepth, color, PNG_INTERLACE_NONE,
+                 PNG_COMPRESSION_TYPE_DEFAULT, PNG_FILTER_TYPE_DEFAULT);
+    png_write_info(png, info);
+    size_t stride = (size_t)w * ch * (bitdepth / 8);
+    for (int y = 0; y < h; y++)
+        png_write_row(png, (png_bytep)(pix + stride * y));
+    png_write_end(png, NULL);
+    png_destroy_write_struct(&png, &info);
+    *out = wr.data;
+    *outlen = wr.len;
+    return 0;
+}
+
+/* ------------------------------------------------------------------ webp */
+
+int oracle_webp_decode_rgba(const uint8_t *data, size_t len, uint8_t **out,
+                            int *w, int *h) {
+    *out = WebPDecodeRGBA(data, len, w, h);
+    return *out ? 0 : -1;
+}
+
+void oracle_webp_free(void *p) { WebPFree(p); }
+
+int oracle_webp_encode_rgb(const uint8_t *rgb, int w, int h, float quality,
+                           int lossless, uint8_t **out, size_t *outlen) {
+    if (lossless)
+        *outlen = WebPEncodeLosslessRGB(rgb, w, h, w * 3, out);
+    else
+        *outlen = WebPEncodeRGB(rgb, w, h, w * 3, quality, out);
+    return *outlen ? 0 : -1;
+}

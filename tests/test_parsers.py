@@ -1,0 +1,119 @@
+"""Parser tests over the synthesized corpus
+(model: reference test/parsers/*_test.cpp — assert extracted ImageInfo)."""
+import numpy as np
+import pytest
+
+from nvimagecodec_tpu import (
+    ChromaSubsampling,
+    CodeStream,
+    ColorSpec,
+    JpegEncoding,
+    Orientation,
+    SampleDataType,
+)
+from util import add_exif_orientation, make_photo
+
+
+def info_of(src):
+    return CodeStream(src).get_image_info()
+
+
+class TestJpegParser:
+    @pytest.mark.parametrize(
+        "ss,css",
+        [
+            ("410", ChromaSubsampling.CSS_410),
+            ("411", ChromaSubsampling.CSS_411),
+            ("420", ChromaSubsampling.CSS_420),
+            ("422", ChromaSubsampling.CSS_422),
+            ("440", ChromaSubsampling.CSS_440),
+            ("444", ChromaSubsampling.CSS_444),
+        ],
+    )
+    def test_chroma(self, corpus, ss, css):
+        info = info_of(str(corpus / "jpeg" / f"photo_{ss}.jpg"))
+        assert info.codec == "jpeg"
+        assert info.chroma_subsampling == css
+        assert (info.width, info.height) == (640, 426)
+        assert info.jpeg_encoding == JpegEncoding.BASELINE_DCT
+
+    def test_gray(self, corpus):
+        info = info_of(str(corpus / "jpeg" / "photo_gray.jpg"))
+        assert info.chroma_subsampling == ChromaSubsampling.GRAY
+        assert info.num_planes == 1
+        assert info.color_spec == ColorSpec.GRAY
+
+    def test_progressive(self, corpus):
+        info = info_of(str(corpus / "jpeg" / "photo_progressive.jpg"))
+        assert info.jpeg_encoding == JpegEncoding.PROGRESSIVE_DCT_HUFFMAN
+
+    @pytest.mark.parametrize("o", list(range(1, 9)))
+    def test_exif_orientation(self, corpus, o):
+        data = add_exif_orientation(
+            (corpus / "jpeg" / "photo_420.jpg").read_bytes(), o
+        )
+        info = info_of(data)
+        assert info.orientation == Orientation(o)
+
+
+class TestPngParser:
+    def test_rgb(self, corpus):
+        info = info_of(str(corpus / "png" / "photo.png"))
+        assert info.codec == "png"
+        assert (info.width, info.height) == (640, 426)
+        assert info.num_planes == 3
+
+    def test_gray(self, corpus):
+        info = info_of(str(corpus / "png" / "photo_gray.png"))
+        assert info.num_planes == 1
+
+    def test_alpha(self, corpus):
+        info = info_of(str(corpus / "png" / "photo_alpha.png"))
+        assert info.num_planes == 4
+
+    def test_16bit(self, corpus):
+        info = info_of(str(corpus / "png" / "photo_16bit.png"))
+        assert info.sample_type == SampleDataType.UINT16
+
+
+class TestBmpParser:
+    def test_rgb(self, corpus):
+        info = info_of(str(corpus / "bmp" / "photo.bmp"))
+        assert info.codec == "bmp"
+        assert (info.width, info.height) == (640, 426)
+        assert info.num_planes == 3
+
+    def test_grayscale(self, corpus):
+        info = info_of(str(corpus / "bmp" / "photo_gray.bmp"))
+        assert info.num_planes == 1
+
+
+class TestPnmParser:
+    def test_ppm(self, corpus):
+        info = info_of(str(corpus / "pnm" / "photo.ppm"))
+        assert info.codec == "pnm"
+        assert info.num_planes == 3
+
+    def test_pgm(self, corpus):
+        info = info_of(str(corpus / "pnm" / "photo_gray.pgm"))
+        assert info.num_planes == 1
+
+    def test_ascii_ppm(self):
+        data = b"P3\n# comment\n2 2\n255\n" + b" ".join(
+            str(v).encode() for v in range(12)
+        )
+        info = info_of(data)
+        assert (info.width, info.height) == (2, 2)
+
+
+class TestWebpParser:
+    def test_lossy(self, corpus):
+        info = info_of(str(corpus / "webp" / "photo_lossy.webp"))
+        assert info.codec == "webp"
+        assert (info.width, info.height) == (640, 426)
+        assert not info.extras["webp_lossless"]
+
+    def test_lossless(self, corpus):
+        info = info_of(str(corpus / "webp" / "photo_lossless.webp"))
+        assert info.extras["webp_lossless"]
+        assert (info.width, info.height) == (640, 426)
