@@ -1,0 +1,75 @@
+"""Entropy decode bit-exactness vs libjpeg's own coefficient dump
+(model: the correctness anchor of SURVEY.md §7 build order step 3)."""
+import numpy as np
+import pytest
+
+import oracle
+from nvimagecodec_tpu.codecs.jpeg.headers import parse_jpeg_structure
+from nvimagecodec_tpu.codecs.jpeg.entropy_py import decode_coefficients
+from util import make_photo
+
+
+def check_coefs(data: bytes):
+    frame = parse_jpeg_structure(data)
+    ours = decode_coefficients(frame, data)
+    ref_coefs, ref_quant, ref_samp = oracle.jpeg_read_coefficients(data)
+    assert len(ours) == len(ref_coefs)
+    for c, (mine, ref) in enumerate(zip(ours, ref_coefs)):
+        bh, bw, _ = ref.shape
+        # we may cover a larger MCU-padded grid than libjpeg's true-block dims
+        assert mine.shape[0] >= bh and mine.shape[1] >= bw, (mine.shape, ref.shape)
+        np.testing.assert_array_equal(
+            mine[:bh, :bw], ref, err_msg=f"component {c} coefficients differ"
+        )
+        # quant tables parsed identically (natural order)
+        comp = frame.components[c]
+        np.testing.assert_array_equal(frame.quant[comp.tq], ref_quant[c])
+
+
+@pytest.fixture(scope="module")
+def small_photo():
+    return make_photo(120, 200, seed=11)
+
+
+@pytest.mark.parametrize("ss", ["444", "422", "420", "440", "411", "410"])
+def test_baseline_chroma_matrix(small_photo, ss):
+    check_coefs(oracle.jpeg_encode(small_photo, 90, ss))
+
+
+def test_gray(small_photo):
+    check_coefs(oracle.jpeg_encode(small_photo[:, :, 0], 90))
+
+
+@pytest.mark.parametrize("q", [10, 50, 95, 100])
+def test_quality_sweep(small_photo, q):
+    check_coefs(oracle.jpeg_encode(small_photo, q, "420"))
+
+
+def test_restart_intervals(small_photo):
+    for ri in (1, 3, 8, 64):
+        check_coefs(oracle.jpeg_encode(small_photo, 85, "420", restart_interval=ri))
+
+
+def test_optimized_huffman(small_photo):
+    check_coefs(oracle.jpeg_encode(small_photo, 90, "420", optimize=True))
+
+
+def test_progressive(small_photo):
+    check_coefs(oracle.jpeg_encode(small_photo, 90, "420", progressive=True))
+
+
+def test_progressive_gray(small_photo):
+    check_coefs(oracle.jpeg_encode(small_photo[:, :, 0], 90, progressive=True))
+
+
+def test_progressive_restart(small_photo):
+    check_coefs(
+        oracle.jpeg_encode(small_photo, 90, "422", progressive=True, restart_interval=4)
+    )
+
+
+def test_odd_dimensions():
+    for h, w in [(17, 31), (8, 8), (9, 9), (64, 1), (1, 64)]:
+        img = make_photo(h, w, seed=h * 100 + w)
+        check_coefs(oracle.jpeg_encode(img, 90, "420"))
+        check_coefs(oracle.jpeg_encode(img, 90, "444"))

@@ -27,8 +27,8 @@ def make_photo(h: int = 426, w: int = 640, seed: int = 0, channels: int = 3) -> 
         out[:, :, c] = base
     # a few hard-edged rectangles and circles for high-frequency content
     for _ in range(6):
-        y0, x0 = rng.integers(0, h - 20), rng.integers(0, w - 20)
-        hh, ww = rng.integers(10, h // 3), rng.integers(10, w // 3)
+        y0, x0 = rng.integers(0, max(1, h - 20)), rng.integers(0, max(1, w - 20))
+        hh, ww = rng.integers(1, max(2, h // 3)), rng.integers(1, max(2, w // 3))
         col = rng.uniform(0, 255, channels)
         out[y0 : y0 + hh, x0 : x0 + ww] = 0.6 * out[y0 : y0 + hh, x0 : x0 + ww] + 0.4 * col
     cy, cx, r = h // 2, w // 2, min(h, w) // 4
