@@ -1,0 +1,168 @@
+"""JPEG codec backends.
+
+TPU-native replacement for the reference's nvjpeg extension
+(reference: extensions/nvjpeg/ — HW/CUDA/lossless decoders + CUDA encoder,
+priority ladder at nvjpeg_ext.cpp:42-47). Our ladder:
+
+- `tpu_jpeg_hybrid_decoder` (HYBRID_CPU_TPU, HIGH): host entropy decode
+  (native C++ when built, Python fallback) + jitted TPU pixel stage — the
+  analog of nvjpeg's hybrid CPU-Huffman/GPU pipeline
+  (extensions/nvjpeg/cuda_decoder.cpp:425-427).
+- `cpu_jpeg_decoder` (CPU_ONLY, NORMAL): same entropy + numpy pixel stage —
+  the analog of the libjpeg_turbo fallback extension.
+"""
+from __future__ import annotations
+
+import functools
+from typing import List, Sequence
+
+import numpy as np
+
+from ...core.interfaces import (
+    DecodeParams,
+    DecodeResult,
+    DecoderPlugin,
+    EncodeParams,
+    EncodeResult,
+    EncoderPlugin,
+)
+from ...core.types import BackendKind, ColorSpec, Priority, ProcessingStatus
+from .headers import JpegFrame, parse_jpeg_structure
+from .pixel import cmyk_to_rgb, decode_pixels
+
+
+def _entropy_decode(frame: JpegFrame, data: bytes):
+    """Native C++ entropy decoder when available, Python reference otherwise."""
+    try:
+        from .native import decode_coefficients_native
+
+        return decode_coefficients_native(frame, data)
+    except Exception:
+        from .entropy_py import decode_coefficients
+
+        return decode_coefficients(frame, data)
+
+
+def _supported(frame: JpegFrame) -> ProcessingStatus:
+    if frame.is_lossless:
+        return ProcessingStatus.FAIL | ProcessingStatus.ENCODING_UNSUPPORTED
+    if frame.marker in (0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF, 0xC5, 0xC6, 0xC7):
+        return ProcessingStatus.FAIL | ProcessingStatus.ENCODING_UNSUPPORTED
+    if frame.precision != 8:
+        return ProcessingStatus.FAIL | ProcessingStatus.SAMPLE_TYPE_UNSUPPORTED
+    if len(frame.components) not in (1, 3, 4):
+        return ProcessingStatus.FAIL | ProcessingStatus.NUM_CHANNELS_UNSUPPORTED
+    return ProcessingStatus.SUCCESS
+
+
+class _JpegDecoderBase(DecoderPlugin):
+    codec = "jpeg"
+    use_jax = False
+
+    def can_decode(self, data_batch, info_batch, params) -> List[ProcessingStatus]:
+        out = []
+        for data in data_batch:
+            try:
+                frame = parse_jpeg_structure(bytes(data))
+                out.append(_supported(frame))
+            except Exception:
+                out.append(ProcessingStatus.FAIL | ProcessingStatus.IMAGE_CORRUPTED)
+        return out
+
+    def _decode_one(self, data: bytes, params: DecodeParams):
+        frame = parse_jpeg_structure(data)
+        coefs = _entropy_decode(frame, data)
+        img = decode_pixels(frame, coefs, use_jax=self.use_jax)
+        if img.ndim == 3 and img.shape[-1] == 4:
+            # CMYK/YCCK → RGB by default (the reference's python Decoder
+            # outputs I_RGB u8 by default, python/decoder.cpp:156-225)
+            xp = np if isinstance(img, np.ndarray) else None
+            if xp is None:
+                import jax.numpy as xp
+            img = cmyk_to_rgb(img, xp)
+        return img
+
+    def decode_batch(self, data_batch, info_batch, params) -> List[DecodeResult]:
+        out = []
+        for data in data_batch:
+            try:
+                out.append(
+                    DecodeResult(
+                        ProcessingStatus.SUCCESS, self._decode_one(bytes(data), params)
+                    )
+                )
+            except Exception as e:
+                out.append(
+                    DecodeResult(
+                        ProcessingStatus.FAIL | ProcessingStatus.IMAGE_CORRUPTED,
+                        error=str(e),
+                    )
+                )
+        return out
+
+
+class JpegHybridTpuDecoder(_JpegDecoderBase):
+    """Host entropy + TPU pixel stage (jitted per geometry)."""
+
+    plugin_id = "tpu_jpeg_hybrid_decoder"
+    backend_kind = BackendKind.HYBRID_CPU_TPU
+    priority = Priority.HIGH
+    use_jax = True
+
+    def decode_batch(self, data_batch, info_batch, params) -> List[DecodeResult]:
+        # Batched TPU path: entropy-decode all samples on host, then run the
+        # pixel stage grouped by geometry in single jitted calls
+        # (the XLA analog of the reference's batched nvjpegDecodeBatched).
+        from .batch import decode_batch_tpu
+
+        return decode_batch_tpu(data_batch, params)
+
+
+class JpegCpuDecoder(_JpegDecoderBase):
+    plugin_id = "cpu_jpeg_decoder"
+    backend_kind = BackendKind.CPU_ONLY
+    priority = Priority.NORMAL
+    use_jax = False
+
+
+class JpegCpuEncoder(EncoderPlugin):
+    codec = "jpeg"
+    plugin_id = "cpu_jpeg_encoder"
+    backend_kind = BackendKind.CPU_ONLY
+    priority = Priority.NORMAL
+
+    def can_encode(self, image_batch, info_batch, params) -> List[ProcessingStatus]:
+        out = []
+        for img in image_batch:
+            a = np.asarray(img)
+            ok = a.dtype == np.uint8 and (a.ndim == 2 or a.shape[-1] in (1, 3))
+            out.append(
+                ProcessingStatus.SUCCESS
+                if ok
+                else ProcessingStatus.FAIL | ProcessingStatus.SAMPLE_TYPE_UNSUPPORTED
+            )
+        return out
+
+    def encode_batch(self, image_batch, info_batch, params) -> List[EncodeResult]:
+        from .encode import encode_jpeg
+
+        out = []
+        for img in image_batch:
+            try:
+                data = encode_jpeg(np.asarray(img), params)
+                out.append(EncodeResult(ProcessingStatus.SUCCESS, data))
+            except Exception as e:
+                out.append(EncodeResult(ProcessingStatus.FAIL, error=str(e)))
+        return out
+
+
+def register(registry) -> None:
+    codec = registry.codec("jpeg")
+    codec.register_decoder(JpegHybridTpuDecoder())
+    codec.register_decoder(JpegCpuDecoder())
+    try:
+        from .encode import encode_jpeg  # noqa: F401
+
+        codec.register_encoder(JpegCpuEncoder())
+    except ImportError:
+        pass

@@ -1,0 +1,135 @@
+"""JPEG pixel-domain pipeline: dequant+IDCT → upsample → color convert.
+
+This is the device half of the hybrid decode (the role nvjpeg's GPU stage
+plays in the reference, extensions/nvjpeg/cuda_decoder.cpp:539-556), built
+from the TPU-native ops: one fused [N,64]x[64,64] MXU matmul for
+dequant+IDCT (ops/dct.py), integer-exact triangular upsampling
+(ops/resample.py) and libjpeg-exact fixed-point color conversion
+(ops/color.py). Runs identically under numpy (CPU backend) and jax (TPU
+backend); every stage is batch-agnostic ([..., H, W] planes) so the jitted
+batched path (batch.py) reuses it with a leading batch dim.
+"""
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import numpy as np
+
+from ...ops import color as color_ops
+from ...ops import resample as resample_ops
+from ...ops.dct import dequant_idct_matrix
+from .headers import JpegFrame
+
+GeomKey = Tuple
+
+
+def geometry_key(frame: JpegFrame) -> GeomKey:
+    """Everything the jitted pixel function specializes on."""
+    comps = tuple(
+        (c.h, c.v, tuple(int(q) for q in frame.quant[c.tq])) for c in frame.components
+    )
+    return (frame.width, frame.height, frame.precision, comps, frame.adobe_transform)
+
+
+def _planes_from_blocks(xp, blocks, bh: int, bw: int):
+    """[..., bh*bw, 64] → [..., bh*8, bw*8]."""
+    lead = blocks.shape[:-2]
+    x = blocks.reshape(*lead, bh, bw, 8, 8)
+    ndim = x.ndim
+    perm = tuple(range(ndim - 4)) + (ndim - 4, ndim - 2, ndim - 3, ndim - 1)
+    x = xp.transpose(x, perm)
+    return x.reshape(*lead, bh * 8, bw * 8)
+
+
+def idct_planes(
+    frame: JpegFrame,
+    coefs: List,
+    use_jax: bool,
+):
+    """Per-component dequant+IDCT to cropped int32 sample planes.
+
+    coefs[c]: [..., bh, bw, 64] → plane [..., ch, cw] (true sample area).
+    """
+    if use_jax:
+        import jax.numpy as xp
+    else:
+        xp = np
+    H, W = frame.height, frame.width
+    hmax, vmax = frame.hmax, frame.vmax
+    maxval = (1 << frame.precision) - 1
+    center = float(1 << (frame.precision - 1))
+    planes = []
+    for c, blocks in zip(frame.components, coefs):
+        bh, bw = blocks.shape[-3], blocks.shape[-2]
+        M = dequant_idct_matrix(frame.quant[c.tq])  # [64(pix), 64(coef)]
+        lead = blocks.shape[:-3]
+        flat = blocks.reshape(*lead, bh * bw, 64)
+        if use_jax:
+            samp = (
+                xp.einsum(
+                    "...nk,pk->...np",
+                    xp.asarray(flat, xp.float32),
+                    xp.asarray(M),
+                    preferred_element_type=xp.float32,
+                )
+                + center
+            )
+        else:
+            samp = flat.astype(np.float32) @ M.T + center
+        plane = _planes_from_blocks(xp, samp, bh, bw)
+        plane = xp.clip(xp.round(plane), 0, maxval).astype(xp.int32)
+        # crop to the component's true sample area before upsampling so the
+        # replicated-edge math sees real edge samples
+        cw = (W * c.h + hmax - 1) // hmax
+        ch = (H * c.v + vmax - 1) // vmax
+        planes.append(plane[..., :ch, :cw])
+    return planes
+
+
+def assemble_image(frame: JpegFrame, planes: List, use_jax: bool, fancy: bool = True):
+    """Upsample chroma + color-convert cropped planes → uint8 image
+    [..., H, W] or [..., H, W, C]."""
+    if use_jax:
+        import jax.numpy as xp
+    else:
+        xp = np
+    H, W = frame.height, frame.width
+    hmax, vmax = frame.hmax, frame.vmax
+    full = []
+    for c, plane in zip(frame.components, planes):
+        vf, hf = vmax // c.v, hmax // c.h
+        p = resample_ops.upsample_to(plane, vf, hf, fancy=fancy)
+        full.append(p[..., :H, :W])
+
+    n = len(full)
+    if n == 1:
+        return xp.clip(full[0], 0, 255).astype(xp.uint8)
+    if n == 3:
+        r, g, b = color_ops.ycbcr_to_rgb_i32(full[0], full[1], full[2], xp)
+        return xp.stack([r, g, b], axis=-1).astype(xp.uint8)
+    if n == 4:
+        # Adobe CMYK (transform=0) or YCCK (transform=2)
+        if frame.adobe_transform == 2:
+            c_, m_, y_, k_ = color_ops.ycck_to_cmyk_i32(
+                full[0], full[1], full[2], full[3], xp
+            )
+        else:
+            c_, m_, y_, k_ = full
+        return xp.stack(
+            [xp.clip(v, 0, 255) for v in (c_, m_, y_, k_)], axis=-1
+        ).astype(xp.uint8)
+    raise ValueError(f"unsupported component count {n}")
+
+
+def decode_pixels(frame: JpegFrame, coefs: List, use_jax: bool = False,
+                  fancy: bool = True):
+    """coefs[c]: [..., bh, bw, 64] int16 → uint8 image [..., H, W(, C)]."""
+    planes = idct_planes(frame, coefs, use_jax)
+    return assemble_image(frame, planes, use_jax, fancy)
+
+
+def cmyk_to_rgb(img, xp=np):
+    r, g, b = color_ops.cmyk_to_rgb_i32(
+        img[..., 0], img[..., 1], img[..., 2], img[..., 3], xp
+    )
+    return xp.stack([r, g, b], axis=-1).astype(xp.uint8)

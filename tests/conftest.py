@@ -40,9 +40,19 @@ def corpus(photo, photo_gray):
     layout (resources/{jpeg,png,bmp,pnm,webp}/...)."""
     import oracle
 
+    import hashlib
+
+    # corpus content is a function of the generator — regenerate when it changes
+    gen_hash = hashlib.sha256(
+        open(pathlib.Path(__file__).parent / "util.py", "rb").read()
+    ).hexdigest()[:16]
     d = CORPUS_DIR
-    if (d / ".complete").exists():
+    stamp = d / ".complete"
+    if stamp.exists() and stamp.read_text() == gen_hash:
         return d
+    import shutil
+
+    shutil.rmtree(d, ignore_errors=True)
     (d / "jpeg" / "exif").mkdir(parents=True, exist_ok=True)
     (d / "png").mkdir(exist_ok=True)
     (d / "bmp").mkdir(exist_ok=True)
@@ -89,5 +99,5 @@ def corpus(photo, photo_gray):
     (d / "pnm" / "photo.ppm").write_bytes(encode_pnm(photo))
     (d / "pnm" / "photo_gray.pgm").write_bytes(encode_pnm(photo_gray))
 
-    (d / ".complete").touch()
+    stamp.write_text(gen_hash)
     return d
