@@ -1,0 +1,67 @@
+"""Native (C++) runtime components, built on demand with the system compiler.
+
+The reference ships its runtime as C++ (src/ → libnvimgcodec.so); our native
+layer covers the pieces where Python costs real time: JPEG entropy
+encode/decode (the host stage of the hybrid TPU pipeline). Built lazily into
+libtpuimgcodec.so next to the sources; rebuilt when any source changes.
+"""
+from __future__ import annotations
+
+import ctypes
+import glob
+import os
+import subprocess
+import threading
+from typing import Optional
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_DIR, "libtpuimgcodec.so")
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+
+
+def _sources():
+    return sorted(glob.glob(os.path.join(_DIR, "*.cpp")))
+
+
+def _needs_build() -> bool:
+    if not os.path.exists(_SO):
+        return True
+    so_m = os.path.getmtime(_SO)
+    return any(os.path.getmtime(s) > so_m for s in _sources())
+
+
+def build() -> None:
+    cmd = [
+        "c++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+        *_sources(), "-o", _SO,
+    ]
+    r = subprocess.run(cmd, capture_output=True, text=True)
+    if r.returncode != 0:
+        raise RuntimeError(f"native build failed:\n{r.stderr}")
+
+
+def lib() -> ctypes.CDLL:
+    global _lib
+    with _lock:
+        if _lib is None:
+            if _needs_build():
+                build()
+            L = ctypes.CDLL(_SO)
+            _declare(L)
+            _lib = L
+        return _lib
+
+
+c_i16p = ctypes.POINTER(ctypes.c_int16)
+
+
+def _declare(L: ctypes.CDLL) -> None:
+    L.tic_free.argtypes = [ctypes.c_void_p]
+    L.tic_jpeg_decode_coefficients.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t, c_i16p * 4,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    L.tic_jpeg_decode_coefficients.restype = ctypes.c_int

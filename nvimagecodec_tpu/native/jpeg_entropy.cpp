@@ -1,0 +1,572 @@
+// JPEG Huffman entropy decode — native host stage.
+//
+// TPU-native counterpart of the CPU Huffman host stage in the reference's
+// hybrid decoder (extensions/nvjpeg/cuda_decoder.cpp:412-563:
+// nvjpegDecodeJpegHost runs CPU Huffman before the GPU pixel stage). Entropy
+// coding is bit-serial and branchy — the one part of JPEG that does not map
+// onto the MXU/VPU (SURVEY.md §7 "hard parts") — so it runs here at native
+// speed and ships quantized coefficient blocks to the TPU.
+//
+// Semantics are validated bit-exact against both the pure-Python reference
+// decoder (entropy_py.py) and libjpeg's jpeg_read_coefficients.
+//
+// From-scratch implementation of ITU-T T.81 §F (sequential) and §G
+// (progressive) entropy decoding. No reference code used.
+
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+
+namespace {
+
+// zigzag index -> natural position
+static const uint8_t kNat[64] = {
+    0,  1,  8,  16, 9,  2,  3,  10, 17, 24, 32, 25, 18, 11, 4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6,  7,  14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63};
+
+struct HuffTable {
+  // two-level decode: 9-bit lookahead LUT, then canonical slow path
+  int16_t lut_sym[512];
+  int8_t lut_len[512];
+  int32_t maxcode[18];   // largest code of length l (as left-justified compare)
+  int32_t valptr[18];    // index into values[] of first code of length l
+  int32_t mincode[18];
+  uint8_t values[256];
+  bool valid = false;
+
+  void build(const uint8_t bits[16], const uint8_t* vals, int nvals) {
+    memcpy(values, vals, nvals);
+    int code = 0, k = 0;
+    int codes[256], lens[256];
+    for (int l = 1; l <= 16; l++) {
+      valptr[l] = k;
+      mincode[l] = code;
+      for (int i = 0; i < bits[l - 1]; i++) {
+        codes[k] = code;
+        lens[k] = l;
+        code++;
+        k++;
+      }
+      maxcode[l] = code - 1;
+      code <<= 1;
+    }
+    maxcode[17] = 0x7FFFFFFF;
+    for (int i = 0; i < 512; i++) {
+      lut_sym[i] = -1;
+      lut_len[i] = 0;
+    }
+    for (int i = 0; i < k; i++) {
+      if (lens[i] <= 9) {
+        int base = codes[i] << (9 - lens[i]);
+        int span = 1 << (9 - lens[i]);
+        for (int j = 0; j < span; j++) {
+          lut_sym[base + j] = values[i];
+          lut_len[base + j] = (int8_t)lens[i];
+        }
+      }
+    }
+    valid = true;
+  }
+};
+
+struct BitReader {
+  const uint8_t* p;
+  const uint8_t* end;
+  uint64_t acc = 0;
+  int nbits = 0;
+  const uint8_t* marker = nullptr;  // position of 0xFF of a seen marker
+
+  void init(const uint8_t* start, const uint8_t* stop) {
+    p = start;
+    end = stop;
+    acc = 0;
+    nbits = 0;
+    marker = nullptr;
+  }
+
+  inline void refill() {
+    while (nbits <= 56) {
+      uint8_t b = 0;
+      if (p < end && !marker) {
+        b = *p;
+        if (b == 0xFF) {
+          if (p + 1 < end && p[1] == 0x00) {
+            p += 2;  // stuffed
+          } else {
+            marker = p;  // stop consuming; pad zeros
+            b = 0;
+          }
+        } else {
+          p++;
+        }
+      }
+      acc = (acc << 8) | b;
+      nbits += 8;
+    }
+  }
+
+  inline int peek9() {
+    if (nbits < 16) refill();
+    return (int)((acc >> (nbits - 9)) & 0x1FF);
+  }
+
+  inline void skip(int k) { nbits -= k; }
+
+  inline int get_bits(int k) {
+    if (k == 0) return 0;
+    if (nbits < k) refill();
+    int v = (int)((acc >> (nbits - k)) & ((1u << k) - 1));
+    nbits -= k;
+    return v;
+  }
+
+  inline int get_bit() { return get_bits(1); }
+
+  inline int peek16() {
+    if (nbits < 16) refill();
+    return (int)((acc >> (nbits - 16)) & 0xFFFF);
+  }
+};
+
+inline int decode_huff(BitReader& br, const HuffTable& t) {
+  int idx = br.peek9();
+  int len = t.lut_len[idx];
+  if (len) {
+    br.skip(len);
+    return t.lut_sym[idx];
+  }
+  // slow path: canonical decode beyond 9 bits
+  int code = br.peek16();
+  for (int l = 10; l <= 16; l++) {
+    int c = code >> (16 - l);
+    if (c <= t.maxcode[l]) {
+      br.skip(l);
+      return t.values[t.valptr[l] + (c - t.mincode[l])];
+    }
+  }
+  return -1;  // invalid
+}
+
+inline int extend(int v, int t) {
+  if (t == 0) return 0;
+  return (v < (1 << (t - 1))) ? v - (1 << t) + 1 : v;
+}
+
+struct Component {
+  int id, h, v, tq;
+  int dc_tbl = 0, ac_tbl = 0;
+  int16_t* coef = nullptr;  // [bh][bw][64]
+  int bw = 0, bh = 0;       // MCU-padded block dims
+  int true_bw = 0, true_bh = 0;
+};
+
+struct Scan {
+  int ncomp;
+  int comp_idx[4];
+  int dc_tbl[4], ac_tbl[4];
+  int ss, se, ah, al;
+  const uint8_t* data_start;
+  const uint8_t* data_end;
+  HuffTable dc[4], ac[4];
+  int restart_interval;
+};
+
+struct Decoder {
+  const uint8_t* base;
+  size_t len;
+  int width = 0, height = 0, precision = 0, ncomp = 0;
+  int sof_marker = 0;
+  Component comps[4];
+  HuffTable dc_tbl[4], ac_tbl[4];
+  int restart_interval = 0;
+  int hmax = 1, vmax = 1;
+  int mcus_x = 0, mcus_y = 0;
+  bool progressive = false;
+  int error = 0;
+
+  bool parse_and_decode();
+  void decode_scan(Scan& s);
+  void sequential_scan(Scan& s);
+  void progressive_scan(Scan& s);
+};
+
+static inline uint16_t be16(const uint8_t* p) { return (p[0] << 8) | p[1]; }
+
+bool Decoder::parse_and_decode() {
+  const uint8_t* p = base;
+  const uint8_t* end = base + len;
+  if (len < 4 || p[0] != 0xFF || p[1] != 0xD8) return false;
+  p += 2;
+  bool have_sof = false;
+
+  while (p + 2 <= end) {
+    if (p[0] != 0xFF) {
+      p++;
+      continue;
+    }
+    uint8_t m = p[1];
+    if (m == 0xFF) {
+      p++;
+      continue;
+    }
+    if (m == 0xD8 || (m >= 0xD0 && m <= 0xD7)) {
+      p += 2;
+      continue;
+    }
+    if (m == 0xD9) break;  // EOI
+    if (p + 4 > end) break;
+    int seglen = be16(p + 2);
+    const uint8_t* seg = p + 4;
+    const uint8_t* segend = p + 2 + seglen;
+    if (segend > end) return false;
+
+    switch (m) {
+      case 0xC0: case 0xC1: case 0xC2: {
+        sof_marker = m;
+        progressive = (m == 0xC2);
+        precision = seg[0];
+        height = be16(seg + 1);
+        width = be16(seg + 3);
+        ncomp = seg[5];
+        if (ncomp > 4 || precision != 8) return false;
+        hmax = vmax = 1;
+        for (int c = 0; c < ncomp; c++) {
+          comps[c].id = seg[6 + 3 * c];
+          comps[c].h = seg[7 + 3 * c] >> 4;
+          comps[c].v = seg[7 + 3 * c] & 15;
+          comps[c].tq = seg[8 + 3 * c];
+          if (comps[c].h < 1 || comps[c].v < 1) return false;
+          if (comps[c].h > hmax) hmax = comps[c].h;
+          if (comps[c].v > vmax) vmax = comps[c].v;
+        }
+        mcus_x = (width + 8 * hmax - 1) / (8 * hmax);
+        mcus_y = (height + 8 * vmax - 1) / (8 * vmax);
+        for (int c = 0; c < ncomp; c++) {
+          Component& cc = comps[c];
+          cc.bw = mcus_x * cc.h;
+          cc.bh = mcus_y * cc.v;
+          int tw = (width * cc.h + hmax - 1) / hmax;
+          int th = (height * cc.v + vmax - 1) / vmax;
+          cc.true_bw = (tw + 7) / 8;
+          cc.true_bh = (th + 7) / 8;
+          cc.coef = (int16_t*)calloc((size_t)cc.bw * cc.bh * 64, sizeof(int16_t));
+          if (!cc.coef) return false;
+        }
+        have_sof = true;
+        break;
+      }
+      case 0xC3: case 0xC5: case 0xC6: case 0xC7:
+      case 0xC9: case 0xCA: case 0xCB: case 0xCD: case 0xCE: case 0xCF:
+        return false;  // unsupported SOF type here (lossless/arith/diff)
+      case 0xC4: {  // DHT
+        const uint8_t* q = seg;
+        while (q + 17 <= segend) {
+          int tc = q[0] >> 4, th = q[0] & 15;
+          if (th > 3) return false;
+          uint8_t bits[16];
+          int nv = 0;
+          for (int i = 0; i < 16; i++) {
+            bits[i] = q[1 + i];
+            nv += bits[i];
+          }
+          if (q + 17 + nv > segend || nv > 256) return false;
+          if (tc == 0)
+            dc_tbl[th].build(bits, q + 17, nv);
+          else
+            ac_tbl[th].build(bits, q + 17, nv);
+          q += 17 + nv;
+        }
+        break;
+      }
+      case 0xDD:  // DRI
+        restart_interval = be16(seg);
+        break;
+      case 0xDA: {  // SOS
+        if (!have_sof) return false;
+        Scan s;
+        s.ncomp = seg[0];
+        if (s.ncomp > 4) return false;
+        for (int j = 0; j < s.ncomp; j++) {
+          int cid = seg[1 + 2 * j];
+          int tt = seg[2 + 2 * j];
+          int idx = -1;
+          for (int c = 0; c < ncomp; c++)
+            if (comps[c].id == cid) idx = c;
+          if (idx < 0) return false;
+          s.comp_idx[j] = idx;
+          s.dc_tbl[j] = tt >> 4;
+          s.ac_tbl[j] = tt & 15;
+          s.dc[j] = dc_tbl[tt >> 4];
+          s.ac[j] = ac_tbl[tt & 15];
+        }
+        s.ss = seg[1 + 2 * s.ncomp];
+        s.se = seg[2 + 2 * s.ncomp];
+        int ahal = seg[3 + 2 * s.ncomp];
+        s.ah = ahal >> 4;
+        s.al = ahal & 15;
+        s.restart_interval = restart_interval;
+        s.data_start = segend;
+        // find end: next marker that is not RST/stuffing
+        const uint8_t* q = segend;
+        while (q + 1 < end) {
+          if (q[0] == 0xFF && q[1] != 0x00 && !(q[1] >= 0xD0 && q[1] <= 0xD7))
+            break;
+          q++;
+        }
+        s.data_end = q;
+        decode_scan(s);
+        if (error) return false;
+        p = q;
+        continue;
+      }
+      default:
+        break;
+    }
+    p += 2 + seglen;
+  }
+  return have_sof && error == 0;
+}
+
+void Decoder::decode_scan(Scan& s) {
+  if (progressive)
+    progressive_scan(s);
+  else
+    sequential_scan(s);
+}
+
+// Advance past an RST marker between restart segments.
+static const uint8_t* skip_restart(const uint8_t* from, const uint8_t* end) {
+  const uint8_t* q = from;
+  while (q + 1 < end) {
+    if (q[0] == 0xFF && q[1] >= 0xD0 && q[1] <= 0xD7) return q + 2;
+    q++;
+  }
+  return end;
+}
+
+void Decoder::sequential_scan(Scan& s) {
+  int smx, smy;
+  bool interleaved = s.ncomp > 1;
+  if (interleaved) {
+    smx = mcus_x;
+    smy = mcus_y;
+  } else {
+    Component& c = comps[s.comp_idx[0]];
+    smx = c.true_bw;
+    smy = c.true_bh;
+  }
+  long total = (long)smx * smy;
+  long ri = s.restart_interval ? s.restart_interval : total;
+
+  BitReader br;
+  br.init(s.data_start, s.data_end);
+  int pred[4] = {0, 0, 0, 0};
+  long mcu = 0;
+  while (mcu < total) {
+    long seg_end = mcu + ri < total ? mcu + ri : total;
+    for (; mcu < seg_end; mcu++) {
+      long my = mcu / smx, mx = mcu % smx;
+      for (int j = 0; j < s.ncomp; j++) {
+        Component& c = comps[s.comp_idx[j]];
+        const HuffTable& dct = s.dc[j];
+        const HuffTable& act = s.ac[j];
+        int nby = interleaved ? c.v : 1;
+        int nbx = interleaved ? c.h : 1;
+        for (int by = 0; by < nby; by++) {
+          for (int bx = 0; bx < nbx; bx++) {
+            long row = interleaved ? my * c.v + by : my;
+            long col = interleaved ? mx * c.h + bx : mx;
+            int16_t* block = c.coef + (row * c.bw + col) * 64;
+            int t = decode_huff(br, dct);
+            if (t < 0) { error = 1; return; }
+            pred[j] += extend(br.get_bits(t), t);
+            block[0] = (int16_t)pred[j];
+            int k = 1;
+            while (k < 64) {
+              int sym = decode_huff(br, act);
+              if (sym < 0) { error = 1; return; }
+              int r = sym >> 4, sz = sym & 15;
+              if (sz == 0) {
+                if (r == 15) { k += 16; continue; }
+                break;
+              }
+              k += r;
+              if (k > 63) { error = 1; return; }
+              block[kNat[k]] = (int16_t)extend(br.get_bits(sz), sz);
+              k++;
+            }
+          }
+        }
+      }
+    }
+    if (mcu < total) {
+      // restart: realign to next RST marker
+      const uint8_t* next = br.marker ? br.marker : br.p;
+      br.init(skip_restart(next, s.data_end), s.data_end);
+      pred[0] = pred[1] = pred[2] = pred[3] = 0;
+    }
+  }
+}
+
+void Decoder::progressive_scan(Scan& s) {
+  bool is_dc = (s.ss == 0);
+  int smx, smy;
+  bool interleaved = s.ncomp > 1;
+  if (interleaved) {
+    smx = mcus_x;
+    smy = mcus_y;
+  } else {
+    Component& c = comps[s.comp_idx[0]];
+    smx = c.true_bw;
+    smy = c.true_bh;
+  }
+  long total = (long)smx * smy;
+  long ri = s.restart_interval ? s.restart_interval : total;
+
+  BitReader br;
+  br.init(s.data_start, s.data_end);
+  int pred[4] = {0, 0, 0, 0};
+  long eobrun = 0;
+  int p1 = 1 << s.al;
+  int m1 = -1 << s.al;
+
+  long mcu = 0;
+  while (mcu < total) {
+    long seg_end = mcu + ri < total ? mcu + ri : total;
+    for (; mcu < seg_end; mcu++) {
+      long my = mcu / smx, mx = mcu % smx;
+      for (int j = 0; j < s.ncomp; j++) {
+        Component& c = comps[s.comp_idx[j]];
+        int nby = interleaved ? c.v : 1;
+        int nbx = interleaved ? c.h : 1;
+        for (int by = 0; by < nby; by++) {
+          for (int bx = 0; bx < nbx; bx++) {
+            long row = interleaved ? my * c.v + by : my;
+            long col = interleaved ? mx * c.h + bx : mx;
+            int16_t* block = c.coef + (row * c.bw + col) * 64;
+            if (is_dc) {
+              if (s.ah == 0) {
+                int t = decode_huff(br, s.dc[j]);
+                if (t < 0) { error = 1; return; }
+                pred[j] += extend(br.get_bits(t), t);
+                block[0] = (int16_t)(pred[j] << s.al);
+              } else {
+                if (br.get_bit()) block[0] = (int16_t)(block[0] | p1);
+              }
+            } else {
+              const HuffTable& act = s.ac[j];
+              if (s.ah == 0) {
+                // AC first
+                if (eobrun > 0) {
+                  eobrun--;
+                } else {
+                  int k = s.ss;
+                  while (k <= s.se) {
+                    int sym = decode_huff(br, act);
+                    if (sym < 0) { error = 1; return; }
+                    int r = sym >> 4, sz = sym & 15;
+                    if (sz == 0) {
+                      if (r == 15) { k += 16; continue; }
+                      eobrun = (1L << r) - 1;
+                      if (r) eobrun += br.get_bits(r);
+                      break;
+                    }
+                    k += r;
+                    if (k > s.se) { error = 1; return; }
+                    block[kNat[k]] = (int16_t)(extend(br.get_bits(sz), sz) << s.al);
+                    k++;
+                  }
+                }
+              } else {
+                // AC refine
+                int k = s.ss;
+                if (eobrun == 0) {
+                  while (k <= s.se) {
+                    int sym = decode_huff(br, act);
+                    if (sym < 0) { error = 1; return; }
+                    int r = sym >> 4, sz = sym & 15;
+                    int sval = 0;
+                    if (sz == 0) {
+                      if (r != 15) {
+                        eobrun = 1L << r;
+                        if (r) eobrun += br.get_bits(r);
+                        break;
+                      }
+                    } else {
+                      sval = br.get_bit() ? p1 : m1;
+                    }
+                    while (k <= s.se) {
+                      int16_t* coefp = block + kNat[k];
+                      if (*coefp != 0) {
+                        if (br.get_bit() && (*coefp & p1) == 0)
+                          *coefp += (int16_t)(*coefp >= 0 ? p1 : m1);
+                      } else {
+                        if (r == 0) break;
+                        r--;
+                      }
+                      k++;
+                    }
+                    if (sz) {
+                      if (k > s.se) { error = 1; return; }
+                      block[kNat[k]] = (int16_t)sval;
+                    }
+                    k++;
+                  }
+                }
+                if (eobrun > 0) {
+                  while (k <= s.se) {
+                    int16_t* coefp = block + kNat[k];
+                    if (*coefp != 0) {
+                      if (br.get_bit() && (*coefp & p1) == 0)
+                        *coefp += (int16_t)(*coefp >= 0 ? p1 : m1);
+                    }
+                    k++;
+                  }
+                  eobrun--;
+                }
+              }
+            }
+          }
+        }
+      }
+    }
+    if (mcu < total) {
+      const uint8_t* next = br.marker ? br.marker : br.p;
+      br.init(skip_restart(next, s.data_end), s.data_end);
+      pred[0] = pred[1] = pred[2] = pred[3] = 0;
+      eobrun = 0;
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decode all scans; returns 0 on success. Caller frees coefs[i] with
+// tic_free. blocks are MCU-grid padded, natural order within each 64.
+int tic_jpeg_decode_coefficients(const uint8_t* data, size_t len,
+                                 int16_t** coefs, int32_t* blocks_w,
+                                 int32_t* blocks_h, int32_t* out_ncomp) {
+  Decoder d;
+  d.base = data;
+  d.len = len;
+  if (!d.parse_and_decode()) {
+    for (int c = 0; c < 4; c++)
+      if (d.comps[c].coef) free(d.comps[c].coef);
+    return -1;
+  }
+  *out_ncomp = d.ncomp;
+  for (int c = 0; c < d.ncomp; c++) {
+    coefs[c] = d.comps[c].coef;
+    blocks_w[c] = d.comps[c].bw;
+    blocks_h[c] = d.comps[c].bh;
+  }
+  return 0;
+}
+
+void tic_free(void* p) { free(p); }
+
+}  // extern "C"

@@ -73,3 +73,30 @@ def test_odd_dimensions():
         img = make_photo(h, w, seed=h * 100 + w)
         check_coefs(oracle.jpeg_encode(img, 90, "420"))
         check_coefs(oracle.jpeg_encode(img, 90, "444"))
+
+
+class TestNativeParity:
+    """Native C++ entropy decoder must match the Python reference and the
+    oracle on every stream class."""
+
+    @pytest.mark.parametrize(
+        "kwargs",
+        [
+            dict(quality=90, subsamp="420"),
+            dict(quality=90, subsamp="444"),
+            dict(quality=85, subsamp="422", progressive=True),
+            dict(quality=85, subsamp="420", restart_interval=5),
+            dict(quality=90, subsamp="411", optimize=True),
+            dict(quality=90, subsamp="440", progressive=True, restart_interval=3),
+        ],
+    )
+    def test_native_matches_python(self, small_photo, kwargs):
+        from nvimagecodec_tpu.codecs.jpeg.native import decode_coefficients_native
+
+        data = oracle.jpeg_encode(small_photo, **kwargs)
+        frame = parse_jpeg_structure(data)
+        py = decode_coefficients(frame, data)
+        nat = decode_coefficients_native(frame, data)
+        assert len(py) == len(nat)
+        for a, b in zip(py, nat):
+            np.testing.assert_array_equal(a, b)
