@@ -1,0 +1,122 @@
+#!/usr/bin/env python
+"""Headline benchmark: JPEG 4:2:0 ImageNet-size decode images/s/chip.
+
+Metric per BASELINE.json. The reference publishes no numbers (BASELINE.md),
+so vs_baseline is measured against libjpeg-turbo's single-threaded decode of
+the same corpus on this host — the strongest locally measurable reference
+decoder (the role OpenCV/libjpeg play as the reference's own CPU fallback).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
+
+# persistent compile cache: the axon backend pays a large one-time remote
+# warmup; cache what can be cached
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
+
+N_IMAGES = 256
+H, W = 375, 500  # ImageNet-ish
+QUALITY = 85
+BATCH = 64
+
+
+def log(*a):
+    print(*a, file=sys.stderr)
+
+
+def main() -> None:
+    import numpy as np
+
+    from util import make_photo
+
+    # --- corpus ------------------------------------------------------------
+    try:
+        import oracle
+
+        base = [make_photo(H, W, seed=s) for s in range(8)]
+        jpgs = [
+            oracle.jpeg_encode(base[i % 8], QUALITY, "420") for i in range(N_IMAGES)
+        ]
+        have_oracle = True
+    except Exception as e:  # no system libjpeg — encode with our own encoder
+        log("oracle unavailable:", e)
+        from nvimagecodec_tpu.codecs.jpeg.encode import encode_jpeg
+
+        base = [make_photo(H, W, seed=s) for s in range(8)]
+        jpgs = [encode_jpeg(base[i % 8]) for i in range(N_IMAGES)]
+        have_oracle = False
+
+    import jax
+    import jax.numpy as jnp
+
+    from nvimagecodec_tpu import Decoder
+
+    dec = Decoder()
+
+    def force(img):
+        """Force device completion with a cheap scalar fetch (outputs stay
+        on device — the consumer is a TPU input pipeline)."""
+        a = img.array
+        if isinstance(a, np.ndarray):
+            return int(a[0, 0, 0])
+        return int(jnp.sum(a[0, 0]))
+
+    # --- warmup (jit compile + axon backend warmup) -------------------------
+    log("warmup...")
+    t0 = time.perf_counter()
+    out = dec.decode(jpgs[:BATCH])
+    assert all(o is not None for o in out), "warmup decode failed"
+    force(out[-1])
+    log(f"warmup done in {time.perf_counter() - t0:.1f}s")
+
+    # --- timed decode ------------------------------------------------------
+    t0 = time.perf_counter()
+    decoded = 0
+    for i in range(0, N_IMAGES, BATCH):
+        batch = jpgs[i : i + BATCH]
+        outs = dec.decode(batch)
+        for o in outs:
+            assert o is not None
+        force(outs[-1])
+        decoded += len(outs)
+    dt = time.perf_counter() - t0
+    ips = decoded / dt
+    log(f"tpu decode: {decoded} images in {dt:.3f}s -> {ips:.1f} img/s")
+
+    # --- baseline: libjpeg-turbo single-thread -----------------------------
+    vs = None
+    if have_oracle:
+        import oracle
+
+        t0 = time.perf_counter()
+        for j in jpgs[:64]:
+            oracle.jpeg_decode(j)
+        base_ips = 64 / (time.perf_counter() - t0)
+        log(f"libjpeg-turbo 1-thread: {base_ips:.1f} img/s")
+        vs = ips / base_ips
+
+    print(
+        json.dumps(
+            {
+                "metric": "jpeg420_decode_imagenet_size",
+                "value": round(ips, 1),
+                "unit": "images/s/chip",
+                "vs_baseline": round(vs, 3) if vs else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

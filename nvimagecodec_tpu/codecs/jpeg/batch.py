@@ -54,23 +54,50 @@ def decode_batch_tpu(data_batch, params: DecodeParams) -> List[DecodeResult]:
     n = len(data_batch)
     results: List[DecodeResult] = [None] * n  # type: ignore[list-item]
 
-    # 1) host: parse + entropy decode
-    parsed = {}
-    groups: Dict[tuple, list] = {}
+    # 1) host: parse + entropy decode, fanned over CPU cores (the native
+    #    decoder releases the GIL inside the ctypes call — the analog of the
+    #    reference's executor fan-out, extensions/nvjpeg/cuda_decoder.cpp:565-571)
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
     from . import _entropy_decode  # late import to avoid cycle
 
-    for i, data in enumerate(data_batch):
-        try:
-            raw = bytes(data)
-            frame = parse_jpeg_structure(raw)
-            coefs = _entropy_decode(frame, raw)
-            key = geometry_key(frame)
-            parsed[i] = (frame, coefs)
-            groups.setdefault(key, []).append(i)
-        except Exception as e:
-            results[i] = DecodeResult(
-                ProcessingStatus.FAIL | ProcessingStatus.IMAGE_CORRUPTED, error=str(e)
-            )
+    def _host_stage(item):
+        i, data = item
+        raw = bytes(data)
+        frame = parse_jpeg_structure(raw)
+        coefs = _entropy_decode(frame, raw)
+        return i, frame, coefs
+
+    parsed = {}
+    groups: Dict[tuple, list] = {}
+    nthreads = min(len(data_batch), os.cpu_count() or 2)
+    if nthreads > 1:
+        ex = ThreadPoolExecutor(max_workers=nthreads)
+        futures = [ex.submit(_host_stage, (i, d)) for i, d in enumerate(data_batch)]
+        outcomes = []
+        for i, f in enumerate(futures):
+            try:
+                outcomes.append(f.result())
+            except Exception as e:
+                results[i] = DecodeResult(
+                    ProcessingStatus.FAIL | ProcessingStatus.IMAGE_CORRUPTED,
+                    error=str(e),
+                )
+        ex.shutdown(wait=False)
+    else:
+        outcomes = []
+        for i, d in enumerate(data_batch):
+            try:
+                outcomes.append(_host_stage((i, d)))
+            except Exception as e:
+                results[i] = DecodeResult(
+                    ProcessingStatus.FAIL | ProcessingStatus.IMAGE_CORRUPTED,
+                    error=str(e),
+                )
+    for i, frame, coefs in outcomes:
+        parsed[i] = (frame, coefs)
+        groups.setdefault(geometry_key(frame), []).append(i)
 
     # 2) device: one jitted call per geometry bucket
     import jax

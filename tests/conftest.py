@@ -4,12 +4,21 @@ the synthesized encoded-image corpus (see tests/util.py for why the corpus is
 synthesized rather than read from the reference's git-lfs stubs)."""
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
+# the axon sitecustomize force-registers the TPU backend; drop back to CPU
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+try:  # registration already happened at interpreter start — override config
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+except Exception:
+    pass
 
 import pathlib
 import sys
