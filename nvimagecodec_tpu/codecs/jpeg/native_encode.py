@@ -1,0 +1,88 @@
+"""ctypes bridge to the native JPEG Huffman entropy encoder
+(nvimagecodec_tpu/native/jpeg_huffman_encode.cpp)."""
+from __future__ import annotations
+
+import ctypes
+from typing import Dict, Sequence
+
+import numpy as np
+
+from ...native import lib
+from .headers import HuffTable, JpegFrame
+
+_i32 = ctypes.c_int32
+
+
+def _geometry(frame: JpegFrame):
+    ncomp = len(frame.components)
+    mcus_x, mcus_y, dims = frame.mcu_geometry()
+    h = (_i32 * ncomp)(*[c.h for c in frame.components])
+    v = (_i32 * ncomp)(*[c.v for c in frame.components])
+    bw = (_i32 * ncomp)(*[d[0] for d in dims])
+    bh = (_i32 * ncomp)(*[d[1] for d in dims])
+    dct = (_i32 * ncomp)(*[c.dc_tbl for c in frame.components])
+    act = (_i32 * ncomp)(*[c.ac_tbl for c in frame.components])
+    return ncomp, mcus_x, mcus_y, h, v, bw, bh, dct, act
+
+
+def _coef_ptrs(coefs: Sequence[np.ndarray]):
+    arrs = [np.ascontiguousarray(c.reshape(-1), dtype=np.int16) for c in coefs]
+    PtrT = ctypes.POINTER(ctypes.c_int16) * len(arrs)
+    ptrs = PtrT(*[a.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)) for a in arrs])
+    return arrs, ptrs  # keep arrs alive
+
+
+def _table_blob(dc: Dict[int, HuffTable], ac: Dict[int, HuffTable]) -> bytes:
+    blob = bytearray(8 * 272)
+    for base, tables in ((0, dc), (4, ac)):
+        for tid, t in tables.items():
+            off = (base + tid) * 272
+            blob[off : off + 16] = bytes(t.bits)
+            blob[off + 16 : off + 16 + len(t.values)] = bytes(t.values)
+    return bytes(blob)
+
+
+def count_symbols_native(frame: JpegFrame, coefs: Sequence[np.ndarray]):
+    """({table_id: dc_counts[256]}, {table_id: ac_counts[256]})."""
+    L = lib()
+    ncomp, mx, my, h, v, bw, bh, dct, act = _geometry(frame)
+    arrs, ptrs = _coef_ptrs(coefs)
+    dcc = np.zeros(4 * 256, np.int64)
+    acc = np.zeros(4 * 256, np.int64)
+    rc = L.tic_jpeg_count_symbols(
+        ncomp, h, v, bw, bh, dct, act, mx, my, ptrs,
+        dcc.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        acc.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    if rc != 0:
+        raise ValueError("native symbol count failed")
+    ids_dc = {c.dc_tbl for c in frame.components}
+    ids_ac = {c.ac_tbl for c in frame.components}
+    return (
+        {i: dcc[i * 256 : (i + 1) * 256] for i in ids_dc},
+        {i: acc[i * 256 : (i + 1) * 256] for i in ids_ac},
+    )
+
+
+def entropy_encode_native(
+    frame: JpegFrame,
+    coefs: Sequence[np.ndarray],
+    dc_tables: Dict[int, HuffTable],
+    ac_tables: Dict[int, HuffTable],
+    restart_interval: int = 0,
+) -> bytes:
+    L = lib()
+    ncomp, mx, my, h, v, bw, bh, dct, act = _geometry(frame)
+    arrs, ptrs = _coef_ptrs(coefs)
+    blob = _table_blob(dc_tables, ac_tables)
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    out_len = ctypes.c_size_t()
+    rc = L.tic_jpeg_encode_scan(
+        ncomp, h, v, bw, bh, dct, act, mx, my, restart_interval,
+        ptrs, blob, ctypes.byref(out), ctypes.byref(out_len),
+    )
+    if rc != 0:
+        raise ValueError("native entropy encode failed")
+    data = ctypes.string_at(out, out_len.value)
+    L.tic_free(out)
+    return data

@@ -65,3 +65,17 @@ def _declare(L: ctypes.CDLL) -> None:
         ctypes.POINTER(ctypes.c_int32),
     ]
     L.tic_jpeg_decode_coefficients.restype = ctypes.c_int
+    c_i32p = ctypes.POINTER(ctypes.c_int32)
+    L.tic_jpeg_count_symbols.argtypes = [
+        ctypes.c_int, c_i32p, c_i32p, c_i32p, c_i32p, c_i32p, c_i32p,
+        ctypes.c_int, ctypes.c_int, ctypes.POINTER(c_i16p),
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+    ]
+    L.tic_jpeg_count_symbols.restype = ctypes.c_int
+    L.tic_jpeg_encode_scan.argtypes = [
+        ctypes.c_int, c_i32p, c_i32p, c_i32p, c_i32p, c_i32p, c_i32p,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.POINTER(c_i16p),
+        ctypes.c_char_p, ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.POINTER(ctypes.c_size_t),
+    ]
+    L.tic_jpeg_encode_scan.restype = ctypes.c_int

@@ -62,3 +62,15 @@ def max_abs_diff(a, b) -> int:
     b = np.asarray(b, np.int32)
     assert a.shape == b.shape, f"shape mismatch {a.shape} vs {b.shape}"
     return int(np.abs(a - b).max()) if a.size else 0
+
+
+def psnr(a, b):
+    """Peak signal-to-noise ratio in dB (uint8 range)."""
+    import numpy as np
+
+    a = np.asarray(a).astype(np.float64)
+    b = np.asarray(b).astype(np.float64)
+    mse = np.mean((a - b) ** 2)
+    if mse == 0:
+        return 99.0
+    return 10.0 * np.log10(255.0**2 / mse)
