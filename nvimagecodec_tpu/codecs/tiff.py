@@ -1,0 +1,325 @@
+"""TIFF decoder: strips + tiles, LZW/Deflate/PackBits, predictor, palette,
+planar configs, 1/4/8/16-bit — the feature envelope of the reference's
+libtiff extension (reference: extensions/libtiff/libtiff_decoder.cpp —
+scanline/tile paths, palette, planar configs, bitdepth conversion).
+
+CPU backend like the reference's (libtiff ext is CPU_ONLY NORMAL priority).
+The serial decompression (LZW) is native C++ (native/tiff_lzw.cpp) with a
+Python fallback; predictor undo and layout assembly are vectorized numpy.
+"""
+from __future__ import annotations
+
+import struct
+import zlib
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..core.interfaces import DecodeParams, DecodeResult, DecoderPlugin
+from ..core.types import BackendKind, Priority, ProcessingStatus
+
+# tag ids
+T_WIDTH, T_HEIGHT = 256, 257
+T_BPS, T_COMPRESSION, T_PHOTOMETRIC = 258, 259, 262
+T_FILLORDER = 266
+T_STRIP_OFFSETS, T_ORIENTATION, T_SPP, T_ROWS_PER_STRIP, T_STRIP_COUNTS = (
+    273, 274, 277, 278, 279,
+)
+T_PLANAR, T_PREDICTOR, T_COLORMAP = 284, 317, 320
+T_TILE_W, T_TILE_H, T_TILE_OFFSETS, T_TILE_COUNTS = 322, 323, 324, 325
+T_EXTRA_SAMPLES, T_SAMPLE_FORMAT = 338, 339
+
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8,
+              11: 4, 12: 8, 16: 8, 17: 8}
+
+
+def _read_ifd(data: bytes, le: bool) -> Dict[int, list]:
+    e = "<" if le else ">"
+    (ifd_off,) = struct.unpack_from(e + "I", data, 4)
+    tags: Dict[int, list] = {}
+    (count,) = struct.unpack_from(e + "H", data, ifd_off)
+    for i in range(count):
+        off = ifd_off + 2 + 12 * i
+        tag, typ, n = struct.unpack_from(e + "HHI", data, off)
+        size = _TYPE_SIZE.get(typ, 1) * n
+        if size <= 4:
+            voff = off + 8
+        else:
+            (voff,) = struct.unpack_from(e + "I", data, off + 8)
+        if typ == 3:
+            vals = list(struct.unpack_from(e + f"{n}H", data, voff))
+        elif typ == 4:
+            vals = list(struct.unpack_from(e + f"{n}I", data, voff))
+        elif typ == 1:
+            vals = list(data[voff : voff + n])
+        elif typ == 8:
+            vals = list(struct.unpack_from(e + f"{n}h", data, voff))
+        elif typ == 9:
+            vals = list(struct.unpack_from(e + f"{n}i", data, voff))
+        else:
+            vals = [data[voff : voff + size]]
+        tags[tag] = vals
+    return tags
+
+
+def _unpackbits(src: bytes, expected: int) -> bytes:
+    """PackBits (Apple RLE) decompression — TIFF 6.0 spec §9."""
+    out = bytearray()
+    i, n = 0, len(src)
+    while i < n and len(out) < expected:
+        b = src[i]
+        i += 1
+        if b < 128:
+            out += src[i : i + b + 1]
+            i += b + 1
+        elif b > 128:
+            out += bytes([src[i]]) * (257 - b)
+            i += 1
+        # 128: no-op
+    return bytes(out[:expected])
+
+
+def _lzw_decode_py(src: bytes, expected: int) -> bytes:
+    """Python TIFF-LZW fallback (spec §13, MSB-first, early change)."""
+    out = bytearray()
+    table: List[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    acc = nbits = 0
+    prev: Optional[bytes] = None
+    for byte in src:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (acc >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == 257:  # EOI
+                return bytes(out[:expected])
+            if code == 256:  # Clear
+                table = table[:258]
+                width = 9
+                prev = None
+                continue
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table) and prev is not None:
+                entry = prev + prev[:1]
+            else:
+                raise ValueError("LZW: bad code")
+            out += entry
+            if prev is not None:
+                table.append(prev + entry[:1])
+                if len(table) + 1 == (1 << width) and width < 12:
+                    width += 1
+            prev = entry
+            if len(out) >= expected:
+                return bytes(out[:expected])
+    return bytes(out[:expected])
+
+
+def _lzw_decode(src: bytes, expected: int) -> bytes:
+    try:
+        import ctypes
+
+        from ..native import lib
+
+        L = lib()
+    except Exception:
+        return _lzw_decode_py(src, expected)
+    dst = ctypes.create_string_buffer(expected)
+    n = L.tic_tiff_lzw_decode(src, len(src), dst, expected)
+    if n < 0:
+        raise ValueError("LZW: malformed stream")
+    return dst.raw[:n]
+
+
+def _decompress(src: bytes, compression: int, expected: int) -> bytes:
+    if compression == 1:
+        return src[:expected]
+    if compression == 5:
+        return _lzw_decode(src, expected)
+    if compression in (8, 32946):  # Deflate (Adobe / legacy)
+        return zlib.decompress(src)[:expected]
+    if compression == 32773:
+        return _unpackbits(src, expected)
+    raise ValueError(f"TIFF: unsupported compression {compression}")
+
+
+def _undo_predictor(rows: np.ndarray, spp: int) -> np.ndarray:
+    """Horizontal differencing undo: cumulative sum along x per channel
+    (vectorized; wraps naturally in the sample dtype)."""
+    h, w = rows.shape[:2]
+    r = rows.reshape(h, w // spp, spp) if spp > 1 else rows[:, :, None]
+    r = np.cumsum(r.astype(np.int64), axis=1)
+    return (r % (1 << (rows.itemsize * 8))).astype(rows.dtype).reshape(h, w)
+
+
+class TiffDirectory:
+    """One parsed IFD with decode geometry."""
+
+    def __init__(self, data: bytes):
+        if data[:2] == b"II":
+            self.le = True
+        elif data[:2] == b"MM":
+            self.le = False
+        else:
+            raise ValueError("not a TIFF")
+        self.data = data
+        t = _read_ifd(data, self.le)
+        self.tags = t
+        self.width = t[T_WIDTH][0]
+        self.height = t[T_HEIGHT][0]
+        self.spp = t.get(T_SPP, [1])[0]
+        bps = t.get(T_BPS, [1])
+        if len(set(bps)) > 1:
+            raise ValueError("TIFF: heterogeneous BitsPerSample")
+        self.bps = bps[0]
+        self.compression = t.get(T_COMPRESSION, [1])[0]
+        self.photometric = t.get(T_PHOTOMETRIC, [1])[0]
+        self.planar = t.get(T_PLANAR, [1])[0]
+        self.predictor = t.get(T_PREDICTOR, [1])[0]
+        self.fill_order = t.get(T_FILLORDER, [1])[0]
+        self.orientation = t.get(T_ORIENTATION, [1])[0]
+        self.tiled = T_TILE_OFFSETS in t
+        self.colormap = t.get(T_COLORMAP)
+
+
+def decode_tiff(data: bytes) -> np.ndarray:
+    """Decode the first IFD to [H, W(, C)] u8/u16 natural samples."""
+    d = TiffDirectory(data)
+    W, H, spp, bps = d.width, d.height, d.spp, d.bps
+    if bps not in (1, 2, 4, 8, 16):
+        raise ValueError(f"TIFF: unsupported BitsPerSample {bps}")
+    dtype = np.uint16 if bps == 16 else np.uint8
+    e = "<" if d.le else ">"
+
+    nplanes = spp if d.planar == 2 else 1
+    cpp = 1 if d.planar == 2 else spp  # channels per stored plane
+
+    def bits_to_bytes(nbits: int) -> int:
+        return (nbits + 7) // 8
+
+    def expand_row_bytes(raw: np.ndarray, width_samples: int) -> np.ndarray:
+        """Packed row bytes [h, rowbytes] → samples [h, width_samples]."""
+        if bps == 8:
+            return raw[:, :width_samples]
+        if bps == 16:
+            arr = raw.reshape(raw.shape[0], -1).view(e + "u2")
+            return arr[:, :width_samples].astype(np.uint16)
+        per = 8 // bps
+        shifts = (np.arange(per - 1, -1, -1) * bps).astype(np.uint8)
+        expanded = (raw[:, :, None] >> shifts[None, None, :]) & ((1 << bps) - 1)
+        return expanded.reshape(raw.shape[0], -1)[:, :width_samples]
+
+    planes = np.zeros((nplanes, H, W * cpp), dtype)
+
+    if d.tiled:
+        tw = d.tags[T_TILE_W][0]
+        th = d.tags[T_TILE_H][0]
+        offsets = d.tags[T_TILE_OFFSETS]
+        counts = d.tags[T_TILE_COUNTS]
+        tiles_x = (W + tw - 1) // tw
+        tiles_y = (H + th - 1) // th
+        rowbytes = bits_to_bytes(tw * cpp * bps)
+        idx = 0
+        for s in range(nplanes):
+            for ty in range(tiles_y):
+                for tx in range(tiles_x):
+                    src = data[offsets[idx] : offsets[idx] + counts[idx]]
+                    idx += 1
+                    raw = _decompress(src, d.compression, rowbytes * th)
+                    rows = np.frombuffer(raw.ljust(rowbytes * th, b"\0"),
+                                         np.uint8).reshape(th, rowbytes)
+                    samples = expand_row_bytes(rows, tw * cpp)
+                    if d.predictor == 2:
+                        samples = _undo_predictor(samples.astype(dtype), cpp)
+                    y0, x0 = ty * th, tx * tw * cpp
+                    hh = min(th, H - y0)
+                    ww = min(tw, W - tx * tw) * cpp
+                    planes[s, y0 : y0 + hh, x0 : x0 + ww] = samples[:hh, :ww]
+    else:
+        offsets = d.tags[T_STRIP_OFFSETS]
+        counts = d.tags.get(T_STRIP_COUNTS, [len(data) - offsets[0]])
+        rps = d.tags.get(T_ROWS_PER_STRIP, [H])[0]
+        rps = min(rps, H)
+        strips_per_plane = (H + rps - 1) // rps
+        rowbytes = bits_to_bytes(W * cpp * bps)
+        idx = 0
+        for s in range(nplanes):
+            for si in range(strips_per_plane):
+                y0 = si * rps
+                nrows = min(rps, H - y0)
+                src = data[offsets[idx] : offsets[idx] + counts[idx]]
+                idx += 1
+                raw = _decompress(src, d.compression, rowbytes * nrows)
+                rows = np.frombuffer(raw.ljust(rowbytes * nrows, b"\0"),
+                                     np.uint8).reshape(nrows, rowbytes)
+                samples = expand_row_bytes(rows, W * cpp)
+                if d.predictor == 2:
+                    samples = _undo_predictor(samples.astype(dtype), cpp)
+                planes[s, y0 : y0 + nrows] = samples
+
+    # assemble channels
+    if d.planar == 2:
+        img = np.stack([planes[s].reshape(H, W) for s in range(spp)], axis=-1)
+    else:
+        img = planes[0].reshape(H, W, spp)
+
+    # photometric handling
+    if d.photometric == 0:  # white-is-zero
+        maxv = (1 << bps) - 1
+        img = (maxv - img).astype(dtype)
+    elif d.photometric == 3:  # palette
+        if d.colormap is None:
+            raise ValueError("TIFF: palette image without ColorMap")
+        cm = np.asarray(d.colormap, np.uint32)
+        n = len(cm) // 3
+        lut = (cm.reshape(3, n).T >> 8).astype(np.uint8)  # 16-bit → 8-bit
+        img = lut[img[..., 0].astype(np.int32)]
+        return img
+
+    if bps in (1, 2, 4) and d.photometric in (0, 1):
+        img = (img * (255 // ((1 << bps) - 1))).astype(np.uint8)
+
+    if img.shape[-1] == 1:
+        img = img[..., 0]
+    return img
+
+
+class TiffCpuDecoder(DecoderPlugin):
+    codec = "tiff"
+    plugin_id = "cpu_tiff_decoder"
+    backend_kind = BackendKind.CPU_ONLY
+    priority = Priority.NORMAL
+
+    def can_decode(self, data_batch, info_batch, params) -> List[ProcessingStatus]:
+        out = []
+        for data in data_batch:
+            head = bytes(data[:4])
+            ok = head in (b"II*\x00", b"MM\x00*")
+            out.append(
+                ProcessingStatus.SUCCESS
+                if ok
+                else ProcessingStatus.FAIL | ProcessingStatus.CODEC_UNSUPPORTED
+            )
+        return out
+
+    def decode_batch(self, data_batch, info_batch, params) -> List[DecodeResult]:
+        out = []
+        for data in data_batch:
+            try:
+                img = decode_tiff(bytes(data))
+                if not params.allow_any_depth and img.dtype == np.uint16:
+                    img = (img >> 8).astype(np.uint8)
+                out.append(DecodeResult(ProcessingStatus.SUCCESS, img))
+            except Exception as exc:
+                out.append(
+                    DecodeResult(
+                        ProcessingStatus.FAIL | ProcessingStatus.IMAGE_CORRUPTED,
+                        error=str(exc),
+                    )
+                )
+        return out
+
+
+def register(registry) -> None:
+    registry.codec("tiff").register_decoder(TiffCpuDecoder())

@@ -79,3 +79,12 @@ def _declare(L: ctypes.CDLL) -> None:
         ctypes.POINTER(ctypes.c_size_t),
     ]
     L.tic_jpeg_encode_scan.restype = ctypes.c_int
+    L.tic_png_defilter.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int64,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
+    ]
+    L.tic_png_defilter.restype = ctypes.c_int
+    L.tic_tiff_lzw_decode.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p, ctypes.c_int64,
+    ]
+    L.tic_tiff_lzw_decode.restype = ctypes.c_int64

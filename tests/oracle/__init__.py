@@ -24,7 +24,7 @@ _lib: Optional[ctypes.CDLL] = None
 def _build() -> None:
     cmd = [
         "cc", "-O2", "-shared", "-fPIC", _SRC, "-o", _SO,
-        "-ljpeg", "-lpng", "-lwebp", "-lz",
+        "-ljpeg", "-lpng", "-lwebp", "-lz", "-ltiff",
     ]
     subprocess.run(cmd, check=True, capture_output=True)
 
@@ -79,6 +79,18 @@ def _sig(L: ctypes.CDLL) -> None:
         ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_float, ctypes.c_int,
         ctypes.POINTER(c_u8p), ctypes.POINTER(ctypes.c_size_t),
     ]
+    L.oracle_tiff_encode.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(c_u8p), ctypes.POINTER(ctypes.c_size_t),
+    ]
+    L.oracle_tiff_encode.restype = ctypes.c_int
+    L.oracle_tiff_decode.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t, ctypes.POINTER(c_u8p),
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+    ]
+    L.oracle_tiff_decode.restype = ctypes.c_int
 
 
 SUBSAMP = {"444": 0, "422": 1, "420": 2, "gray": 3, "440": 4, "411": 5, "410": 6}
@@ -226,3 +238,45 @@ def webp_encode_rgb(pix: np.ndarray, quality: float = 80.0, lossless: bool = Fal
     data = ctypes.string_at(out, outlen.value)
     L.oracle_webp_free(out)
     return data
+
+
+def tiff_encode(pix: np.ndarray, compression: int = 1, predictor: int = 1,
+                planar: int = 1, tile_size: int = 0,
+                rows_per_strip: int = 8) -> bytes:
+    """compression: 1 none, 5 lzw, 8 deflate, 32773 packbits."""
+    L = lib()
+    if pix.ndim == 2:
+        pix = pix[:, :, None]
+    h, w, ch = pix.shape
+    if pix.dtype == np.uint16:
+        bd = 16
+        body = np.ascontiguousarray(pix).tobytes()  # native-endian; libtiff tags endianness
+    else:
+        bd = 8
+        body = np.ascontiguousarray(pix, np.uint8).tobytes()
+    out = c_u8p()
+    outlen = ctypes.c_size_t()
+    rc = L.oracle_tiff_encode(body, w, h, ch, bd, compression, predictor,
+                              planar, tile_size, rows_per_strip,
+                              ctypes.byref(out), ctypes.byref(outlen))
+    if rc != 0:
+        raise RuntimeError(f"oracle tiff encode failed rc={rc}")
+    data = ctypes.string_at(out, outlen.value)
+    L.oracle_free(out)
+    return data
+
+
+def tiff_decode(data: bytes) -> np.ndarray:
+    L = lib()
+    out = c_u8p()
+    w = ctypes.c_int(); h = ctypes.c_int(); ch = ctypes.c_int(); bd = ctypes.c_int()
+    rc = L.oracle_tiff_decode(data, len(data), ctypes.byref(out), ctypes.byref(w),
+                              ctypes.byref(h), ctypes.byref(ch), ctypes.byref(bd))
+    if rc != 0:
+        raise RuntimeError(f"oracle tiff decode failed rc={rc}")
+    nbytes = w.value * h.value * ch.value * (bd.value // 8)
+    raw = ctypes.string_at(out, nbytes)
+    L.oracle_free(out)
+    dtype = np.uint16 if bd.value == 16 else np.uint8
+    arr = np.frombuffer(raw, dtype).reshape(h.value, w.value, ch.value)
+    return arr[:, :, 0] if ch.value == 1 else arr

@@ -289,3 +289,186 @@ int oracle_webp_encode_rgb(const uint8_t *rgb, int w, int h, float quality,
         *outlen = WebPEncodeRGB(rgb, w, h, w * 3, quality, out);
     return *outlen ? 0 : -1;
 }
+
+/* ------------------------------------------------------------------ tiff */
+#include <tiffio.h>
+
+struct tiff_mem {
+    uint8_t *buf;
+    toff_t len, cap, pos;
+    int writable;
+};
+
+static tmsize_t tm_read(thandle_t h, void *out, tmsize_t n) {
+    struct tiff_mem *m = (struct tiff_mem *)h;
+    if (m->pos + n > m->len) n = m->len - m->pos;
+    memcpy(out, m->buf + m->pos, n);
+    m->pos += n;
+    return n;
+}
+static tmsize_t tm_write(thandle_t h, void *in, tmsize_t n) {
+    struct tiff_mem *m = (struct tiff_mem *)h;
+    if (!m->writable) return 0;
+    if (m->pos + n > m->cap) {
+        toff_t cap = m->cap ? m->cap * 2 : 65536;
+        while (cap < m->pos + n) cap *= 2;
+        m->buf = realloc(m->buf, cap);
+        m->cap = cap;
+    }
+    memcpy(m->buf + m->pos, in, n);
+    m->pos += n;
+    if (m->pos > m->len) m->len = m->pos;
+    return n;
+}
+static toff_t tm_seek(thandle_t h, toff_t off, int whence) {
+    struct tiff_mem *m = (struct tiff_mem *)h;
+    toff_t p = whence == SEEK_SET ? off : whence == SEEK_CUR ? m->pos + off : m->len + off;
+    m->pos = p;
+    return p;
+}
+static int tm_close(thandle_t h) { (void)h; return 0; }
+static toff_t tm_size(thandle_t h) { return ((struct tiff_mem *)h)->len; }
+
+/* Encode interleaved samples. compression: 1 none, 5 lzw, 8 deflate,
+ * 32773 packbits. predictor applies to lzw/deflate. planar: 1 chunky,
+ * 2 separate. tile_size 0 = strips (rows_per_strip rows each). */
+int oracle_tiff_encode(const uint8_t *body, int w, int h, int ch, int bd,
+                       int compression, int predictor, int planar,
+                       int tile_size, int rows_per_strip,
+                       uint8_t **out, size_t *outlen) {
+    struct tiff_mem m = {0};
+    m.writable = 1;
+    TIFF *tif = TIFFClientOpen("mem", "w", (thandle_t)&m, tm_read, tm_write,
+                               tm_seek, tm_close, tm_size, NULL, NULL);
+    if (!tif) return 1;
+    TIFFSetField(tif, TIFFTAG_IMAGEWIDTH, w);
+    TIFFSetField(tif, TIFFTAG_IMAGELENGTH, h);
+    TIFFSetField(tif, TIFFTAG_SAMPLESPERPIXEL, ch);
+    TIFFSetField(tif, TIFFTAG_BITSPERSAMPLE, bd);
+    TIFFSetField(tif, TIFFTAG_SAMPLEFORMAT, SAMPLEFORMAT_UINT);
+    TIFFSetField(tif, TIFFTAG_COMPRESSION, compression);
+    TIFFSetField(tif, TIFFTAG_PHOTOMETRIC, ch >= 3 ? PHOTOMETRIC_RGB : PHOTOMETRIC_MINISBLACK);
+    TIFFSetField(tif, TIFFTAG_PLANARCONFIG, planar);
+    if (ch == 4) {
+        uint16_t es = EXTRASAMPLE_UNASSALPHA;
+        TIFFSetField(tif, TIFFTAG_EXTRASAMPLES, 1, &es);
+    }
+    if (predictor > 1) TIFFSetField(tif, TIFFTAG_PREDICTOR, predictor);
+    int bytes_per = bd / 8;
+    if (tile_size > 0) {
+        TIFFSetField(tif, TIFFTAG_TILEWIDTH, tile_size);
+        TIFFSetField(tif, TIFFTAG_TILELENGTH, tile_size);
+        tmsize_t tbytes = TIFFTileSize(tif);
+        uint8_t *tile = malloc(tbytes);
+        int spp_iter = planar == 2 ? ch : 1;
+        for (int s = 0; s < spp_iter; ++s)
+          for (int ty = 0; ty < h; ty += tile_size)
+            for (int tx = 0; tx < w; tx += tile_size) {
+                memset(tile, 0, tbytes);
+                int cpp = planar == 2 ? 1 : ch;
+                for (int y = 0; y < tile_size && ty + y < h; ++y)
+                    for (int x = 0; x < tile_size && tx + x < w; ++x)
+                        for (int c = 0; c < cpp; ++c)
+                            memcpy(tile + ((y * tile_size + x) * cpp + c) * bytes_per,
+                                   body + (((toff_t)(ty + y) * w + tx + x) * ch +
+                                           (planar == 2 ? s : c)) * bytes_per,
+                                   bytes_per);
+                if (TIFFWriteTile(tif, tile, tx, ty, 0, planar == 2 ? s : 0) < 0) {
+                    free(tile); TIFFClose(tif); free(m.buf); return 2;
+                }
+            }
+        free(tile);
+    } else {
+        TIFFSetField(tif, TIFFTAG_ROWSPERSTRIP, rows_per_strip > 0 ? rows_per_strip : 8);
+        if (planar == 2) {
+            uint8_t *row = malloc((size_t)w * bytes_per);
+            for (int s = 0; s < ch; ++s)
+                for (int y = 0; y < h; ++y) {
+                    for (int x = 0; x < w; ++x)
+                        memcpy(row + (size_t)x * bytes_per,
+                               body + (((size_t)y * w + x) * ch + s) * bytes_per, bytes_per);
+                    if (TIFFWriteScanline(tif, row, y, s) < 0) {
+                        free(row); TIFFClose(tif); free(m.buf); return 2;
+                    }
+                }
+            free(row);
+        } else {
+            for (int y = 0; y < h; ++y)
+                if (TIFFWriteScanline(tif, (void *)(body + (size_t)y * w * ch * bytes_per), y, 0) < 0) {
+                    TIFFClose(tif); free(m.buf); return 2;
+                }
+        }
+    }
+    TIFFClose(tif);
+    *out = m.buf;
+    *outlen = m.len;
+    return 0;
+}
+
+/* Decode via libtiff scanline API into interleaved natural samples. */
+int oracle_tiff_decode(const uint8_t *data, size_t len, uint8_t **out,
+                       int *ow, int *oh, int *och, int *obd) {
+    struct tiff_mem m = {(uint8_t *)data, len, len, 0, 0};
+    TIFF *tif = TIFFClientOpen("mem", "r", (thandle_t)&m, tm_read, tm_write,
+                               tm_seek, tm_close, tm_size, NULL, NULL);
+    if (!tif) return 1;
+    uint32_t w, h;
+    uint16_t ch = 1, bd = 8, planar = 1;
+    TIFFGetField(tif, TIFFTAG_IMAGEWIDTH, &w);
+    TIFFGetField(tif, TIFFTAG_IMAGELENGTH, &h);
+    TIFFGetFieldDefaulted(tif, TIFFTAG_SAMPLESPERPIXEL, &ch);
+    TIFFGetFieldDefaulted(tif, TIFFTAG_BITSPERSAMPLE, &bd);
+    TIFFGetFieldDefaulted(tif, TIFFTAG_PLANARCONFIG, &planar);
+    int bytes_per = bd / 8;
+    if (bytes_per < 1) { TIFFClose(tif); return 3; }
+    uint8_t *pix = malloc((size_t)w * h * ch * bytes_per);
+    if (TIFFIsTiled(tif)) {
+        uint32_t tw, th;
+        TIFFGetField(tif, TIFFTAG_TILEWIDTH, &tw);
+        TIFFGetField(tif, TIFFTAG_TILELENGTH, &th);
+        uint8_t *tile = malloc(TIFFTileSize(tif));
+        int spp_iter = planar == 2 ? ch : 1;
+        int cpp = planar == 2 ? 1 : ch;
+        for (int s = 0; s < spp_iter; ++s)
+          for (uint32_t ty = 0; ty < h; ty += th)
+            for (uint32_t tx = 0; tx < w; tx += tw) {
+                if (TIFFReadTile(tif, tile, tx, ty, 0, (uint16_t)s) < 0) {
+                    free(tile); free(pix); TIFFClose(tif); return 2;
+                }
+                for (uint32_t y = 0; y < th && ty + y < h; ++y)
+                    for (uint32_t x = 0; x < tw && tx + x < w; ++x)
+                        for (int c = 0; c < cpp; ++c)
+                            memcpy(pix + (((size_t)(ty + y) * w + tx + x) * ch +
+                                          (planar == 2 ? s : c)) * bytes_per,
+                                   tile + ((size_t)(y * tw + x) * cpp + c) * bytes_per,
+                                   bytes_per);
+            }
+        free(tile);
+    } else {
+        tmsize_t sls = TIFFScanlineSize(tif);
+        uint8_t *row = malloc(sls);
+        if (planar == 2) {
+            for (int s = 0; s < ch; ++s)
+                for (uint32_t y = 0; y < h; ++y) {
+                    if (TIFFReadScanline(tif, row, y, (uint16_t)s) < 0) {
+                        free(row); free(pix); TIFFClose(tif); return 2;
+                    }
+                    for (uint32_t x = 0; x < w; ++x)
+                        memcpy(pix + (((size_t)y * w + x) * ch + s) * bytes_per,
+                               row + (size_t)x * bytes_per, bytes_per);
+                }
+        } else {
+            for (uint32_t y = 0; y < h; ++y) {
+                if (TIFFReadScanline(tif, row, y, 0) < 0) {
+                    free(row); free(pix); TIFFClose(tif); return 2;
+                }
+                memcpy(pix + (size_t)y * w * ch * bytes_per, row, (size_t)w * ch * bytes_per);
+            }
+        }
+        free(row);
+    }
+    TIFFClose(tif);
+    *out = pix;
+    *ow = (int)w; *oh = (int)h; *och = ch; *obd = bd;
+    return 0;
+}
