@@ -65,12 +65,14 @@ def main() -> None:
     dec = Decoder()
 
     def force(img):
-        """Force device completion with a cheap scalar fetch (outputs stay
-        on device — the consumer is a TPU input pipeline)."""
+        """Force device completion without fetching (outputs stay on device —
+        the consumer is a TPU input pipeline; eager slice+sum ops cost ~40 ms
+        each over the axon tunnel)."""
         a = img.array
         if isinstance(a, np.ndarray):
             return int(a[0, 0, 0])
-        return int(jnp.sum(a[0, 0]))
+        jax.block_until_ready(a)
+        return 0
 
     # --- warmup (jit compile + axon backend warmup) -------------------------
     log("warmup...")

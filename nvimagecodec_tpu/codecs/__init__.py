@@ -49,3 +49,12 @@ def register_builtin_codecs(registry) -> None:
         register_webp(registry)
     except ImportError:
         pass
+
+    # system-library fallbacks (lowest rung of the priority ladder, like the
+    # reference's opencv extension)
+    try:
+        from .system_codecs import register as register_system
+
+        register_system(registry)
+    except ImportError:
+        pass

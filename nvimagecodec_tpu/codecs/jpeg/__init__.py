@@ -55,16 +55,46 @@ def _supported(frame: JpegFrame) -> ProcessingStatus:
     return ProcessingStatus.SUCCESS
 
 
+_SUPPORTED_ENCODINGS = {0xC0, 0xC1, 0xC2}  # baseline/extended/progressive Huffman
+
+
 class _JpegDecoderBase(DecoderPlugin):
     codec = "jpeg"
     use_jax = False
 
     def can_decode(self, data_batch, info_batch, params) -> List[ProcessingStatus]:
+        # Judge from the already-parsed ImageInfo (cached by CodeStream) —
+        # re-parsing the full structure here doubled the host cost of the
+        # hot path (reference likewise reuses parsed stream info in
+        # canDecode, extensions/nvjpeg/cuda_decoder.cpp:124-174).
         out = []
-        for data in data_batch:
+        for data, info in zip(data_batch, info_batch):
             try:
-                frame = parse_jpeg_structure(bytes(data))
-                out.append(_supported(frame))
+                if info is None or info.codec != "jpeg":
+                    frame = parse_jpeg_structure(bytes(data))
+                    out.append(_supported(frame))
+                    continue
+                enc = int(info.jpeg_encoding)
+                if enc not in _SUPPORTED_ENCODINGS:
+                    out.append(
+                        ProcessingStatus.FAIL
+                        | ProcessingStatus.ENCODING_UNSUPPORTED
+                    )
+                elif info.planes and (
+                    info.planes[0].precision not in (0, 8)
+                    or info.planes[0].sample_type.name != "UINT8"
+                ):
+                    out.append(
+                        ProcessingStatus.FAIL
+                        | ProcessingStatus.SAMPLE_TYPE_UNSUPPORTED
+                    )
+                elif info.num_planes not in (1, 3, 4):
+                    out.append(
+                        ProcessingStatus.FAIL
+                        | ProcessingStatus.NUM_CHANNELS_UNSUPPORTED
+                    )
+                else:
+                    out.append(ProcessingStatus.SUCCESS)
             except Exception:
                 out.append(ProcessingStatus.FAIL | ProcessingStatus.IMAGE_CORRUPTED)
         return out

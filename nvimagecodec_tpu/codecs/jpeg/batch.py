@@ -6,10 +6,23 @@ geometry (dims + sampling + quant tables) are stacked and run through ONE
 jitted pixel function — variable shapes become shape buckets instead of
 per-sample dynamic dispatch (SURVEY.md §7 "Variable shapes under XLA").
 Batch sizes are padded to powers of two to bound recompilation.
+
+Hot-path design (measured on the axon TPU tunnel):
+- the host stage parses headers, preallocates the stacked [B, bh, bw, 64]
+  int16 batch per component, and entropy-decodes each sample DIRECTLY into
+  its batch slot from a thread pool (the native decoder releases the GIL) —
+  no per-sample arrays, no np.stack copy;
+- the device stage is one jitted call per bucket that returns a TUPLE of
+  per-sample images, so splitting the batch costs zero extra dispatches
+  (eager `imgs[j]` slices were ~40 ms each over the tunnel);
+- outputs stay on device; callers that need completion use
+  jax.block_until_ready without fetching.
 """
 from __future__ import annotations
 
 import functools
+import os
+from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, List
 
 import numpy as np
@@ -21,23 +34,25 @@ from .pixel import cmyk_to_rgb, decode_pixels, geometry_key
 
 
 @functools.lru_cache(maxsize=256)
-def _pixel_fn(geom_key, batch: int, fancy: bool):
-    """Build + jit the pixel stage for one geometry bucket.
-
-    The frame carried in the key is reconstructed from the first sample at
-    call time; geom_key only serves as the cache key.
-    """
+def _pixel_fn(geom_key, batch: int, fancy: bool, to_rgb: bool):
+    """Build + jit the pixel stage for one geometry bucket. Returns a tuple
+    of `batch` per-sample images from a single dispatch."""
     import jax
 
-    def fn(frame, coef_arrays):
-        return decode_pixels(frame, coef_arrays, use_jax=True, fancy=fancy)
-
-    # static frame via closure: jit caches on geom_key through this lru_cache
     jitted = {}
 
     def call(frame, coef_arrays):
         if "f" not in jitted:
-            jitted["f"] = jax.jit(lambda arrs: fn(frame, arrs))
+
+            def fn(arrs):
+                imgs = decode_pixels(frame, list(arrs), use_jax=True, fancy=fancy)
+                if to_rgb and imgs.ndim == 4 and imgs.shape[-1] == 4:
+                    import jax.numpy as jnp
+
+                    imgs = cmyk_to_rgb(imgs, jnp)
+                return tuple(imgs[j] for j in range(batch))
+
+            jitted["f"] = jax.jit(fn)
         return jitted["f"](coef_arrays)
 
     return call
@@ -54,76 +69,102 @@ def decode_batch_tpu(data_batch, params: DecodeParams) -> List[DecodeResult]:
     n = len(data_batch)
     results: List[DecodeResult] = [None] * n  # type: ignore[list-item]
 
-    # 1) host: parse + entropy decode, fanned over CPU cores (the native
-    #    decoder releases the GIL inside the ctypes call — the analog of the
-    #    reference's executor fan-out, extensions/nvjpeg/cuda_decoder.cpp:565-571)
-    import os
-    from concurrent.futures import ThreadPoolExecutor
-
     from . import _entropy_decode  # late import to avoid cycle
 
-    def _host_stage(item):
-        i, data = item
-        raw = bytes(data)
-        frame = parse_jpeg_structure(raw)
-        coefs = _entropy_decode(frame, raw)
-        return i, frame, coefs
+    try:
+        from .native import decode_coefficients_into
 
-    parsed = {}
+        have_native_into = True
+    except Exception:
+        have_native_into = False
+
+    # 1) host: parse headers, bucket by geometry
+    frames = {}
     groups: Dict[tuple, list] = {}
-    nthreads = min(len(data_batch), os.cpu_count() or 2)
-    if nthreads > 1:
-        ex = ThreadPoolExecutor(max_workers=nthreads)
-        futures = [ex.submit(_host_stage, (i, d)) for i, d in enumerate(data_batch)]
-        outcomes = []
-        for i, f in enumerate(futures):
-            try:
-                outcomes.append(f.result())
-            except Exception as e:
-                results[i] = DecodeResult(
-                    ProcessingStatus.FAIL | ProcessingStatus.IMAGE_CORRUPTED,
-                    error=str(e),
-                )
-        ex.shutdown(wait=False)
-    else:
-        outcomes = []
-        for i, d in enumerate(data_batch):
-            try:
-                outcomes.append(_host_stage((i, d)))
-            except Exception as e:
-                results[i] = DecodeResult(
-                    ProcessingStatus.FAIL | ProcessingStatus.IMAGE_CORRUPTED,
-                    error=str(e),
-                )
-    for i, frame, coefs in outcomes:
-        parsed[i] = (frame, coefs)
-        groups.setdefault(geometry_key(frame), []).append(i)
-
-    # 2) device: one jitted call per geometry bucket
-    import jax
-
-    for key, idxs in groups.items():
-        frame0 = parsed[idxs[0]][0]
-        ncomp = len(frame0.components)
-        b = len(idxs)
-        bpad = _next_pow2(b)
-        coef_arrays = []
-        for c in range(ncomp):
-            stack = np.stack([parsed[i][1][c] for i in idxs])
-            if bpad != b:
-                pad = np.zeros((bpad - b, *stack.shape[1:]), stack.dtype)
-                stack = np.concatenate([stack, pad])
-            coef_arrays.append(stack)
+    raws = {}
+    for i, data in enumerate(data_batch):
         try:
-            call = _pixel_fn(key, bpad, True)
-            imgs = call(frame0, tuple(coef_arrays))
-            if imgs.ndim == 4 and imgs.shape[-1] == 4:
-                import jax.numpy as jnp
-
-                imgs = cmyk_to_rgb(imgs, jnp)
-            for j, i in enumerate(idxs):
-                results[i] = DecodeResult(ProcessingStatus.SUCCESS, imgs[j])
+            raw = bytes(data)
+            frame = parse_jpeg_structure(raw)
+            frames[i] = frame
+            raws[i] = raw
+            groups.setdefault(geometry_key(frame), []).append(i)
         except Exception as e:
-            for i in idxs:
-                results[i] = DecodeResult(ProcessingStatus.FAIL, error=str(e))
+            results[i] = DecodeResult(
+                ProcessingStatus.FAIL | ProcessingStatus.IMAGE_CORRUPTED, error=str(e)
+            )
+
+    # 2) per bucket: preallocated batch arrays, threaded entropy decode into
+    #    slots, then one jitted device call
+    nthreads = min(32, os.cpu_count() or 2)
+    pool = ThreadPoolExecutor(max_workers=nthreads) if n > 1 else None
+    try:
+        for key, idxs in groups.items():
+            frame0 = frames[idxs[0]]
+            ncomp = len(frame0.components)
+            b = len(idxs)
+            bpad = _next_pow2(b)
+            _, _, dims = frame0.mcu_geometry()
+            coef_arrays = [
+                np.empty((bpad, bh, bw, 64), np.int16) for (bw, bh) in dims
+            ]
+            if bpad != b:
+                for a in coef_arrays:
+                    a[b:] = 0
+
+            def _fill(j_i):
+                j, i = j_i
+                slots = [coef_arrays[c][j] for c in range(ncomp)]
+                if have_native_into:
+                    decode_coefficients_into(frames[i], raws[i], slots)
+                else:
+                    coefs = _entropy_decode(frames[i], raws[i])
+                    for c in range(ncomp):
+                        slots[c][...] = coefs[c]
+                return i
+
+            ok_idxs = []
+            failed = set()
+            if pool is not None:
+                futs = {
+                    pool.submit(_fill, (j, i)): i for j, i in enumerate(idxs)
+                }
+                for f, i in futs.items():
+                    try:
+                        f.result()
+                    except Exception as e:
+                        failed.add(i)
+                        results[i] = DecodeResult(
+                            ProcessingStatus.FAIL
+                            | ProcessingStatus.IMAGE_CORRUPTED,
+                            error=str(e),
+                        )
+            else:
+                for j, i in enumerate(idxs):
+                    try:
+                        _fill((j, i))
+                    except Exception as e:
+                        failed.add(i)
+                        results[i] = DecodeResult(
+                            ProcessingStatus.FAIL
+                            | ProcessingStatus.IMAGE_CORRUPTED,
+                            error=str(e),
+                        )
+
+            try:
+                call = _pixel_fn(key, bpad, True, True)
+                imgs = call(frame0, tuple(coef_arrays))
+                for j, i in enumerate(idxs):
+                    if i in failed:
+                        continue
+                    results[i] = DecodeResult(ProcessingStatus.SUCCESS, imgs[j])
+            except Exception as e:
+                for i in idxs:
+                    if i not in failed:
+                        results[i] = DecodeResult(
+                            ProcessingStatus.FAIL, error=str(e)
+                        )
+    finally:
+        if pool is not None:
+            pool.shutdown(wait=False)
     return results

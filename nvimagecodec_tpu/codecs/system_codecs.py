@@ -1,0 +1,115 @@
+"""System-library fallback decoders (ctypes, loaded lazily at runtime).
+
+The architectural analog of the reference's CPU fallback extensions, which
+link the very same libraries (reference: extensions/libjpeg_turbo/,
+extensions/libtiff/, extensions/opencv/ — all CPU_ONLY, LOW/NORMAL
+priority, opencv_ext.cpp:38-44). Our own TPU/CPU implementations register
+at higher priority; these only catch what they can't handle yet (e.g. WebP
+lossy until the native VP8 path lands). Absent libraries degrade
+gracefully — the plugin just doesn't register, like the reference's
+plugin-load-failure path (src/plugin_framework.cpp:314-351).
+"""
+from __future__ import annotations
+
+import ctypes
+import ctypes.util
+from typing import List, Optional
+
+import numpy as np
+
+from ..core.interfaces import DecodeParams, DecodeResult, DecoderPlugin
+from ..core.types import BackendKind, Priority, ProcessingStatus
+
+
+def _load(*names) -> Optional[ctypes.CDLL]:
+    for n in names:
+        try:
+            return ctypes.CDLL(n)
+        except OSError:
+            continue
+    return None
+
+
+class WebpSystemDecoder(DecoderPlugin):
+    """WebP decode via system libwebp (VP8 + VP8L + alpha/animation-less).
+
+    Mirrors the reference's opencv webp decoder registration
+    (extensions/opencv/opencv_ext.cpp:38-44, LOW priority).
+    """
+
+    codec = "webp"
+    plugin_id = "system_webp_decoder"
+    backend_kind = BackendKind.CPU_ONLY
+    priority = Priority.LOW
+
+    def __init__(self):
+        L = _load("libwebp.so.7", "libwebp.so")
+        if L is None:
+            raise ImportError("libwebp not available")
+        L.WebPGetInfo.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ]
+        L.WebPGetInfo.restype = ctypes.c_int
+        L.WebPDecodeRGBA.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ]
+        L.WebPDecodeRGBA.restype = ctypes.POINTER(ctypes.c_uint8)
+        L.WebPFree.argtypes = [ctypes.c_void_p]
+        self._L = L
+
+    def can_decode(self, data_batch, info_batch, params) -> List[ProcessingStatus]:
+        out = []
+        for data in data_batch:
+            head = bytes(data[:16])
+            ok = head[:4] == b"RIFF" and head[8:12] == b"WEBP"
+            out.append(
+                ProcessingStatus.SUCCESS
+                if ok
+                else ProcessingStatus.FAIL | ProcessingStatus.CODEC_UNSUPPORTED
+            )
+        return out
+
+    def _decode_one(self, data: bytes, params: DecodeParams) -> np.ndarray:
+        w = ctypes.c_int()
+        h = ctypes.c_int()
+        buf = self._L.WebPDecodeRGBA(data, len(data), ctypes.byref(w), ctypes.byref(h))
+        if not buf:
+            raise ValueError("libwebp decode failed")
+        try:
+            arr = np.ctypeslib.as_array(buf, (h.value * w.value * 4,)).copy()
+        finally:
+            self._L.WebPFree(buf)
+        img = arr.reshape(h.value, w.value, 4)
+        # default output drops a fully-opaque alpha plane (the reference's
+        # default I_RGB behavior, python/decoder.cpp:156-225)
+        if (img[..., 3] == 255).all():
+            img = np.ascontiguousarray(img[..., :3])
+        return img
+
+    def decode_batch(self, data_batch, info_batch, params) -> List[DecodeResult]:
+        out = []
+        for data in data_batch:
+            try:
+                out.append(
+                    DecodeResult(
+                        ProcessingStatus.SUCCESS,
+                        self._decode_one(bytes(data), params),
+                    )
+                )
+            except Exception as e:
+                out.append(
+                    DecodeResult(
+                        ProcessingStatus.FAIL | ProcessingStatus.IMAGE_CORRUPTED,
+                        error=str(e),
+                    )
+                )
+        return out
+
+
+def register(registry) -> None:
+    try:
+        registry.codec("webp").register_decoder(WebpSystemDecoder())
+    except ImportError:
+        pass

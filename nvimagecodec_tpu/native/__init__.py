@@ -65,6 +65,12 @@ def _declare(L: ctypes.CDLL) -> None:
         ctypes.POINTER(ctypes.c_int32),
     ]
     L.tic_jpeg_decode_coefficients.restype = ctypes.c_int
+    L.tic_jpeg_decode_coefficients_into.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t, c_i16p * 4,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int32,
+    ]
+    L.tic_jpeg_decode_coefficients_into.restype = ctypes.c_int
     c_i32p = ctypes.POINTER(ctypes.c_int32)
     L.tic_jpeg_count_symbols.argtypes = [
         ctypes.c_int, c_i32p, c_i32p, c_i32p, c_i32p, c_i32p, c_i32p,
@@ -88,3 +94,16 @@ def _declare(L: ctypes.CDLL) -> None:
         ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p, ctypes.c_int64,
     ]
     L.tic_tiff_lzw_decode.restype = ctypes.c_int64
+    L.tic_j2k_t1_decode.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    L.tic_j2k_t1_decode.restype = ctypes.c_int
+    L.tic_j2k_t1_encode.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int),
+    ]
+    L.tic_j2k_t1_encode.restype = ctypes.c_int

@@ -87,6 +87,24 @@ struct BitReader {
   }
 
   inline void refill() {
+    // fast path: next 8 bytes contain no 0xFF (no stuffing, no marker) —
+    // load them in one shot (libjpeg-turbo-style amortized refill)
+    if (!marker && p + 8 <= end) {
+      uint64_t v;
+      memcpy(&v, p, 8);
+      uint64_t nx = ~v;  // has a 0x00 byte iff v has a 0xFF byte
+      if (!((nx - 0x0101010101010101ULL) & ~nx & 0x8080808080808080ULL)) {
+        int k = (64 - nbits) >> 3;  // bytes that fit
+        uint64_t be = __builtin_bswap64(v);
+        if (k == 8)
+          acc = be;
+        else
+          acc = (acc << (8 * k)) | (be >> (64 - 8 * k));
+        p += k;
+        nbits += 8 * k;
+        return;
+      }
+    }
     while (nbits <= 56) {
       uint8_t b = 0;
       if (p < end && !marker) {
@@ -176,6 +194,12 @@ struct Scan {
 struct Decoder {
   const uint8_t* base;
   size_t len;
+  // optional caller-provided coefficient buffers (batch preallocation path);
+  // must match the parsed MCU-padded geometry
+  int16_t* ext_coef[4] = {nullptr, nullptr, nullptr, nullptr};
+  const int32_t* ext_bw = nullptr;
+  const int32_t* ext_bh = nullptr;
+  int ext_ncomp = 0;
   int width = 0, height = 0, precision = 0, ncomp = 0;
   int sof_marker = 0;
   Component comps[4];
@@ -251,8 +275,15 @@ bool Decoder::parse_and_decode() {
           int th = (height * cc.v + vmax - 1) / vmax;
           cc.true_bw = (tw + 7) / 8;
           cc.true_bh = (th + 7) / 8;
-          cc.coef = (int16_t*)calloc((size_t)cc.bw * cc.bh * 64, sizeof(int16_t));
-          if (!cc.coef) return false;
+          if (ext_coef[0]) {
+            if (c >= ext_ncomp || cc.bw != ext_bw[c] || cc.bh != ext_bh[c])
+              return false;  // geometry mismatch with preallocated batch slot
+            cc.coef = ext_coef[c];
+            memset(cc.coef, 0, (size_t)cc.bw * cc.bh * 64 * sizeof(int16_t));
+          } else {
+            cc.coef = (int16_t*)calloc((size_t)cc.bw * cc.bh * 64, sizeof(int16_t));
+            if (!cc.coef) return false;
+          }
         }
         have_sof = true;
         break;
@@ -366,8 +397,8 @@ void Decoder::sequential_scan(Scan& s) {
   long mcu = 0;
   while (mcu < total) {
     long seg_end = mcu + ri < total ? mcu + ri : total;
-    for (; mcu < seg_end; mcu++) {
-      long my = mcu / smx, mx = mcu % smx;
+    long my = mcu / smx, mx = mcu % smx;
+    for (; mcu < seg_end; mcu++, (++mx == smx ? (mx = 0, ++my) : 0L)) {
       for (int j = 0; j < s.ncomp; j++) {
         Component& c = comps[s.comp_idx[j]];
         const HuffTable& dct = s.dc[j];
@@ -435,8 +466,8 @@ void Decoder::progressive_scan(Scan& s) {
   long mcu = 0;
   while (mcu < total) {
     long seg_end = mcu + ri < total ? mcu + ri : total;
-    for (; mcu < seg_end; mcu++) {
-      long my = mcu / smx, mx = mcu % smx;
+    long my = mcu / smx, mx = mcu % smx;
+    for (; mcu < seg_end; mcu++, (++mx == smx ? (mx = 0, ++my) : 0L)) {
       for (int j = 0; j < s.ncomp; j++) {
         Component& c = comps[s.comp_idx[j]];
         int nby = interleaved ? c.v : 1;
@@ -564,6 +595,25 @@ int tic_jpeg_decode_coefficients(const uint8_t* data, size_t len,
     blocks_w[c] = d.comps[c].bw;
     blocks_h[c] = d.comps[c].bh;
   }
+  return 0;
+}
+
+// Batch-preallocation variant: decode directly into caller buffers whose
+// geometry (MCU-padded blocks_w/h per component) was computed from a prior
+// header parse. Zero-copy into the stacked [B, bh, bw, 64] batch array.
+int tic_jpeg_decode_coefficients_into(const uint8_t* data, size_t len,
+                                      int16_t** bufs, const int32_t* exp_bw,
+                                      const int32_t* exp_bh,
+                                      int32_t exp_ncomp) {
+  Decoder d;
+  d.base = data;
+  d.len = len;
+  for (int c = 0; c < exp_ncomp && c < 4; c++) d.ext_coef[c] = bufs[c];
+  d.ext_bw = exp_bw;
+  d.ext_bh = exp_bh;
+  d.ext_ncomp = exp_ncomp;
+  if (!d.parse_and_decode()) return -1;  // ext buffers are caller-owned
+  if (d.ncomp != exp_ncomp) return -2;
   return 0;
 }
 
