@@ -32,6 +32,10 @@ _EXT_TO_CODEC = {
     ".jpeg": "jpeg",
     ".jp2": "jpeg2k",
     ".j2k": "jpeg2k",
+    "jp2": "jpeg2k",
+    "j2k": "jpeg2k",
+    "jpeg2000": "jpeg2k",
+    "jpg": "jpeg",
     ".png": "png",
     ".tif": "tiff",
     ".tiff": "tiff",

@@ -1,0 +1,111 @@
+"""JPEG2000 codec backends.
+
+TPU-native replacement for the reference's nvjpeg2k extension
+(reference: extensions/nvjpeg2k/ — GPU_ONLY decoder with per-tile parallel
+decode, cuda_decoder.cpp:601-640; encoder with reversible/irreversible,
+code-block and progression options, cuda_encoder.cpp:272-474). Our hybrid
+split: host EBCOT Tier-1 (native C++, thread pool) + array-op DWT/MCT
+(numpy on CPU backend, jax on TPU)."""
+from __future__ import annotations
+
+from typing import List
+
+import numpy as np
+
+from ...core.interfaces import (
+    DecodeParams,
+    DecodeResult,
+    DecoderPlugin,
+    EncodeParams,
+    EncodeResult,
+    EncoderPlugin,
+    Jpeg2kEncodeParams,
+)
+from ...core.types import BackendKind, Priority, ProcessingStatus
+from .core import decode_j2k, encode_j2k
+
+_J2K_MAGIC = b"\xff\x4f\xff\x51"
+_JP2_MAGIC = b"\x00\x00\x00\x0cjP  "
+
+
+def _is_j2k(data) -> bool:
+    head = bytes(data[:12])
+    return head[:4] == _J2K_MAGIC or head[:8] == _JP2_MAGIC[:8]
+
+
+class Jpeg2kHybridDecoder(DecoderPlugin):
+    codec = "jpeg2k"
+    plugin_id = "tpu_jpeg2k_hybrid_decoder"
+    backend_kind = BackendKind.HYBRID_CPU_TPU
+    priority = Priority.HIGH
+
+    def can_decode(self, data_batch, info_batch, params) -> List[ProcessingStatus]:
+        return [
+            ProcessingStatus.SUCCESS
+            if _is_j2k(d)
+            else ProcessingStatus.FAIL | ProcessingStatus.CODEC_UNSUPPORTED
+            for d in data_batch
+        ]
+
+    def decode_batch(self, data_batch, info_batch, params) -> List[DecodeResult]:
+        out = []
+        for data in data_batch:
+            try:
+                img = decode_j2k(bytes(data))
+                if not params.allow_any_depth and img.dtype == np.uint16:
+                    img = (img >> 8).astype(np.uint8)
+                out.append(DecodeResult(ProcessingStatus.SUCCESS, img))
+            except Exception as e:
+                out.append(
+                    DecodeResult(
+                        ProcessingStatus.FAIL | ProcessingStatus.IMAGE_CORRUPTED,
+                        error=str(e),
+                    )
+                )
+        return out
+
+
+class Jpeg2kEncoder(EncoderPlugin):
+    codec = "jpeg2k"
+    plugin_id = "tpu_jpeg2k_encoder"
+    backend_kind = BackendKind.HYBRID_CPU_TPU
+    priority = Priority.HIGH
+
+    def can_encode(self, image_batch, info_batch, params) -> List[ProcessingStatus]:
+        out = []
+        for img in image_batch:
+            a = np.asarray(img)
+            ok = a.dtype in (np.uint8, np.uint16) and (
+                a.ndim == 2 or a.shape[-1] in (1, 3)
+            )
+            out.append(
+                ProcessingStatus.SUCCESS
+                if ok
+                else ProcessingStatus.FAIL | ProcessingStatus.SAMPLE_TYPE_UNSUPPORTED
+            )
+        return out
+
+    def encode_batch(self, image_batch, info_batch, params) -> List[EncodeResult]:
+        jp = params.jpeg2k or Jpeg2kEncodeParams()
+        out = []
+        for img in image_batch:
+            try:
+                a = np.asarray(img)
+                data = encode_j2k(
+                    a,
+                    reversible=jp.reversible or params.quality >= 100,
+                    levels=jp.num_resolutions - 1,
+                    quality=params.quality,
+                    cblk=(jp.code_block_w, jp.code_block_h),
+                    stream_type=jp.stream_type,
+                )
+                out.append(EncodeResult(ProcessingStatus.SUCCESS, data))
+            except Exception as e:
+                out.append(EncodeResult(ProcessingStatus.FAIL, error=str(e)))
+        return out
+
+
+def register(registry) -> None:
+    codec = registry.codec("jpeg2k")
+    codec.register_decoder(Jpeg2kHybridDecoder())
+    codec.register_encoder(Jpeg2kEncoder())

@@ -1,0 +1,429 @@
+"""JPEG2000 codestream structure: marker segments, band geometry, bit IO.
+
+Counterpart of the codestream handling nvjpeg2k does internally in the
+reference (extensions/nvjpeg2k/cuda_decoder.cpp; header sniffing in
+src/parsers/jpeg2k.cpp:216-356). Written from ITU-T T.800 Annexes A/B.
+
+Scope (documented restrictions):
+- tile origins must be even (image/tile offsets 0; even tile sizes) so the
+  DWT subband split parity matches ops/dwt.py;
+- default code-block style (no bypass/reset/termall/causal/segsym);
+- no precinct partitions (PPx/PPy = 15 ⇒ one precinct per resolution);
+- one quality layer on encode (decode accepts multiple).
+"""
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+# marker codes
+SOC, SOT, SOD, EOC = 0xFF4F, 0xFF90, 0xFF93, 0xFFD9
+SIZ, COD, COC, QCD, QCC, RGN, POC, COM = (
+    0xFF51, 0xFF52, 0xFF53, 0xFF5C, 0xFF5D, 0xFF5E, 0xFF5F, 0xFF64,
+)
+
+JP2_SIG = bytes.fromhex("0000000C6A5020200D0A870A")
+
+
+def ceil_div(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+# ---------------------------------------------------------------- bit IO
+class HeaderBitWriter:
+    """Packet-header bit writer with JPEG2000 stuffing: after an 0xFF byte
+    only 7 bits go in the next byte (T.800 B.10.1)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+        self.limit = 8
+
+    def put_bit(self, b: int) -> None:
+        self.acc = (self.acc << 1) | (b & 1)
+        self.n += 1
+        if self.n == self.limit:
+            self.out.append(self.acc if self.limit == 8 else self.acc)
+            nxt = 7 if self.out[-1] == 0xFF else 8
+            self.acc = 0
+            self.n = 0
+            self.limit = nxt
+
+    def put_bits(self, v: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self.put_bit((v >> i) & 1)
+
+    def flush(self) -> bytes:
+        while self.n:
+            self.put_bit(0)
+        # if the final byte is 0xFF the spec requires a stuffed byte so the
+        # following body data cannot form a marker
+        if self.out and self.out[-1] == 0xFF:
+            self.out.append(0)
+        return bytes(self.out)
+
+
+class HeaderBitReader:
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+        self.prev_ff = False
+
+    def get_bit(self) -> int:
+        if self.n == 0:
+            b = self.data[self.pos] if self.pos < len(self.data) else 0
+            self.pos += 1
+            if self.prev_ff:
+                self.n = 7
+                self.prev_ff = False  # stuffed byte's MSB is 0 by construction
+            else:
+                self.n = 8
+            self.prev_ff = b == 0xFF
+            self.acc = b
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def get_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.get_bit()
+        return v
+
+    def align(self) -> None:
+        """Byte-align after a packet header (consume the stuffed 0 if the
+        last byte was 0xFF)."""
+        self.n = 0
+        if self.prev_ff:
+            self.pos += 1
+            self.prev_ff = False
+
+
+# ---------------------------------------------------------------- geometry
+@dataclass
+class Band:
+    """One subband of one resolution of one tile-component."""
+
+    btype: int  # 0 LL, 1 HL, 2 LH, 3 HH
+    lev: int    # decomposition level (1..NL; LL uses NL)
+    x0: int
+    y0: int
+    x1: int
+    y1: int
+
+    @property
+    def w(self) -> int:
+        return self.x1 - self.x0
+
+    @property
+    def h(self) -> int:
+        return self.y1 - self.y0
+
+    @property
+    def gain(self) -> int:
+        return (0, 1, 1, 2)[self.btype]
+
+
+@dataclass
+class Resolution:
+    r: int
+    x0: int
+    y0: int
+    x1: int
+    y1: int
+    bands: List[Band] = field(default_factory=list)
+
+
+@dataclass
+class CodingParams:
+    levels: int = 5
+    reversible: bool = True
+    mct: bool = True
+    cblk_w: int = 64  # exponent form on the wire
+    cblk_h: int = 64
+    prog_order: int = 0  # 0 LRCP, 1 RLCP, 2 RPCL, 3 PCRL, 4 CPRL
+    num_layers: int = 1
+    cblk_style: int = 0
+    # quantization (per band, natural packet order): (exponent, mantissa)
+    qcd_style: int = 0
+    guard_bits: int = 2
+    band_q: List[Tuple[int, int]] = field(default_factory=list)
+
+
+@dataclass
+class SizInfo:
+    width: int = 0
+    height: int = 0
+    x0: int = 0
+    y0: int = 0
+    tile_w: int = 0
+    tile_h: int = 0
+    tx0: int = 0
+    ty0: int = 0
+    ncomp: int = 0
+    depth: List[int] = field(default_factory=list)   # bit depth per comp
+    signed: List[bool] = field(default_factory=list)
+    sub_x: List[int] = field(default_factory=list)
+    sub_y: List[int] = field(default_factory=list)
+
+    @property
+    def tiles_x(self) -> int:
+        return ceil_div(self.width - self.tx0, self.tile_w)
+
+    @property
+    def tiles_y(self) -> int:
+        return ceil_div(self.height - self.ty0, self.tile_h)
+
+    def tile_rect(self, t: int) -> Tuple[int, int, int, int]:
+        """(x0, y0, x1, y1) of tile t in reference-grid coordinates."""
+        ti = t % self.tiles_x
+        tj = t // self.tiles_x
+        x0 = max(self.x0, self.tx0 + ti * self.tile_w)
+        y0 = max(self.y0, self.ty0 + tj * self.tile_h)
+        x1 = min(self.width, self.tx0 + (ti + 1) * self.tile_w)
+        y1 = min(self.height, self.ty0 + (tj + 1) * self.tile_h)
+        return x0, y0, x1, y1
+
+
+def band_rect(tcx0, tcy0, tcx1, tcy1, lev: int, btype: int):
+    """Subband coordinates (T.800 B.5 eq. B-15)."""
+    xob = (0, 1, 0, 1)[btype]
+    yob = (0, 0, 1, 1)[btype]
+    if lev == 0:  # no decomposition: LL is the whole tile-component
+        return tcx0, tcy0, tcx1, tcy1
+    d = 1 << lev
+    h = 1 << (lev - 1)
+    bx0 = ceil_div(tcx0 - h * xob, d)
+    by0 = ceil_div(tcy0 - h * yob, d)
+    bx1 = ceil_div(tcx1 - h * xob, d)
+    by1 = ceil_div(tcy1 - h * yob, d)
+    return bx0, by0, bx1, by1
+
+
+def build_resolutions(tcx0, tcy0, tcx1, tcy1, levels: int) -> List[Resolution]:
+    """All resolutions of a tile-component, r = 0 (LL only) … levels."""
+    out = []
+    for r in range(levels + 1):
+        d = 1 << (levels - r)
+        rx0, ry0 = ceil_div(tcx0, d), ceil_div(tcy0, d)
+        rx1, ry1 = ceil_div(tcx1, d), ceil_div(tcy1, d)
+        res = Resolution(r, rx0, ry0, rx1, ry1)
+        if r == 0:
+            x0, y0, x1, y1 = band_rect(tcx0, tcy0, tcx1, tcy1, levels, 0)
+            res.bands.append(Band(0, levels, x0, y0, x1, y1))
+        else:
+            lev = levels - r + 1
+            for btype in (1, 2, 3):
+                x0, y0, x1, y1 = band_rect(tcx0, tcy0, tcx1, tcy1, lev, btype)
+                res.bands.append(Band(btype, lev, x0, y0, x1, y1))
+        out.append(res)
+    return out
+
+
+def cblk_grid(band: Band, cw: int, ch: int) -> Tuple[int, int, List[Tuple[int, int, int, int]]]:
+    """Code-block partition of a band: blocks anchored on the cblk grid.
+    Returns (nx, ny, [(x0, y0, x1, y1)] raster order)."""
+    if band.w == 0 or band.h == 0:
+        return 0, 0, []
+    gx0 = (band.x0 // cw) * cw
+    gy0 = (band.y0 // ch) * ch
+    nx = ceil_div(band.x1 - gx0, cw)
+    ny = ceil_div(band.y1 - gy0, ch)
+    blocks = []
+    for j in range(ny):
+        for i in range(nx):
+            x0 = max(band.x0, gx0 + i * cw)
+            y0 = max(band.y0, gy0 + j * ch)
+            x1 = min(band.x1, gx0 + (i + 1) * cw)
+            y1 = min(band.y1, gy0 + (j + 1) * ch)
+            blocks.append((x0, y0, x1, y1))
+    return nx, ny, blocks
+
+
+# ---------------------------------------------------------------- markers
+def _seg(marker: int, payload: bytes) -> bytes:
+    return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+
+def write_siz(siz: SizInfo) -> bytes:
+    p = struct.pack(
+        ">HIIIIIIIIH", 0, siz.width, siz.height, siz.x0, siz.y0,
+        siz.tile_w, siz.tile_h, siz.tx0, siz.ty0, siz.ncomp,
+    )
+    for c in range(siz.ncomp):
+        ssiz = (siz.depth[c] - 1) | (0x80 if siz.signed[c] else 0)
+        p += struct.pack(">BBB", ssiz, siz.sub_x[c], siz.sub_y[c])
+    return _seg(SIZ, p)
+
+
+def write_cod(cp: CodingParams) -> bytes:
+    scod = 0  # no precincts defined, no SOP, no EPH
+    sgcod = struct.pack(">BHB", cp.prog_order, cp.num_layers, 1 if cp.mct else 0)
+    spcod = struct.pack(
+        ">BBBBB",
+        cp.levels,
+        _cblk_exp(cp.cblk_w),
+        _cblk_exp(cp.cblk_h),
+        cp.cblk_style,
+        0 if cp.reversible else 1,  # transform: 0 = 5/3, 1 = 9/7
+    )
+    return _seg(COD, bytes([scod]) + sgcod + spcod)
+
+
+def _cblk_exp(size: int) -> int:
+    e = size.bit_length() - 1
+    return e - 2  # wire value: log2(size) - 2
+
+
+def write_qcd(cp: CodingParams) -> bytes:
+    sqcd = cp.qcd_style | (cp.guard_bits << 5)
+    p = bytes([sqcd])
+    if cp.qcd_style == 0:  # no quantization: exponent only
+        for (eps, _mu) in cp.band_q:
+            p += bytes([eps << 3])
+    else:  # scalar expounded: (eps, mantissa)
+        for (eps, mu) in cp.band_q:
+            p += struct.pack(">H", (eps << 11) | mu)
+    return _seg(QCD, p)
+
+
+def parse_main_header(data: bytes, pos: int):
+    """Parse from SOC up to the first SOT. Returns (siz, cod, pos_of_SOT)."""
+    if struct.unpack_from(">H", data, pos)[0] != SOC:
+        raise ValueError("J2K: missing SOC")
+    pos += 2
+    siz: Optional[SizInfo] = None
+    cp: Optional[CodingParams] = None
+    while pos + 4 <= len(data):
+        marker, ln = struct.unpack_from(">HH", data, pos)
+        if marker == SOT:
+            break
+        body = data[pos + 4 : pos + 2 + ln]
+        if marker == SIZ:
+            (rsiz, w, h, x0, y0, tw, th, tx0, ty0, nc) = struct.unpack_from(
+                ">HIIIIIIIIH", body, 0
+            )
+            siz = SizInfo(w, h, x0, y0, tw, th, tx0, ty0, nc)
+            off = 36
+            for c in range(nc):
+                ssiz, sx, sy = struct.unpack_from(">BBB", body, off)
+                off += 3
+                siz.depth.append((ssiz & 0x7F) + 1)
+                siz.signed.append(bool(ssiz & 0x80))
+                siz.sub_x.append(sx)
+                siz.sub_y.append(sy)
+        elif marker == COD:
+            scod = body[0]
+            prog, nlayers, mct = struct.unpack_from(">BHB", body, 1)
+            levels, cbw, cbh, style, transform = struct.unpack_from(
+                ">BBBBB", body, 5
+            )
+            if scod & 1:
+                raise ValueError("J2K: precinct partitions not supported")
+            if style != 0:
+                raise ValueError("J2K: non-default code-block style")
+            cp = CodingParams(
+                levels=levels,
+                reversible=(transform == 0),
+                mct=bool(mct),
+                cblk_w=1 << (cbw + 2),
+                cblk_h=1 << (cbh + 2),
+                prog_order=prog,
+                num_layers=nlayers,
+            )
+        elif marker == QCD:
+            sqcd = body[0]
+            style = sqcd & 0x1F
+            guard = sqcd >> 5
+            q = []
+            if style == 0:
+                for b in body[1:]:
+                    q.append((b >> 3, 0))
+            elif style == 2:
+                for off in range(1, len(body), 2):
+                    v = struct.unpack_from(">H", body, off)[0]
+                    q.append((v >> 11, v & 0x7FF))
+            elif style == 1:  # scalar derived: single (eps, mu), expand later
+                v = struct.unpack_from(">H", body, 1)[0]
+                q.append((v >> 11, v & 0x7FF))
+            if cp is None:
+                cp = CodingParams()
+            cp.qcd_style = style
+            cp.guard_bits = guard
+            cp.band_q = q
+        pos += 2 + ln
+    if siz is None or cp is None:
+        raise ValueError("J2K: missing SIZ/COD")
+    return siz, cp, pos
+
+
+def iter_tile_parts(data: bytes, pos: int):
+    """Yield (tile_index, tile_data_span) for each SOT..SOD..next segment."""
+    n = len(data)
+    while pos + 4 <= n:
+        marker = struct.unpack_from(">H", data, pos)[0]
+        if marker == EOC:
+            return
+        if marker != SOT:
+            raise ValueError(f"J2K: expected SOT, got {marker:#x}")
+        _, lsot = struct.unpack_from(">HH", data, pos)
+        isot, psot, tpsot, tnsot = struct.unpack_from(">HIBB", data, pos + 4)
+        tile_end = pos + psot if psot else n
+        q = pos + 2 + lsot
+        # skip tile-part header segments until SOD
+        while q + 2 <= n:
+            m = struct.unpack_from(">H", data, q)[0]
+            if m == SOD:
+                q += 2
+                break
+            ln = struct.unpack_from(">H", data, q + 2)[0]
+            q += 2 + ln
+        yield isot, data[q:tile_end]
+        pos = tile_end
+
+
+# ---------------------------------------------------------------- JP2 boxes
+def wrap_jp2(codestream: bytes, siz: SizInfo) -> bytes:
+    """Minimal JP2 container: signature, ftyp, jp2h(ihdr+colr), jp2c."""
+
+    def box(btype: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", len(body) + 8) + btype + body
+
+    ihdr = struct.pack(
+        ">IIHBBBB", siz.height, siz.width, siz.ncomp, siz.depth[0] - 1, 7, 0, 0
+    )
+    colr = b"\x01\x00\x00" + struct.pack(">I", 16 if siz.ncomp == 3 else 17)
+    jp2h = box(b"ihdr", ihdr) + box(b"colr", colr)
+    return (
+        JP2_SIG
+        + box(b"ftyp", b"jp2 " + struct.pack(">I", 0) + b"jp2 ")
+        + box(b"jp2h", jp2h)
+        + box(b"jp2c", codestream)
+    )
+
+
+def unwrap_jp2(data: bytes) -> bytes:
+    """Extract the contiguous codestream from a JP2 container (or return
+    raw J2K input unchanged)."""
+    if data[:4] == b"\xff\x4f\xff\x51":
+        return data
+    pos = 0
+    n = len(data)
+    while pos + 8 <= n:
+        (ln,) = struct.unpack_from(">I", data, pos)
+        btype = data[pos + 4 : pos + 8]
+        body_off = pos + 8
+        if ln == 1:  # extended length
+            (xl,) = struct.unpack_from(">Q", data, pos + 8)
+            ln = xl
+            body_off = pos + 16
+        if btype == b"jp2c":
+            end = pos + ln if ln else n
+            return data[body_off:end]
+        pos += ln if ln else n
+    raise ValueError("JP2: no codestream box")

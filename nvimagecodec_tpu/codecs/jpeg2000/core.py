@@ -1,0 +1,417 @@
+"""JPEG2000 encode/decode pipelines.
+
+Hybrid split mirroring the JPEG codec: the bit-serial EBCOT Tier-1 runs on
+the host (native C++, fanned over a thread pool per codeblock — the analog
+of the reference's per-tile resource pool,
+extensions/nvjpeg2k/cuda_decoder.cpp:601-640), while dequantization,
+inverse DWT, inverse MCT and level shift are vectorized array ops that run
+under numpy (CPU backend) or jax (TPU backend).
+
+Restrictions documented in codestream.py (even tile origins, default
+code-block style, no precinct partitions, single-layer encode).
+"""
+from __future__ import annotations
+
+import math
+import struct
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ...ops import dwt as dwt_ops
+from .codestream import (
+    COD,
+    EOC,
+    QCD,
+    SIZ,
+    SOC,
+    SOD,
+    SOT,
+    Band,
+    CodingParams,
+    HeaderBitReader,
+    Resolution,
+    SizInfo,
+    build_resolutions,
+    cblk_grid,
+    ceil_div,
+    iter_tile_parts,
+    parse_main_header,
+    unwrap_jp2,
+    wrap_jp2,
+    write_cod,
+    write_qcd,
+    write_siz,
+)
+from .t1_bridge import t1_decode, t1_encode
+from .t2 import PacketDecoder, PacketEncoder
+
+_PROG_LRCP, _PROG_RLCP, _PROG_RPCL, _PROG_PCRL, _PROG_CPRL = range(5)
+
+
+def _band_order(cp: CodingParams) -> List[Tuple[int, int]]:
+    """QCD band order: LL, then (HL, LH, HH) per resolution 1..levels —
+    (resolution, band_index_within_resolution)."""
+    order = [(0, 0)]
+    for r in range(1, cp.levels + 1):
+        for bi in range(3):
+            order.append((r, bi))
+    return order
+
+
+# ------------------------------------------------------------- quantization
+def _synth_gain(band: Band) -> float:
+    """Approximate L2 synthesis gain of a 9/7 band (level & orientation)."""
+    base = 2.0 ** (band.lev - 1)
+    orient = {0: 2.0, 1: 1.0, 2: 1.0, 3: 0.5}[band.btype]
+    return base * orient
+
+
+def _delta_to_eps_mu(delta: float, rb: int) -> Tuple[int, int]:
+    """Δ = 2^(rb - eps) * (1 + mu / 2^11)  →  (eps, mu)."""
+    e = math.floor(math.log2(delta))
+    eps = rb - e
+    mu = int(round((delta / (2.0 ** e) - 1.0) * 2048))
+    if mu >= 2048:
+        mu = 0
+        eps -= 1
+    eps = max(0, min(31, eps))
+    return eps, max(0, min(2047, mu))
+
+
+def _eps_mu_to_delta(eps: int, mu: int, rb: int) -> float:
+    return (2.0 ** (rb - eps)) * (1.0 + mu / 2048.0)
+
+
+def quality_to_base_delta(quality: float, depth: int) -> float:
+    """Map quality 1-100 to a base quantizer step (pixel-value units) for
+    the finest bands; 95 ≈ half an 8-bit code value (near-lossless), and Δ
+    roughly doubles every -10 quality. Scaled for higher bit depths."""
+    quality = min(100.0, max(1.0, quality))
+    return 0.5 * (2.0 ** ((95.0 - quality) / 10.0)) * (1 << (depth - 8))
+
+
+# ------------------------------------------------------------------ encode
+def encode_j2k(
+    img: np.ndarray,
+    reversible: bool = True,
+    levels: int = 5,
+    quality: float = 100.0,
+    tile_size: Optional[int] = None,
+    cblk: Tuple[int, int] = (64, 64),
+    stream_type: str = "jp2",
+    num_threads: int = 0,
+) -> bytes:
+    """Encode [H, W] or [H, W, C] u8/u16 → JP2/J2K bytes."""
+    if img.ndim == 2:
+        img = img[:, :, None]
+    H, W, C = img.shape
+    depth = 16 if img.dtype == np.uint16 else 8
+    levels = max(0, min(levels, max(1, int(math.log2(max(1, min(H, W))))) - 1))
+
+    siz = SizInfo(
+        width=W, height=H, x0=0, y0=0,
+        tile_w=tile_size or W, tile_h=tile_size or H,
+        tx0=0, ty0=0, ncomp=C,
+        depth=[depth] * C, signed=[False] * C,
+        sub_x=[1] * C, sub_y=[1] * C,
+    )
+    if tile_size and tile_size % 2:
+        raise ValueError("tile_size must be even (DWT parity)")
+
+    cp = CodingParams(
+        levels=levels,
+        reversible=reversible,
+        mct=(C == 3),
+        cblk_w=cblk[0],
+        cblk_h=cblk[1],
+        prog_order=_PROG_LRCP,
+        num_layers=1,
+        qcd_style=0 if reversible else 2,
+        guard_bits=2,
+    )
+
+    border = _band_order(cp)
+    base_delta = quality_to_base_delta(quality, depth)
+
+    # ---- phase 1: DWT + quantize every tile, track per-band magnitude
+    # maxima so Mb (eps + guard - 1) provably bounds every code-block's
+    # bitplane count (a zero-bitplane clamp would corrupt the stream)
+    deltas: Dict[Tuple[int, int], float] = {}
+    eps_mu: Dict[Tuple[int, int], Tuple[int, int]] = {}
+    if not reversible:
+        ref_res = build_resolutions(0, 0, siz.tile_w, siz.tile_h, levels)
+        for (r, bi) in border:
+            band = ref_res[r].bands[bi]
+            rb = depth + band.gain
+            delta = max(1e-9, base_delta / _synth_gain(band))
+            eps, mu = _delta_to_eps_mu(delta, rb)
+            eps_mu[(r, bi)] = (eps, mu)
+            deltas[(r, bi)] = _eps_mu_to_delta(eps, mu, rb)
+
+    ntiles = siz.tiles_x * siz.tiles_y
+    tile_banddata = []  # per tile: (resolutions, {(c,r,bi): int32 array})
+    max_nbps: Dict[Tuple[int, int], int] = {k: 0 for k in border}
+    for t in range(ntiles):
+        tx0, ty0, tx1, ty1 = siz.tile_rect(t)
+        tile_img = img[ty0:ty1, tx0:tx1].astype(np.int32)
+        planes = [tile_img[:, :, c] - (1 << (depth - 1)) for c in range(C)]
+        if cp.mct:
+            r_, g_, b_ = planes
+            if reversible:  # RCT (T.800 G.2)
+                y = (r_ + 2 * g_ + b_) >> 2
+                cb = b_ - g_
+                cr = r_ - g_
+                planes = [y, cb, cr]
+            else:  # ICT
+                rf, gf, bf = (p.astype(np.float64) for p in planes)
+                y = 0.299 * rf + 0.587 * gf + 0.114 * bf
+                cb = -0.168736 * rf - 0.331264 * gf + 0.5 * bf
+                cr = 0.5 * rf - 0.418688 * gf - 0.081312 * bf
+                planes = [y, cb, cr]
+        if not reversible:
+            planes = [p.astype(np.float64) for p in planes]
+
+        resolutions = build_resolutions(tx0, ty0, tx1, ty1, levels)
+        arrays: Dict[Tuple[int, int, int], np.ndarray] = {}
+        for c in range(C):
+            LL, bands_f = dwt_ops.dwt2d(planes[c], levels, reversible)
+            band_arrays: Dict[Tuple[int, int], np.ndarray] = {(0, 0): LL}
+            for r in range(1, levels + 1):
+                lev = levels - r + 1
+                HL, LH, HH = bands_f[lev - 1]
+                band_arrays[(r, 0)] = HL
+                band_arrays[(r, 1)] = LH
+                band_arrays[(r, 2)] = HH
+            for (r, bi) in border:
+                band = resolutions[r].bands[bi]
+                arr = band_arrays[(r, bi)]
+                assert arr.shape == (band.h, band.w), (
+                    arr.shape, band.h, band.w, r, bi)
+                if not reversible:
+                    d = deltas[(r, bi)]
+                    arr = (np.sign(arr) * np.floor(np.abs(arr) / d)).astype(
+                        np.int32
+                    )
+                else:
+                    arr = arr.astype(np.int32)
+                arrays[(c, r, bi)] = arr
+                m = int(np.abs(arr).max()) if arr.size else 0
+                max_nbps[(r, bi)] = max(max_nbps[(r, bi)], m.bit_length())
+        tile_banddata.append((resolutions, arrays))
+
+    # ---- choose QCD so Mb >= nbps everywhere
+    band_q: List[Tuple[int, int]] = []
+    for (r, bi) in border:
+        band = (tile_banddata[0][0])[r].bands[bi]
+        rb = depth + band.gain
+        need = max_nbps[(r, bi)]
+        if reversible:
+            eps = max(rb, need - cp.guard_bits + 1)
+            band_q.append((min(31, eps), 0))
+        else:
+            eps, mu = eps_mu[(r, bi)]
+            if eps + cp.guard_bits - 1 < need:
+                cp.guard_bits = min(7, need - eps + 1)
+            band_q.append((eps, mu))
+    cp.band_q = band_q
+
+    # ---- phase 2: T1 encode + packet assembly
+    pool = ThreadPoolExecutor(max_workers=num_threads or 8)
+    penc = PacketEncoder(siz, cp)
+    tiles = []
+    for t in range(ntiles):
+        resolutions, arrays = tile_banddata[t]
+        jobs = []
+        for c in range(C):
+            for (r, bi) in border:
+                band = resolutions[r].bands[bi]
+                arr = arrays[(c, r, bi)]
+                _, _, blocks = cblk_grid(band, cp.cblk_w, cp.cblk_h)
+                for k, (bx0, by0, bx1, by1) in enumerate(blocks):
+                    sub = np.ascontiguousarray(
+                        arr[by0 - band.y0 : by1 - band.y0,
+                            bx0 - band.x0 : bx1 - band.x0]
+                    )
+                    jobs.append(
+                        (c, r, bi, k, pool.submit(t1_encode, sub, band.btype))
+                    )
+        results: Dict[Tuple[int, int, int, int], Tuple[bytes, int, int]] = {}
+        for c, r, bi, k, fut in jobs:
+            results[(c, r, bi, k)] = fut.result()
+
+        packets: List[bytes] = []
+        for r in range(levels + 1):
+            for c in range(C):
+                res = resolutions[r]
+                cblk_data = []
+                for bi, band in enumerate(res.bands):
+                    _, _, blocks = cblk_grid(band, cp.cblk_w, cp.cblk_h)
+                    eps = cp.band_q[border.index((r, bi))][0]
+                    mb = eps + cp.guard_bits - 1
+                    rows = []
+                    for k in range(len(blocks)):
+                        seg, nbps, npasses = results[(c, r, bi, k)]
+                        assert nbps <= mb, (nbps, mb, r, bi)
+                        rows.append((seg, npasses, mb - nbps))
+                    cblk_data.append(rows)
+                packets.append(penc.write_packet(res, cblk_data))
+        tiles.append(b"".join(packets))
+    pool.shutdown(wait=False)
+
+    # assemble codestream
+    out = bytearray(struct.pack(">H", SOC))
+    out += write_siz(siz)
+    out += write_cod(cp)
+    out += write_qcd(cp)
+    for t, tdata in enumerate(tiles):
+        lsot = 10
+        psot = 2 + lsot + 2 + len(tdata)
+        out += struct.pack(">HHHIBB", SOT, lsot, t, psot, 0, 1)
+        out += struct.pack(">H", SOD)
+        out += tdata
+    out += struct.pack(">H", EOC)
+    cs = bytes(out)
+    return wrap_jp2(cs, siz) if stream_type == "jp2" else cs
+
+
+# ------------------------------------------------------------------ decode
+def _prog_iter(cp: CodingParams, ncomp: int):
+    """Yield (layer, res, comp) in the stream's progression order
+    (single precinct per resolution)."""
+    L, R, C = cp.num_layers, cp.levels + 1, ncomp
+    p = cp.prog_order
+    if p == _PROG_LRCP:
+        for l in range(L):
+            for r in range(R):
+                for c in range(C):
+                    yield l, r, c
+    elif p == _PROG_RLCP:
+        for r in range(R):
+            for l in range(L):
+                for c in range(C):
+                    yield l, r, c
+    elif p == _PROG_RPCL:
+        for r in range(R):
+            for c in range(C):
+                for l in range(L):
+                    yield l, r, c
+    else:  # PCRL / CPRL collapse to component-major with one precinct
+        for c in range(C):
+            for r in range(R):
+                for l in range(L):
+                    yield l, r, c
+
+
+def decode_j2k(
+    data: bytes,
+    num_threads: int = 0,
+    use_jax: bool = False,
+) -> np.ndarray:
+    """Decode JP2/J2K bytes → [H, W] or [H, W, C] u8/u16."""
+    cs = unwrap_jp2(bytes(data))
+    siz, cp, pos = parse_main_header(cs, 0)
+    if any(s != 1 for s in siz.sub_x + siz.sub_y):
+        raise ValueError("J2K: component subsampling not supported")
+    if (siz.tx0 | siz.ty0 | siz.x0 | siz.y0) % 2 or siz.tile_w % 2:
+        if siz.tiles_x * siz.tiles_y > 1:
+            raise ValueError("J2K: odd tile origins not supported")
+    if cp.qcd_style == 1 and len(cp.band_q) == 1:
+        # scalar derived: expand to per-band (eps decreases with level)
+        eps0, mu0 = cp.band_q[0]
+        cp.band_q = []
+        for (r, bi) in _band_order(cp):
+            lev = cp.levels if r == 0 else cp.levels - r + 1
+            cp.band_q.append((eps0 - cp.levels + lev, mu0))
+
+    C = siz.ncomp
+    depth = siz.depth[0]
+    dtype = np.uint16 if depth > 8 else np.uint8
+    out = np.zeros((siz.height - siz.y0, siz.width - siz.x0, C), dtype)
+
+    pool = ThreadPoolExecutor(max_workers=num_threads or 8)
+    border = _band_order(cp)
+
+    for tidx, tdata in iter_tile_parts(cs, pos):
+        tx0, ty0, tx1, ty1 = siz.tile_rect(tidx)
+        th, tw = ty1 - ty0, tx1 - tx0
+        resolutions = {c: build_resolutions(tx0, ty0, tx1, ty1, cp.levels)
+                       for c in range(C)}
+        pdec = PacketDecoder(siz, cp, resolutions)
+        br = HeaderBitReader(tdata, 0)
+        for l, r, c in _prog_iter(cp, C):
+            pdec.read_packet(br, c, r, l)
+
+        # T1 decode all codeblocks in parallel, then dequant + IDWT
+        planes = []
+        jobs = []
+        for c in range(C):
+            for (r, bi) in border:
+                band = resolutions[c][r].bands[bi]
+                ps = pdec.state[(c, r, bi)]
+                eps, mu = cp.band_q[border.index((r, bi))]
+                mb = eps + cp.guard_bits - 1
+                for cb in ps.cblks:
+                    if not cb.included or cb.num_passes == 0:
+                        continue
+                    seg = b"".join(cb.segments)
+                    nbps = max(0, mb - cb.zero_bps)
+                    jobs.append((c, r, bi, cb,
+                                 pool.submit(t1_decode, seg,
+                                             cb.x1 - cb.x0, cb.y1 - cb.y0,
+                                             band.btype, nbps, cb.num_passes)))
+        decoded: Dict[int, Dict[Tuple[int, int], np.ndarray]] = {
+            c: {} for c in range(C)
+        }
+        for c in range(C):
+            for (r, bi) in border:
+                band = resolutions[c][r].bands[bi]
+                fdtype = np.int32 if cp.reversible else np.float64
+                decoded[c][(r, bi)] = np.zeros((band.h, band.w), fdtype)
+        for c, r, bi, cb, fut in jobs:
+            band = resolutions[c][r].bands[bi]
+            blk = fut.result()
+            if not cp.reversible:
+                eps, mu = cp.band_q[border.index((r, bi))]
+                rb = depth + band.gain
+                delta = _eps_mu_to_delta(eps, mu, rb)
+                mag = np.abs(blk).astype(np.float64)
+                rec = np.where(mag > 0, (mag + 0.5) * delta, 0.0)
+                blk = np.sign(blk) * rec
+            decoded[c][(r, bi)][cb.y0 - band.y0 : cb.y1 - band.y0,
+                                cb.x0 - band.x0 : cb.x1 - band.x0] = blk
+
+        for c in range(C):
+            LL = decoded[c][(0, 0)]
+            bands_f = []
+            for lev in range(1, cp.levels + 1):
+                r = cp.levels - lev + 1
+                bands_f.append((decoded[c][(r, 0)], decoded[c][(r, 1)],
+                                decoded[c][(r, 2)]))
+            plane = dwt_ops.idwt2d(LL, bands_f, (th, tw), cp.reversible)
+            planes.append(plane)
+
+        # inverse MCT + level shift
+        if cp.mct and C == 3:
+            y, cb_, cr = planes
+            if cp.reversible:  # inverse RCT
+                g = y - ((cb_ + cr) >> 2)
+                r_ = cr + g
+                b_ = cb_ + g
+            else:  # inverse ICT
+                r_ = y + 1.402 * cr
+                g = y - 0.344136 * cb_ - 0.714136 * cr
+                b_ = y + 1.772 * cb_
+            planes = [r_, g, b_]
+        shift = 1 << (depth - 1)
+        maxv = (1 << depth) - 1
+        for c in range(C):
+            p = planes[c]
+            if not cp.reversible:
+                p = np.round(p)
+            p = np.clip(p + shift, 0, maxv).astype(dtype)
+            out[ty0 - siz.y0 : ty1 - siz.y0, tx0 - siz.x0 : tx1 - siz.x0, c] = p
+    pool.shutdown(wait=False)
+
+    return out[:, :, 0] if C == 1 else out

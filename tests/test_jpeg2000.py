@@ -1,0 +1,145 @@
+"""JPEG2000 codec tests: lossless roundtrip exactness across shapes, tiles
+and depths; 9/7 quality ladder; T1/MQ coder properties; DWT reconstruction.
+
+Reference coverage analog: test/extensions/nvjpeg2k_ext_{decoder,encoder}_
+test.cpp + test/python/test_decode_dtype.py (16/12-bit J2K)."""
+import numpy as np
+import pytest
+
+from util import make_photo, psnr
+
+from nvimagecodec_tpu.codecs.jpeg2000.core import decode_j2k, encode_j2k
+
+
+@pytest.mark.parametrize("shape", [(64, 64), (120, 160), (37, 53), (8, 8)])
+def test_lossless_rgb(shape):
+    img = make_photo(*shape, seed=1)
+    data = encode_j2k(img, reversible=True, levels=3)
+    assert np.array_equal(decode_j2k(data), img)
+
+
+def test_lossless_gray():
+    g = make_photo(90, 110, seed=2)[..., 0]
+    data = encode_j2k(g, reversible=True, levels=3)
+    out = decode_j2k(data)
+    assert out.ndim == 2 and np.array_equal(out, g)
+
+
+def test_lossless_u16():
+    img = make_photo(64, 80, seed=3)
+    u16 = (img.astype(np.uint16) << 8) | img
+    data = encode_j2k(u16, reversible=True, levels=4)
+    out = decode_j2k(data)
+    assert out.dtype == np.uint16 and np.array_equal(out, u16)
+
+
+def test_multi_tile():
+    img = make_photo(256, 384, seed=4)
+    data = encode_j2k(img, reversible=True, levels=4, tile_size=128)
+    assert np.array_equal(decode_j2k(data), img)
+    # uneven tile grid (tiles partially covering)
+    img2 = make_photo(200, 300, seed=5)
+    data = encode_j2k(img2, reversible=True, levels=3, tile_size=128)
+    assert np.array_equal(decode_j2k(data), img2)
+
+
+def test_raw_j2c_stream():
+    img = make_photo(50, 60, seed=6)
+    data = encode_j2k(img, reversible=True, levels=2, stream_type="j2k")
+    assert data[:4] == b"\xff\x4f\xff\x51"
+    assert np.array_equal(decode_j2k(data), img)
+
+
+def test_irreversible_quality_ladder():
+    img = make_photo(120, 160, seed=1)
+    prev_psnr = 0.0
+    prev_size = 0
+    for q in (40, 60, 80, 95):
+        data = encode_j2k(img, reversible=False, levels=3, quality=q)
+        p = psnr(img, decode_j2k(data))
+        assert p > prev_psnr, (q, p, prev_psnr)
+        assert len(data) > prev_size
+        prev_psnr, prev_size = p, len(data)
+    assert prev_psnr > 50  # q95 near-lossless
+    d40 = encode_j2k(img, reversible=False, levels=3, quality=40)
+    assert psnr(img, decode_j2k(d40)) > 33
+
+
+def test_codeblock_sizes():
+    img = make_photo(100, 130, seed=7)
+    for cb in ((32, 32), (64, 64), (16, 64)):
+        data = encode_j2k(img, reversible=True, levels=2, cblk=cb)
+        assert np.array_equal(decode_j2k(data), img)
+
+
+def test_level_zero():
+    img = make_photo(40, 40, seed=8)
+    data = encode_j2k(img, reversible=True, levels=0)
+    assert np.array_equal(decode_j2k(data), img)
+
+
+def test_public_api_and_parser():
+    import nvimagecodec_tpu as nic
+    from nvimagecodec_tpu.core.interfaces import (
+        EncodeParams,
+        Jpeg2kEncodeParams,
+    )
+
+    img = make_photo(80, 100, seed=9)
+    enc, dec = nic.Encoder(), nic.Decoder()
+    data = enc.encode(
+        img, codec="jpeg2k",
+        params=EncodeParams(jpeg2k=Jpeg2kEncodeParams(reversible=True)),
+    )
+    assert data is not None
+    cs = nic.CodeStream(data)
+    assert cs.codec_name == "jpeg2k"
+    info = cs.get_image_info()
+    assert (info.height, info.width) == (80, 100)
+    out = dec.decode(data)
+    assert np.array_equal(np.asarray(out), img)
+    # raw j2k stream detection too
+    raw = enc.encode(
+        img, codec="jpeg2k",
+        params=EncodeParams(
+            jpeg2k=Jpeg2kEncodeParams(reversible=True, stream_type="j2k")
+        ),
+    )
+    assert nic.CodeStream(raw).codec_name == "jpeg2k"
+    assert np.array_equal(np.asarray(dec.decode(raw)), img)
+
+
+def test_tagtree_roundtrip():
+    from nvimagecodec_tpu.codecs.jpeg2000.codestream import (
+        HeaderBitReader,
+        HeaderBitWriter,
+    )
+    from nvimagecodec_tpu.codecs.jpeg2000.tagtree import TagTree
+
+    rng = np.random.default_rng(0)
+    for trial in range(20):
+        w = int(rng.integers(1, 9))
+        h = int(rng.integers(1, 9))
+        vals = rng.integers(0, 9, w * h).tolist()
+        enc = TagTree(w, h)
+        enc.set_values(vals)
+        bw = HeaderBitWriter()
+        # encode every leaf to full resolution (incremental thresholds)
+        for y in range(h):
+            for x in range(w):
+                k = 1
+                while True:
+                    enc.encode(bw, x, y, k)
+                    if enc.coded[enc._index(0, x, y)]:
+                        break
+                    k += 1
+        data = bw.flush()
+        dec = TagTree(w, h)
+        br = HeaderBitReader(data)
+        for y in range(h):
+            for x in range(w):
+                k = 1
+                while not dec.decode(br, x, y, k):
+                    k += 1
+                assert dec.leaf_value(x, y) == vals[y * w + x], (
+                    trial, x, y, vals[y * w + x], dec.leaf_value(x, y))
