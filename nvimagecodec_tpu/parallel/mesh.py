@@ -31,8 +31,8 @@ def make_mesh(
     n = len(devs)
     if dp is None:
         dp = n // sp
-    assert dp * sp == n, f"mesh {dp}x{sp} != {n} devices"
-    arr = np.array(devs).reshape(dp, sp)
+    assert dp * sp <= n, f"mesh {dp}x{sp} needs more than {n} devices"
+    arr = np.array(devs[: dp * sp]).reshape(dp, sp)
     return Mesh(arr, ("dp", "sp"))
 
 
