@@ -90,6 +90,11 @@ class Decoder:
                 arr = apply_exif_orientation(arr, info.orientation)
                 if isinstance(arr, np.ndarray):
                     arr = np.ascontiguousarray(arr)
+            if params.enable_roi and params.region is not None:
+                rg = params.region
+                arr = arr[rg.start_y : rg.end_y, rg.start_x : rg.end_x]
+                if isinstance(arr, np.ndarray):
+                    arr = np.ascontiguousarray(arr)
             img = Image(arr, info)
             if to_tpu:
                 img = img.tpu()

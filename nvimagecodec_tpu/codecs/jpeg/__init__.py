@@ -191,6 +191,12 @@ def register(registry) -> None:
     codec.register_decoder(JpegHybridTpuDecoder())
     codec.register_decoder(JpegCpuDecoder())
     try:
+        from .lossless import JpegLosslessDecoder
+
+        codec.register_decoder(JpegLosslessDecoder())
+    except ImportError:
+        pass
+    try:
         from .encode import encode_jpeg  # noqa: F401
 
         codec.register_encoder(JpegCpuEncoder())

@@ -486,6 +486,12 @@ def encode_jpeg(
     coefs = encode_pixels(img, frame, use_jax=use_jax)
     coefs = [np.asarray(c) for c in coefs]
 
+    if jp.progressive:
+        from .progressive import encode_jpeg_progressive
+
+        frame.marker = 0xC2
+        return encode_jpeg_progressive(frame, coefs)
+
     # table classes: 0 = luma, 1 = chroma (assigned before counting so the
     # optimized-table pass groups symbols by class)
     for i, c in enumerate(frame.components):

@@ -26,6 +26,10 @@ class DecodeParams:
     apply_exif_orientation: bool = True
     allow_any_depth: bool = False
     enable_roi: bool = False
+    # Region of interest applied when enable_roi is set (reference: ROI via
+    # nvimgcodecImageInfo_t.region, include/nvimgcodec.h:487 + decode_params
+    # enable_roi :629). End-exclusive pixel coordinates.
+    region: Optional[object] = None  # core.types.Region
 
 
 @dataclasses.dataclass

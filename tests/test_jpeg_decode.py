@@ -98,3 +98,23 @@ def test_cmyk_channels(photo_s):
     # libjpeg can't encode CMYK via our oracle; craft one by transcoding is
     # out of scope here — assert the API converts 4-channel to RGB without
     # crashing using a synthetic YCCK-less stream is covered in round 2.
+
+
+def test_roi_decode():
+    """ROI decode crops to the requested region (reference: enable_roi,
+    include/nvimgcodec.h:629; nvjpeg ROI decode)."""
+    import oracle
+    from nvimagecodec_tpu import Decoder
+    from nvimagecodec_tpu.core.interfaces import DecodeParams
+    from nvimagecodec_tpu.core.types import Region
+
+    img = make_photo(90, 120, seed=17)
+    data = oracle.jpeg_encode(img, 92, "420")
+    full = np.asarray(Decoder().decode(data))
+    roi = Decoder().decode(
+        data,
+        DecodeParams(enable_roi=True, region=Region(10, 20, 50, 84)),
+    )
+    a = np.asarray(roi)
+    assert a.shape == (40, 64, 3)
+    assert np.array_equal(a, full[10:50, 20:84])

@@ -132,3 +132,49 @@ def test_native_entropy_encoder_matches_python():
         assert np.array_equal(dcc_n[k], dcc_p[k])
     for k in acc_p:
         assert np.array_equal(acc_n[k], acc_p[k])
+
+
+def test_progressive_encode_matches_baseline_pixels():
+    """Progressive streams (SOF2 spectral-selection script) must decode —
+    in libjpeg AND our own decoder — to pixels identical to the baseline
+    encode of the same coefficients."""
+    from nvimagecodec_tpu import Decoder
+
+    img = make_photo(121, 203, seed=7)
+    base = _encode(img, quality=90, chroma_subsampling="420")
+    prog = _encode(
+        img, quality=90, chroma_subsampling="420",
+        optimized=False,
+    )
+    from nvimagecodec_tpu.core.interfaces import EncodeParams, JpegEncodeParams
+    from nvimagecodec_tpu.codecs.jpeg.encode import encode_jpeg
+
+    prog = encode_jpeg(
+        img,
+        EncodeParams(
+            quality=90, chroma_subsampling="420",
+            jpeg=JpegEncodeParams(progressive=True),
+        ),
+    )
+    assert prog[:2] == b"\xff\xd8"
+    d_base = oracle.jpeg_decode(base)
+    d_prog = oracle.jpeg_decode(prog)
+    assert np.array_equal(d_base, d_prog)
+    own = np.asarray(Decoder().decode(prog))
+    assert np.abs(own.astype(int) - d_prog.astype(int)).max() <= 4
+    # progressive with optimized tables is typically smaller than baseline
+    assert len(prog) < len(base) * 1.05
+
+
+def test_progressive_gray():
+    from nvimagecodec_tpu.core.interfaces import EncodeParams, JpegEncodeParams
+    from nvimagecodec_tpu.codecs.jpeg.encode import encode_jpeg
+
+    g = make_photo(64, 80, seed=3)[..., 0]
+    prog = encode_jpeg(
+        g, EncodeParams(quality=88, jpeg=JpegEncodeParams(progressive=True))
+    )
+    base = encode_jpeg(g, EncodeParams(quality=88))
+    assert np.array_equal(
+        oracle.jpeg_decode(prog).squeeze(), oracle.jpeg_decode(base).squeeze()
+    )
