@@ -83,15 +83,22 @@ def main() -> None:
     log(f"warmup done in {time.perf_counter() - t0:.1f}s")
 
     # --- timed decode ------------------------------------------------------
+    # depth-2 pipeline: host stage of batch N overlaps device compute of
+    # batch N-1 (jax dispatch is async; force is completion-only)
     t0 = time.perf_counter()
     decoded = 0
+    prev = None
     for i in range(0, N_IMAGES, BATCH):
         batch = jpgs[i : i + BATCH]
         outs = dec.decode(batch)
         for o in outs:
             assert o is not None
-        force(outs[-1])
-        decoded += len(outs)
+        if prev is not None:
+            force(prev[-1])
+            decoded += len(prev)
+        prev = outs
+    force(prev[-1])
+    decoded += len(prev)
     dt = time.perf_counter() - t0
     ips = decoded / dt
     log(f"tpu decode: {decoded} images in {dt:.3f}s -> {ips:.1f} img/s")

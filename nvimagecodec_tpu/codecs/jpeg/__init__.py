@@ -48,7 +48,7 @@ def _supported(frame: JpegFrame) -> ProcessingStatus:
         return ProcessingStatus.FAIL | ProcessingStatus.ENCODING_UNSUPPORTED
     if frame.marker in (0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF, 0xC5, 0xC6, 0xC7):
         return ProcessingStatus.FAIL | ProcessingStatus.ENCODING_UNSUPPORTED
-    if frame.precision != 8:
+    if frame.precision not in (8, 12):
         return ProcessingStatus.FAIL | ProcessingStatus.SAMPLE_TYPE_UNSUPPORTED
     if len(frame.components) not in (1, 3, 4):
         return ProcessingStatus.FAIL | ProcessingStatus.NUM_CHANNELS_UNSUPPORTED
@@ -80,10 +80,7 @@ class _JpegDecoderBase(DecoderPlugin):
                         ProcessingStatus.FAIL
                         | ProcessingStatus.ENCODING_UNSUPPORTED
                     )
-                elif info.planes and (
-                    info.planes[0].precision not in (0, 8)
-                    or info.planes[0].sample_type.name != "UINT8"
-                ):
+                elif info.planes and info.planes[0].precision not in (0, 8, 12):
                     out.append(
                         ProcessingStatus.FAIL
                         | ProcessingStatus.SAMPLE_TYPE_UNSUPPORTED
@@ -103,6 +100,12 @@ class _JpegDecoderBase(DecoderPlugin):
         frame = parse_jpeg_structure(data)
         coefs = _entropy_decode(frame, data)
         img = decode_pixels(frame, coefs, use_jax=self.use_jax)
+        if frame.precision > 8 and not params.allow_any_depth:
+            # default u8 output (reference python default,
+            # python/decoder.cpp:156-225; allow_any_depth keeps u16)
+            img = (img >> (frame.precision - 8)).astype(
+                np.uint8 if isinstance(img, np.ndarray) else "uint8"
+            )
         if img.ndim == 3 and img.shape[-1] == 4:
             # CMYK/YCCK → RGB by default (the reference's python Decoder
             # outputs I_RGB u8 by default, python/decoder.cpp:156-225)
@@ -165,7 +168,9 @@ class JpegCpuEncoder(EncoderPlugin):
         out = []
         for img in image_batch:
             a = np.asarray(img)
-            ok = a.dtype == np.uint8 and (a.ndim == 2 or a.shape[-1] in (1, 3))
+            ok = a.dtype in (np.uint8, np.uint16) and (
+                a.ndim == 2 or a.shape[-1] in (1, 3)
+            )
             out.append(
                 ProcessingStatus.SUCCESS
                 if ok

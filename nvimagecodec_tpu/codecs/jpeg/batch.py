@@ -34,7 +34,7 @@ from .pixel import cmyk_to_rgb, decode_pixels, geometry_key
 
 
 @functools.lru_cache(maxsize=256)
-def _pixel_fn(geom_key, batch: int, fancy: bool, to_rgb: bool):
+def _pixel_fn(geom_key, batch: int, fancy: bool, to_rgb: bool, to_u8: bool):
     """Build + jit the pixel stage for one geometry bucket. Returns a tuple
     of `batch` per-sample images from a single dispatch."""
     import jax
@@ -45,11 +45,13 @@ def _pixel_fn(geom_key, batch: int, fancy: bool, to_rgb: bool):
         if "f" not in jitted:
 
             def fn(arrs):
+                import jax.numpy as jnp
+
                 imgs = decode_pixels(frame, list(arrs), use_jax=True, fancy=fancy)
                 if to_rgb and imgs.ndim == 4 and imgs.shape[-1] == 4:
-                    import jax.numpy as jnp
-
                     imgs = cmyk_to_rgb(imgs, jnp)
+                if to_u8 and frame.precision > 8:
+                    imgs = (imgs >> (frame.precision - 8)).astype(jnp.uint8)
                 return tuple(imgs[j] for j in range(batch))
 
             jitted["f"] = jax.jit(fn)
@@ -152,7 +154,8 @@ def decode_batch_tpu(data_batch, params: DecodeParams) -> List[DecodeResult]:
                         )
 
             try:
-                call = _pixel_fn(key, bpad, True, True)
+                call = _pixel_fn(key, bpad, True, True,
+                                 not params.allow_any_depth)
                 imgs = call(frame0, tuple(coef_arrays))
                 for j, i in enumerate(idxs):
                     if i in failed:

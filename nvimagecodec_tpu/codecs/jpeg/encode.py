@@ -68,10 +68,14 @@ def _resolve_css(params: EncodeParams, nchan: int) -> ChromaSubsampling:
 
 
 def build_encode_frame(
-    height: int, width: int, nchan: int, quality: float, css: ChromaSubsampling
+    height: int, width: int, nchan: int, quality: float,
+    css: ChromaSubsampling, precision: int = 8,
 ) -> JpegFrame:
-    """Frame description for a baseline encode (SOF0, JFIF component ids)."""
-    qy = quality_scaled_quant(STD_LUMA_QUANT, quality)
+    """Frame description for a baseline/extended encode (SOF0/SOF1, JFIF
+    component ids). precision 12 scales quant tables into 12-bit sample
+    units (libjpeg convention)."""
+    scale = 1 << (precision - 8)
+    qy = quality_scaled_quant(STD_LUMA_QUANT, quality) * scale
     if nchan == 1 or css == ChromaSubsampling.GRAY:
         comps = [Component(1, 1, 1, 0)]
         quant = {0: qy}
@@ -82,8 +86,9 @@ def build_encode_frame(
             Component(2, 1, 1, 1),
             Component(3, 1, 1, 1),
         ]
-        quant = {0: qy, 1: quality_scaled_quant(STD_CHROMA_QUANT, quality)}
-    frame = JpegFrame(0xC0, 8, height, width, comps)
+        quant = {0: qy, 1: quality_scaled_quant(STD_CHROMA_QUANT, quality) * scale}
+    frame = JpegFrame(0xC0 if precision == 8 else 0xC1, precision,
+                      height, width, comps)
     frame.quant = quant
     return frame
 
@@ -119,10 +124,11 @@ def encode_pixels(
     img = xp.asarray(img)
 
     # --- color convert ----------------------------------------------------
+    maxval = (1 << frame.precision) - 1
     if len(frame.components) == 1:
         if img.ndim >= 3 and img.shape[-1] == 3:
             y, _, _ = color_ops.rgb_to_ycbcr_i32(
-                img[..., 0], img[..., 1], img[..., 2], xp
+                img[..., 0], img[..., 1], img[..., 2], xp, maxval=maxval
             )
             planes = [y]
         else:
@@ -131,7 +137,7 @@ def encode_pixels(
             planes = [img.astype(xp.int32)]
     else:
         y, cb, cr = color_ops.rgb_to_ycbcr_i32(
-            img[..., 0], img[..., 1], img[..., 2], xp
+            img[..., 0], img[..., 1], img[..., 2], xp, maxval=maxval
         )
         planes = [y, cb, cr]
 
@@ -161,9 +167,10 @@ def encode_pixels(
 
     # --- pad to MCU-covering block grid, fDCT+quant -----------------------
     mcus_x, mcus_y, dims = frame.mcu_geometry()
+    center = float(1 << (frame.precision - 1))
     out = []
     for c, p, (bw, bh) in zip(frame.components, down, dims):
-        p = _pad_to(p, bh * 8, bw * 8, xp).astype(xp.float32) - 128.0
+        p = _pad_to(p, bh * 8, bw * 8, xp).astype(xp.float32) - center
         lead = p.shape[:-2]
         # [..., bh*8, bw*8] → [..., bh*bw, 64]
         x = p.reshape(*lead, bh, 8, bw, 8)
@@ -420,10 +427,13 @@ def write_jpeg(
     out = bytearray(b"\xff\xd8")  # SOI
     # APP0 JFIF v1.1, 1:1 aspect
     out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    # DQT (zigzag order on the wire)
+    # DQT (zigzag order on the wire; pq=1 16-bit entries for 12-bit streams)
     for tq, q in sorted(frame.quant.items()):
-        zzq = np.asarray(q)[ZIGZAG].astype(np.uint8)
-        out += _seg(0xDB, bytes([tq]) + zzq.tobytes())
+        zz = np.asarray(q)[ZIGZAG]
+        if zz.max() > 255:
+            out += _seg(0xDB, bytes([(1 << 4) | tq]) + zz.astype(">u2").tobytes())
+        else:
+            out += _seg(0xDB, bytes([tq]) + zz.astype(np.uint8).tobytes())
     # SOF0
     sof = bytes([frame.precision]) + frame.height.to_bytes(2, "big") + \
         frame.width.to_bytes(2, "big") + bytes([len(frame.components)])
@@ -481,7 +491,8 @@ def encode_jpeg(
     nchan = 1 if img.ndim == 2 else img.shape[-1]
     H, W = img.shape[:2]
     css = _resolve_css(params, nchan)
-    frame = build_encode_frame(H, W, nchan, params.quality, css)
+    precision = 12 if np.dtype(str(img.dtype)) == np.uint16 else 8
+    frame = build_encode_frame(H, W, nchan, params.quality, css, precision)
 
     coefs = encode_pixels(img, frame, use_jax=use_jax)
     coefs = [np.asarray(c) for c in coefs]

@@ -95,6 +95,8 @@ def assemble_image(frame: JpegFrame, planes: List, use_jax: bool, fancy: bool = 
         xp = np
     H, W = frame.height, frame.width
     hmax, vmax = frame.hmax, frame.vmax
+    maxval = (1 << frame.precision) - 1
+    odtype = xp.uint8 if frame.precision <= 8 else xp.uint16
     full = []
     for c, plane in zip(frame.components, planes):
         vf, hf = vmax // c.v, hmax // c.h
@@ -103,10 +105,12 @@ def assemble_image(frame: JpegFrame, planes: List, use_jax: bool, fancy: bool = 
 
     n = len(full)
     if n == 1:
-        return xp.clip(full[0], 0, 255).astype(xp.uint8)
+        return xp.clip(full[0], 0, maxval).astype(odtype)
     if n == 3:
-        r, g, b = color_ops.ycbcr_to_rgb_i32(full[0], full[1], full[2], xp)
-        return xp.stack([r, g, b], axis=-1).astype(xp.uint8)
+        r, g, b = color_ops.ycbcr_to_rgb_i32(
+            full[0], full[1], full[2], xp, maxval=maxval
+        )
+        return xp.stack([r, g, b], axis=-1).astype(odtype)
     if n == 4:
         # Adobe CMYK (transform=0) or YCCK (transform=2)
         if frame.adobe_transform == 2:
@@ -116,8 +120,8 @@ def assemble_image(frame: JpegFrame, planes: List, use_jax: bool, fancy: bool = 
         else:
             c_, m_, y_, k_ = full
         return xp.stack(
-            [xp.clip(v, 0, 255) for v in (c_, m_, y_, k_)], axis=-1
-        ).astype(xp.uint8)
+            [xp.clip(v, 0, maxval) for v in (c_, m_, y_, k_)], axis=-1
+        ).astype(odtype)
     raise ValueError(f"unsupported component count {n}")
 
 

@@ -254,7 +254,7 @@ bool Decoder::parse_and_decode() {
         height = be16(seg + 1);
         width = be16(seg + 3);
         ncomp = seg[5];
-        if (ncomp > 4 || precision != 8) return false;
+        if (ncomp > 4 || (precision != 8 && precision != 12)) return false;
         hmax = vmax = 1;
         for (int c = 0; c < ncomp; c++) {
           comps[c].id = seg[6 + 3 * c];

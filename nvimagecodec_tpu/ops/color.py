@@ -33,38 +33,41 @@ _ONE_HALF = 1 << 15
 _CBCR_OFFSET = 128 << 16
 
 
-def ycbcr_to_rgb_i32(y, cb, cr, xp=None):
+def ycbcr_to_rgb_i32(y, cb, cr, xp=None, maxval: int = 255):
     """Full-range (JFIF) YCbCr → RGB, libjpeg jdcolor.c fixed-point exact.
 
-    Inputs int32 arrays in [0,255]; returns (r, g, b) int32 clipped [0,255].
-    """
+    Inputs int32 arrays in [0, maxval]; returns (r, g, b) int32 clipped to
+    [0, maxval] (maxval 4095 for 12-bit extended-sequential streams)."""
     if xp is None:
         import jax.numpy as xp
+    center = (maxval + 1) >> 1
     y = y.astype(xp.int32)
-    cbc = cb.astype(xp.int32) - 128
-    crc = cr.astype(xp.int32) - 128
+    cbc = cb.astype(xp.int32) - center
+    crc = cr.astype(xp.int32) - center
     r = y + ((_FIX_1_40200 * crc + _ONE_HALF) >> 16)
     g = y + ((-_FIX_0_34414 * cbc - _FIX_0_71414 * crc + _ONE_HALF) >> 16)
     b = y + ((_FIX_1_77200 * cbc + _ONE_HALF) >> 16)
-    clip = lambda v: xp.clip(v, 0, 255)
+    clip = lambda v: xp.clip(v, 0, maxval)
     return clip(r), clip(g), clip(b)
 
 
-def rgb_to_ycbcr_i32(r, g, b, xp=None):
-    """Full-range RGB → YCbCr, libjpeg jccolor.c fixed-point exact."""
+def rgb_to_ycbcr_i32(r, g, b, xp=None, maxval: int = 255):
+    """Full-range RGB → YCbCr, libjpeg jccolor.c fixed-point exact.
+    maxval 4095 selects the 12-bit chroma offset."""
     if xp is None:
         import jax.numpy as xp
+    offset = ((maxval + 1) >> 1) << 16
     r = r.astype(xp.int32)
     g = g.astype(xp.int32)
     b = b.astype(xp.int32)
     y = (_FIX_0_29900 * r + _FIX_0_58700 * g + _FIX_0_11400 * b + _ONE_HALF) >> 16
     cb = (
         -_FIX_0_16874 * r - _FIX_0_33126 * g + _FIX_0_50000 * b
-        + _CBCR_OFFSET + _ONE_HALF - 1
+        + offset + _ONE_HALF - 1
     ) >> 16
     cr = (
         _FIX_0_50000 * r - _FIX_0_41869 * g - _FIX_0_08131 * b
-        + _CBCR_OFFSET + _ONE_HALF - 1
+        + offset + _ONE_HALF - 1
     ) >> 16
     return y, cb, cr
 

@@ -118,3 +118,25 @@ def test_roi_decode():
     a = np.asarray(roi)
     assert a.shape == (40, 64, 3)
     assert np.array_equal(a, full[10:50, 20:84])
+
+
+def test_12bit_extended_sequential_roundtrip():
+    """12-bit extended-sequential JPEG (SOF1, pq=1 quant tables): encode and
+    decode through our own pipeline; default output reduces to u8, and
+    allow_any_depth keeps u16 (reference: nvjpeg 12-bit support +
+    python allow_any_depth, python/decoder.cpp:156-225)."""
+    import nvimagecodec_tpu as nic
+    from nvimagecodec_tpu.codecs.jpeg.encode import encode_jpeg
+    from nvimagecodec_tpu.core.interfaces import DecodeParams, EncodeParams
+
+    img8 = make_photo(90, 120, seed=1)
+    img12 = ((img8.astype(np.uint16) << 4) | (img8 >> 4)).astype(np.uint16)
+    data = encode_jpeg(img12, EncodeParams(quality=95, chroma_subsampling="444"))
+    dec = nic.Decoder()
+    u8 = np.asarray(dec.decode(data))
+    assert u8.dtype == np.uint8
+    u16 = np.asarray(dec.decode(data, DecodeParams(allow_any_depth=True)))
+    assert u16.dtype == np.uint16
+    err = np.abs(u16.astype(int) - img12.astype(int))
+    mse = (err.astype(float) ** 2).mean()
+    assert 10 * np.log10(4095**2 / mse) > 40
