@@ -1,0 +1,542 @@
+"""WebP decoders: native VP8L (lossless) implementation + plugin glue.
+
+The reference decodes WebP only through its OpenCV CPU fallback
+(extensions/opencv/opencv_decoder.cpp, opencv_ext.cpp:38-44). Here the
+lossless format is implemented natively from the WebP Lossless Bitstream
+Specification (RFC 9649): LSB-first bit reader, canonical prefix codes with
+the code-length-code bootstrap, color cache, LZ77 backward references with
+the 2-D distance mapping, meta-prefix tiling, and the four inverse
+transforms (predictor / color / subtract-green / color-indexing with
+sub-byte packing). Lossy VP8 falls through to the system-libwebp plugin
+(codecs/system_codecs.py) at lower priority.
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..core.interfaces import DecodeParams, DecodeResult, DecoderPlugin
+from ..core.types import BackendKind, Priority, ProcessingStatus
+
+# order in which code-length code lengths are stored
+_CLC_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15]
+
+# 2-D distance mapping: the first 120 distance values address a pixel
+# neighborhood (dy 0..7, dx -8..8, above-or-left), ordered by squared
+# euclidean distance, larger dy first on ties, +dx before -dx (the fixed
+# table of RFC 9649 §4.2.2 follows exactly this rule).
+def _neighborhood_offsets():
+    cand = []
+    for dy in range(0, 8):
+        for dx in range(-8, 9):
+            if dy == 0 and dx <= 0:
+                continue
+            cand.append((dx, dy))
+    cand.sort(key=lambda p: (p[0] ** 2 + p[1] ** 2, -p[1], p[0] < 0))
+    return cand[:120]
+
+
+def _build_dist_map(xsize: int) -> np.ndarray:
+    out = np.zeros(120, np.int64)
+    for i, (dx, dy) in enumerate(_neighborhood_offsets()):
+        d = dy * xsize + dx
+        out[i] = d if d >= 1 else 1
+    return out
+
+
+class BitReader:
+    """LSB-first bit reader over the VP8L payload."""
+
+    __slots__ = ("data", "pos", "acc", "n")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def bits(self, k: int) -> int:
+        while self.n < k:
+            b = self.data[self.pos] if self.pos < len(self.data) else 0
+            self.pos += 1
+            self.acc |= b << self.n
+            self.n += 8
+        v = self.acc & ((1 << k) - 1)
+        self.acc >>= k
+        self.n -= k
+        return v
+
+    def bit(self) -> int:
+        return self.bits(1)
+
+
+class PrefixCode:
+    """Canonical prefix code decoded MSB-of-code-first from LSB-first bits
+    (each code bit is one read_bit)."""
+
+    __slots__ = ("counts", "symbols", "maxlen", "simple")
+
+    def __init__(self, lengths: List[int]):
+        maxlen = max(lengths) if lengths else 0
+        self.maxlen = maxlen
+        # canonical assignment: sort symbols by (length, symbol)
+        self.counts = [0] * (maxlen + 1)
+        for l in lengths:
+            if l:
+                self.counts[l] += 1
+        self.symbols = sorted(
+            (s for s, l in enumerate(lengths) if l),
+            key=lambda s: (lengths[s], s),
+        )
+        nz = [l for l in lengths if l]
+        self.simple = self.symbols[0] if len(nz) == 1 else None
+
+    def read(self, br: BitReader) -> int:
+        if self.simple is not None:
+            return self.simple
+        code = 0
+        first = 0  # first canonical code of this length
+        index = 0  # symbols consumed by shorter lengths
+        for l in range(1, self.maxlen + 1):
+            code = (code << 1) | br.bit()
+            count = self.counts[l]
+            if code - first < count:
+                return self.symbols[index + code - first]
+            index += count
+            first = (first + count) << 1
+        raise ValueError("VP8L: invalid prefix code")
+
+
+def _read_prefix_code(br: BitReader, alphabet_size: int) -> PrefixCode:
+    if br.bit():  # simple code
+        nsym = br.bit() + 1
+        if br.bit():  # first symbol is 8 bits
+            s0 = br.bits(8)
+        else:
+            s0 = br.bit()
+        lengths = [0] * alphabet_size
+        lengths[s0] = 1
+        if nsym == 2:
+            s1 = br.bits(8)
+            lengths[s1] = 1
+        return PrefixCode(lengths)
+
+    # code-length code
+    num_codes = br.bits(4) + 4
+    cl_lengths = [0] * 19
+    for i in range(num_codes):
+        cl_lengths[_CLC_ORDER[i]] = br.bits(3)
+    cl_code = PrefixCode(cl_lengths)
+
+    if br.bit():  # explicit max symbol
+        length_nbits = 2 + 2 * br.bits(3)
+        max_symbol = 2 + br.bits(length_nbits)
+    else:
+        max_symbol = alphabet_size
+
+    lengths = [0] * alphabet_size
+    prev = 8
+    i = 0
+    while i < alphabet_size:
+        if max_symbol <= 0:
+            break
+        max_symbol -= 1
+        s = cl_code.read(br)
+        if s < 16:
+            lengths[i] = s
+            i += 1
+            if s:
+                prev = s
+        elif s == 16:
+            rep = 3 + br.bits(2)
+            for _ in range(rep):
+                if i < alphabet_size:
+                    lengths[i] = prev
+                    i += 1
+        elif s == 17:
+            i += 3 + br.bits(3)
+        else:  # 18
+            i += 11 + br.bits(7)
+    return PrefixCode(lengths)
+
+
+def _prefix_value(br: BitReader, code: int) -> int:
+    """LZ77 length/distance prefix decoding (spec §4.2.2)."""
+    if code < 4:
+        return code + 1
+    extra = (code - 2) >> 1
+    offset = (2 + (code & 1)) << extra
+    return offset + br.bits(extra) + 1
+
+
+class _Group:
+    __slots__ = ("g", "r", "b", "a", "d")
+
+
+def _read_groups(br: BitReader, n: int, cache_bits: int) -> List[_Group]:
+    groups = []
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    for _ in range(n):
+        gr = _Group()
+        gr.g = _read_prefix_code(br, 256 + 24 + cache_size)
+        gr.r = _read_prefix_code(br, 256)
+        gr.b = _read_prefix_code(br, 256)
+        gr.a = _read_prefix_code(br, 256)
+        gr.d = _read_prefix_code(br, 40)
+        groups.append(gr)
+    return groups
+
+
+def _decode_entropy_image(
+    br: BitReader, w: int, h: int, allow_meta: bool
+) -> np.ndarray:
+    """Decode one entropy-coded ARGB image → uint32 [h, w] packed ARGB."""
+    cache_bits = br.bits(4) if br.bit() else 0
+    cache = np.zeros(1 << cache_bits, np.uint32) if cache_bits else None
+
+    meta = None
+    meta_bits = 0
+    ngroups = 1
+    if allow_meta and br.bit():
+        meta_bits = br.bits(3) + 2
+        mw = (w + (1 << meta_bits) - 1) >> meta_bits
+        mh = (h + (1 << meta_bits) - 1) >> meta_bits
+        meta_img = _decode_entropy_image(br, mw, mh, False)
+        meta = ((meta_img >> 8) & 0xFFFF).astype(np.int32)
+        ngroups = int(meta.max()) + 1
+
+    groups = _read_groups(br, ngroups, cache_bits)
+    dist_map = _build_dist_map(w)
+
+    out = np.zeros(w * h, np.uint32)
+    pos = 0
+    total = w * h
+    x = 0
+    gr = groups[0]
+    row_meta = None
+    y = 0
+    if meta is not None:
+        row_meta = meta[0]
+    while pos < total:
+        if meta is not None:
+            gr = groups[int(row_meta[x >> meta_bits])]
+        s = gr.g.read(br)
+        if s < 256:
+            r = gr.r.read(br)
+            b = gr.b.read(br)
+            a = gr.a.read(br)
+            px = (a << 24) | (r << 16) | (s << 8) | b
+            out[pos] = px
+            if cache is not None:
+                cache[((0x1E35A7BD * px) & 0xFFFFFFFF) >> (32 - cache_bits)] = px
+            pos += 1
+            x += 1
+            if x == w:
+                x = 0
+                y += 1
+                if meta is not None and y < h:
+                    row_meta = meta[min(y >> meta_bits, meta.shape[0] - 1)]
+        elif s < 256 + 24:
+            length = _prefix_value(br, s - 256)
+            dcode = gr.d.read(br)
+            dist = _prefix_value(br, dcode)
+            if dist <= 120:
+                dist = int(dist_map[dist - 1])
+            else:
+                dist -= 120
+            if dist > pos:
+                raise ValueError("VP8L: invalid back-reference")
+            for _ in range(length):
+                if pos >= total:
+                    break
+                px = out[pos - dist]
+                out[pos] = px
+                if cache is not None:
+                    cache[((0x1E35A7BD * int(px)) & 0xFFFFFFFF)
+                          >> (32 - cache_bits)] = px
+                pos += 1
+                x += 1
+                if x == w:
+                    x = 0
+                    y += 1
+                    if meta is not None and y < h:
+                        row_meta = meta[min(y >> meta_bits, meta.shape[0] - 1)]
+        else:
+            px = cache[s - 256 - 24]
+            out[pos] = px
+            pos += 1
+            x += 1
+            if x == w:
+                x = 0
+                y += 1
+                if meta is not None and y < h:
+                    row_meta = meta[min(y >> meta_bits, meta.shape[0] - 1)]
+    return out.reshape(h, w)
+
+
+# ------------------------------------------------------------- transforms
+def _inv_subtract_green(argb: np.ndarray) -> np.ndarray:
+    g = (argb >> 8) & 0xFF
+    r = (((argb >> 16) & 0xFF) + g) & 0xFF
+    b = ((argb & 0xFF) + g) & 0xFF
+    return (argb & 0xFF00FF00) | (r << 16) | b
+
+
+def _delta(t: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Signed color-transform delta: (int8(t) * int8(c)) >> 5."""
+    ts = t.astype(np.int8).astype(np.int32)
+    cs = c.astype(np.int8).astype(np.int32)
+    return (ts * cs) >> 5
+
+
+def _inv_color_transform(argb: np.ndarray, tiles: np.ndarray, bits: int) -> np.ndarray:
+    h, w = argb.shape
+    ty = np.arange(h) >> bits
+    tx = np.arange(w) >> bits
+    tile = tiles[np.ix_(ty, tx)]
+    # element packing: red_to_blue << 16 | green_to_blue << 8 | green_to_red
+    r2b = (tile >> 16) & 0xFF
+    g2b = (tile >> 8) & 0xFF
+    g2r = tile & 0xFF
+    g = (argb >> 8) & 0xFF
+    r = (argb >> 16) & 0xFF
+    b = argb & 0xFF
+    r = (r + _delta(g2r, g)) & 0xFF
+    b = (b + _delta(g2b, g) + _delta(r2b, r)) & 0xFF
+    return (argb & 0xFF00FF00) | (r.astype(np.uint32) << 16) | b.astype(np.uint32)
+
+
+def _avg2(a, b):
+    return (a + b) // 2
+
+
+def _inv_predictor(argb: np.ndarray, tiles: np.ndarray, bits: int) -> np.ndarray:
+    """Predictor transform inverse — sequential per pixel (14 modes)."""
+    h, w = argb.shape
+    out = argb.copy()
+
+    def channels(px):
+        return np.array(
+            [(px >> 24) & 0xFF, (px >> 16) & 0xFF, (px >> 8) & 0xFF, px & 0xFF],
+            np.int32,
+        )
+
+    def pack(c):
+        c = c & 0xFF
+        return (
+            (int(c[0]) << 24) | (int(c[1]) << 16) | (int(c[2]) << 8) | int(c[3])
+        )
+
+    for y in range(h):
+        trow = tiles[y >> bits]
+        for x in range(w):
+            if x == 0 and y == 0:
+                pred = 0xFF000000
+            elif y == 0:
+                pred = out[0, x - 1]  # mode 1 (left) forced on first row
+            elif x == 0:
+                pred = out[y - 1, 0]  # mode 2 (top) forced on first column
+            else:
+                mode = (int(trow[x >> bits]) >> 8) & 0xFF
+                L = channels(out[y, x - 1])
+                T = channels(out[y - 1, x])
+                TL = channels(out[y - 1, x - 1])
+                # TR of the last column is the first pixel of the current
+                # row (scan-order addressing, RFC 9649 §4.4.2)
+                TR = channels(out[y - 1, x + 1] if x + 1 < w else out[y, 0])
+                if mode == 0:
+                    pred = 0xFF000000
+                elif mode == 1:
+                    pred = out[y, x - 1]
+                elif mode == 2:
+                    pred = out[y - 1, x]
+                elif mode == 3:
+                    pred = out[y - 1, x + 1] if x + 1 < w else out[y, 0]
+                elif mode == 4:
+                    pred = out[y - 1, x - 1]
+                elif mode == 5:
+                    pred = pack(_avg2(_avg2(L, TR), T))
+                elif mode == 6:
+                    pred = pack(_avg2(L, TL))
+                elif mode == 7:
+                    pred = pack(_avg2(L, T))
+                elif mode == 8:
+                    pred = pack(_avg2(TL, T))
+                elif mode == 9:
+                    pred = pack(_avg2(T, TR))
+                elif mode == 10:
+                    pred = pack(_avg2(_avg2(L, TL), _avg2(T, TR)))
+                elif mode == 11:  # select
+                    pL = np.abs(T - TL).sum()
+                    pT = np.abs(L - TL).sum()
+                    pred = out[y, x - 1] if pL < pT else out[y - 1, x]
+                elif mode == 12:  # clamp add subtract full
+                    pred = pack(np.clip(L + T - TL, 0, 255))
+                else:  # 13: clamp add subtract half (C trunc-toward-zero div)
+                    avg = _avg2(L, T)
+                    d = avg - TL
+                    half = np.sign(d) * (np.abs(d) // 2)
+                    pred = pack(np.clip(avg + half, 0, 255))
+            a = (int(out[y, x]) + int(pred)) & 0xFFFFFFFF
+            # per-channel modular add
+            s = int(out[y, x])
+            p = int(pred)
+            px = 0
+            for shift in (24, 16, 8, 0):
+                px |= (((s >> shift) + (p >> shift)) & 0xFF) << shift
+            out[y, x] = px
+    return out
+
+
+def _sub_image_size(size: int, bits: int) -> int:
+    return (size + (1 << bits) - 1) >> bits
+
+
+def decode_vp8l(payload: bytes) -> np.ndarray:
+    """Decode a VP8L chunk payload → [h, w, 4] RGBA uint8."""
+    br = BitReader(payload)
+    if br.bits(8) != 0x2F:
+        raise ValueError("VP8L: bad signature")
+    w = br.bits(14) + 1
+    h = br.bits(14) + 1
+    br.bit()  # alpha hint
+    if br.bits(3) != 0:
+        raise ValueError("VP8L: unsupported version")
+
+    transforms = []  # applied in reverse order after decode
+    xsize = w
+    palette = None
+    while br.bit():
+        ttype = br.bits(2)
+        if ttype == 0:  # predictor
+            bits = br.bits(3) + 2
+            tw, th = _sub_image_size(xsize, bits), _sub_image_size(h, bits)
+            tiles = _decode_entropy_image(br, tw, th, False)
+            transforms.append(("pred", bits, tiles))
+        elif ttype == 1:  # color transform
+            bits = br.bits(3) + 2
+            tw, th = _sub_image_size(xsize, bits), _sub_image_size(h, bits)
+            tiles = _decode_entropy_image(br, tw, th, False)
+            transforms.append(("color", bits, tiles))
+        elif ttype == 2:
+            transforms.append(("subgreen",))
+        else:  # color indexing
+            psize = br.bits(8) + 1
+            pal_img = _decode_entropy_image(br, psize, 1, False)[0]
+            # palette entries are delta-coded
+            pal = np.zeros(psize, np.uint32)
+            prev = 0
+            for i in range(psize):
+                v = 0
+                s = int(pal_img[i])
+                p = int(prev)
+                for shift in (24, 16, 8, 0):
+                    v |= (((s >> shift) + (p >> shift)) & 0xFF) << shift
+                pal[i] = v
+                prev = v
+            if psize <= 2:
+                xbits = 3
+            elif psize <= 4:
+                xbits = 2
+            elif psize <= 16:
+                xbits = 1
+            else:
+                xbits = 0
+            xsize = _sub_image_size(w, xbits)
+            transforms.append(("palette", xbits, pal))
+            palette = pal
+
+    argb = _decode_entropy_image(br, xsize, h, True)
+
+    for t in reversed(transforms):
+        if t[0] == "pred":
+            argb = _inv_predictor(argb, t[2], t[1])
+        elif t[0] == "color":
+            argb = _inv_color_transform(argb, t[2], t[1])
+        elif t[0] == "subgreen":
+            argb = _inv_subtract_green(argb)
+        else:  # palette
+            xbits, pal = t[1], t[2]
+            if xbits:
+                per = 1 << xbits
+                bw = 8 >> xbits
+                idx = (argb >> 8) & 0xFF  # green holds packed indices
+                cols = []
+                for i in range(per):
+                    cols.append((idx >> (i * bw)) & ((1 << bw) - 1))
+                unpacked = np.stack(cols, axis=-1).reshape(h, -1)[:, :w]
+            else:
+                unpacked = (argb >> 8) & 0xFF
+            unpacked = np.clip(unpacked, 0, len(pal) - 1)
+            argb = pal[unpacked.astype(np.int32)]
+
+    a = (argb >> 24) & 0xFF
+    r = (argb >> 16) & 0xFF
+    g = (argb >> 8) & 0xFF
+    b = argb & 0xFF
+    return np.stack([r, g, b, a], axis=-1).astype(np.uint8)
+
+
+def decode_webp_lossless(data: bytes) -> np.ndarray:
+    """RIFF walk → VP8L payload → RGBA (alpha dropped if fully opaque)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise ValueError("not a WebP")
+    pos = 12
+    n = len(data)
+    while pos + 8 <= n:
+        tag = data[pos : pos + 4]
+        size = int.from_bytes(data[pos + 4 : pos + 8], "little")
+        if tag == b"VP8L":
+            img = decode_vp8l(data[pos + 8 : pos + 8 + size])
+            if (img[..., 3] == 255).all():
+                img = np.ascontiguousarray(img[..., :3])
+            return img
+        pos += 8 + size + (size & 1)
+    raise ValueError("WebP: no VP8L chunk (lossy VP8 handled by fallback)")
+
+
+class WebpLosslessDecoder(DecoderPlugin):
+    codec = "webp"
+    plugin_id = "tpu_webp_lossless_decoder"
+    backend_kind = BackendKind.CPU_ONLY
+    priority = Priority.NORMAL  # above the system-libwebp fallback (LOW)
+
+    def can_decode(self, data_batch, info_batch, params) -> List[ProcessingStatus]:
+        out = []
+        for data in data_batch:
+            head = bytes(data[:16])
+            ok = (
+                head[:4] == b"RIFF"
+                and head[8:12] == b"WEBP"
+                and head[12:16] == b"VP8L"
+            )
+            out.append(
+                ProcessingStatus.SUCCESS
+                if ok
+                else ProcessingStatus.FAIL | ProcessingStatus.CODEC_UNSUPPORTED
+            )
+        return out
+
+    def decode_batch(self, data_batch, info_batch, params) -> List[DecodeResult]:
+        out = []
+        for data in data_batch:
+            try:
+                out.append(
+                    DecodeResult(
+                        ProcessingStatus.SUCCESS,
+                        decode_webp_lossless(bytes(data)),
+                    )
+                )
+            except Exception as e:
+                out.append(
+                    DecodeResult(
+                        ProcessingStatus.FAIL | ProcessingStatus.IMAGE_CORRUPTED,
+                        error=str(e),
+                    )
+                )
+        return out
+
+
+def register(registry) -> None:
+    registry.codec("webp").register_decoder(WebpLosslessDecoder())

@@ -1,0 +1,69 @@
+"""WebP decoder tests: the native VP8L implementation must be bit-exact vs
+libwebp across transform combinations (predictor+cross-color, subtract-
+green, palette with sub-byte packing); lossy VP8 goes through the
+system-libwebp fallback plugin at lower priority.
+
+Reference coverage analog: webp parser test (test/parsers/webp_test.cpp)
+plus opencv-ext decode tests."""
+import numpy as np
+import pytest
+
+from util import make_photo
+
+oracle = pytest.importorskip("oracle")
+
+from nvimagecodec_tpu.codecs.webp import decode_webp_lossless  # noqa: E402
+
+
+@pytest.mark.parametrize(
+    "name,img",
+    [
+        ("photo", make_photo(40, 56, seed=1)),          # predictor+cross-color
+        ("photo_large", make_photo(121, 203, seed=5)),
+        ("gray", np.repeat(make_photo(24, 24, seed=2)[..., 0][:, :, None], 3, 2)),
+        ("solid", np.full((16, 16, 3), 120, np.uint8)),  # palette path
+        ("tiny", make_photo(3, 5, seed=7)),
+    ],
+)
+def test_vp8l_bit_exact(name, img):
+    data = oracle.webp_encode_rgb(np.ascontiguousarray(img), lossless=True)
+    ref = oracle.webp_decode_rgba(data)[..., :3]
+    out = decode_webp_lossless(data)
+    out = out[..., :3] if out.shape[-1] == 4 else out
+    assert np.array_equal(out, ref)
+
+
+def test_palette_subbyte_packing():
+    rng = np.random.default_rng(3)
+    for ncolors in (2, 4, 12, 60):
+        vals = rng.integers(0, 256, (ncolors, 3)).astype(np.uint8)
+        idx = rng.integers(0, ncolors, (21, 37))
+        img = vals[idx]
+        data = oracle.webp_encode_rgb(np.ascontiguousarray(img), lossless=True)
+        ref = oracle.webp_decode_rgba(data)[..., :3]
+        out = decode_webp_lossless(data)
+        out = out[..., :3] if out.shape[-1] == 4 else out
+        assert np.array_equal(out, ref), ncolors
+
+
+def test_public_api_lossless_and_lossy():
+    import nvimagecodec_tpu as nic
+
+    img = make_photo(48, 64, seed=9)
+    dec = nic.Decoder()
+
+    lossless = oracle.webp_encode_rgb(img, lossless=True)
+    cs = nic.CodeStream(lossless)
+    assert cs.codec_name == "webp"
+    out = dec.decode(lossless)
+    assert np.array_equal(
+        np.asarray(out), oracle.webp_decode_rgba(lossless)[..., :3]
+    )
+
+    # lossy VP8 → system-libwebp fallback plugin
+    lossy = oracle.webp_encode_rgb(img, quality=80.0, lossless=False)
+    out = dec.decode(lossy)
+    if out is not None:  # fallback only present when libwebp is installed
+        ref = oracle.webp_decode_rgba(lossy)[..., :3]
+        assert np.asarray(out).shape == ref.shape
+        assert np.array_equal(np.asarray(out), ref)
