@@ -141,6 +141,13 @@ class JpegHybridTpuDecoder(_JpegDecoderBase):
     backend_kind = BackendKind.HYBRID_CPU_TPU
     priority = Priority.HIGH
     use_jax = True
+    fancy_upsampling = True
+
+    def set_options(self, opts) -> None:
+        # reference knob: fancy_upsampling (include/nvimgcodec.h:1593-1594)
+        from ...core.options import get_bool
+
+        self.fancy_upsampling = get_bool(opts, "fancy_upsampling", True)
 
     def decode_batch(self, data_batch, info_batch, params) -> List[DecodeResult]:
         # Batched TPU path: entropy-decode all samples on host, then run the
@@ -148,7 +155,7 @@ class JpegHybridTpuDecoder(_JpegDecoderBase):
         # (the XLA analog of the reference's batched nvjpegDecodeBatched).
         from .batch import decode_batch_tpu
 
-        return decode_batch_tpu(data_batch, params)
+        return decode_batch_tpu(data_batch, params, fancy=self.fancy_upsampling)
 
 
 class JpegCpuDecoder(_JpegDecoderBase):

@@ -38,6 +38,14 @@ class Jpeg2kHybridDecoder(DecoderPlugin):
     plugin_id = "tpu_jpeg2k_hybrid_decoder"
     backend_kind = BackendKind.HYBRID_CPU_TPU
     priority = Priority.HIGH
+    num_parallel_tiles = 0  # 0 → thread-pool default
+
+    def set_options(self, opts) -> None:
+        # reference knob: num_parallel_tiles
+        # (extensions/nvjpeg2k/cuda_decoder.cpp:178-195)
+        from ...core.options import get_int
+
+        self.num_parallel_tiles = get_int(opts, "num_parallel_tiles", 0)
 
     def can_decode(self, data_batch, info_batch, params) -> List[ProcessingStatus]:
         return [
@@ -51,7 +59,7 @@ class Jpeg2kHybridDecoder(DecoderPlugin):
         out = []
         for data in data_batch:
             try:
-                img = decode_j2k(bytes(data))
+                img = decode_j2k(bytes(data), num_threads=self.num_parallel_tiles)
                 if not params.allow_any_depth and img.dtype == np.uint16:
                     img = (img >> 8).astype(np.uint8)
                 out.append(DecodeResult(ProcessingStatus.SUCCESS, img))

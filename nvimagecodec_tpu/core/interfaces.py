@@ -90,6 +90,10 @@ class DecoderPlugin:
     backend_kind: BackendKind = BackendKind.CPU_ONLY
     priority: Priority = Priority.NORMAL
 
+    def set_options(self, opts) -> None:
+        """Free-form per-plugin options (reference: "<plugin>:<k>=<v>"
+        strings, e.g. extensions/nvjpeg/cuda_decoder.cpp:188-209)."""
+
     def can_decode(
         self,
         data_batch: Sequence[memoryview],
@@ -117,6 +121,9 @@ class EncoderPlugin:
     plugin_id: str = ""
     backend_kind: BackendKind = BackendKind.CPU_ONLY
     priority: Priority = Priority.NORMAL
+
+    def set_options(self, opts) -> None:
+        """Free-form per-plugin options (see DecoderPlugin.set_options)."""
 
     def can_encode(
         self,

@@ -30,6 +30,7 @@ from .interfaces import (
     EncoderPlugin,
 )
 from .logger import get_logger
+from .trace import span
 from .promise import ProcessingResultsFuture, ProcessingResultsPromise
 from .registry import CodecRegistry, global_registry
 from .types import Backend, ChromaSubsampling, ProcessingStatus
@@ -50,6 +51,22 @@ _CSS_SORT_CLASS = {
     ChromaSubsampling.CSS_410V: 7,
     ChromaSubsampling.UNSUPPORTED: 8,
 }
+
+
+def _instantiate(cache, plugin, plugin_options):
+    """Shallow-copy the registered prototype once per scheduler and apply
+    this scheduler's options to the copy."""
+    import copy
+
+    key = id(plugin)
+    inst = cache.get(key)
+    if inst is None:
+        inst = copy.copy(plugin)
+        opts = plugin_options.get(inst.plugin_id)
+        if opts:
+            inst.set_options(opts)
+        cache[key] = inst
+    return inst
 
 
 def _allowed(plugin, backends: Optional[Sequence[Backend]]) -> bool:
@@ -82,6 +99,14 @@ class GenericBatchProcessor:
         self.registry = registry or global_registry()
         self.backends = list(backends) if backends else None
         self.options = options
+        from .options import parse_options
+
+        self.plugin_options = parse_options(options or "")
+        # per-scheduler plugin instances: registered plugins are prototypes;
+        # options must not leak across Decoder/Encoder objects (reference:
+        # factories create one decoder instance per ImageDecoder,
+        # src/image_decoder_factory.cpp)
+        self._instance_cache: Dict[int, object] = {}
         import os
 
         n = max_num_cpu_threads or min(8, (os.cpu_count() or 2))
@@ -113,13 +138,14 @@ class GenericDecoder(GenericBatchProcessor):
                 promise.set(i, DecodeResult(ProcessingStatus.FAIL | ProcessingStatus.IMAGE_CORRUPTED, error=str(e)))
 
         # Sort largest-first within subsampling class for bucketing efficiency
-        # (reference: src/image_generic_decoder.cpp:134-178).
-        entries.sort(
-            key=lambda e: (
-                _CSS_SORT_CLASS.get(e[2].chroma_subsampling, 9),
-                -(e[2].height * e[2].width),
+        # (reference: sortSamples NVTX range, src/image_generic_decoder.cpp:134-178).
+        with span("imgcodec.sortSamples"):
+            entries.sort(
+                key=lambda e: (
+                    _CSS_SORT_CLASS.get(e[2].chroma_subsampling, 9),
+                    -(e[2].height * e[2].width),
+                )
             )
-        )
 
         # Split per codec (reference: distributeWork, :265-285).
         per_codec: Dict[str, list] = {}
@@ -134,7 +160,11 @@ class GenericDecoder(GenericBatchProcessor):
     def _process_codec_group(self, codec_name, group, params, promise) -> None:
         try:
             codec = self.registry.codec(codec_name)
-            chain = [d for d in codec.decoders if _allowed(d, self.backends)]
+            chain = [
+                _instantiate(self._instance_cache, d, self.plugin_options)
+                for d in codec.decoders
+                if _allowed(d, self.backends)
+            ]
             self._run_chain(chain, group, params, promise)
         except Exception as e:  # pragma: no cover - defensive
             log.exception("codec group %s failed", codec_name)
@@ -191,7 +221,8 @@ class GenericDecoder(GenericBatchProcessor):
             adata = [e[1].data for e in accepted]
             ainfos = [e[2] for e in accepted]
             try:
-                results = decoder.decode_batch(adata, ainfos, params)
+                with span(f"imgcodec.decode.{decoder.plugin_id}"):
+                    results = decoder.decode_batch(adata, ainfos, params)
             except Exception as e:
                 log.warning("decode_batch of %s raised: %s", decoder.plugin_id, e)
                 results = [DecodeResult(ProcessingStatus.FAIL, error=str(e))] * len(accepted)
@@ -238,7 +269,11 @@ class GenericEncoder(GenericBatchProcessor):
     def _process_group(self, codec_name, group, params, promise) -> None:
         try:
             codec = self.registry.codec(codec_name)
-            chain = [e for e in codec.encoders if _allowed(e, self.backends)]
+            chain = [
+                _instantiate(self._instance_cache, e, self.plugin_options)
+                for e in codec.encoders
+                if _allowed(e, self.backends)
+            ]
             self._run_chain(chain, group, params, promise)
         except Exception as e:  # pragma: no cover - defensive
             log.exception("encode group %s failed", codec_name)
@@ -276,9 +311,10 @@ class GenericEncoder(GenericBatchProcessor):
             self._run_chain(rest, rejected, params, promise)
         if accepted:
             try:
-                results = encoder.encode_batch(
-                    [e[1] for e in accepted], [e[2] for e in accepted], params
-                )
+                with span(f"imgcodec.encode.{encoder.plugin_id}"):
+                    results = encoder.encode_batch(
+                        [e[1] for e in accepted], [e[2] for e in accepted], params
+                    )
             except Exception as e:
                 log.warning("encode_batch of %s raised: %s", encoder.plugin_id, e)
                 results = [EncodeResult(ProcessingStatus.FAIL, error=str(e))] * len(accepted)

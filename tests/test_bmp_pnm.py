@@ -128,3 +128,24 @@ class TestBatchAndFallback:
         p = tmp_path / "photo.ppm"
         enc.write(p, photo)
         np.testing.assert_array_equal(np.asarray(dec.read(str(p))), photo)
+
+
+def test_plugin_options_string():
+    """Free-form options routing: "<plugin_id>:<key>=<value>" reaches the
+    plugin (reference mechanism: extensions/nvjpeg/cuda_decoder.cpp:188-209,
+    nvjpeg2k num_parallel_tiles)."""
+    import oracle
+    from util import make_photo
+    from nvimagecodec_tpu.core.options import parse_options
+
+    assert parse_options("a:k=1 b:x=yes junk") == {
+        "a": {"k": "1"}, "b": {"x": "yes"}
+    }
+    img = make_photo(40, 56, seed=1)
+    data = oracle.jpeg_encode(img, 90, "420")
+    dec = Decoder(options="tpu_jpeg_hybrid_decoder:fancy_upsampling=false")
+    out = np.asarray(dec.decode(data))
+    # plain (non-fancy) upsampling differs from the fancy default but stays
+    # within the reference's loose tolerance (test/python/utils.py:61-72)
+    ref = oracle.jpeg_decode(data, fancy_upsampling=False)
+    assert np.abs(out.astype(int) - ref.astype(int)).max() <= 4
