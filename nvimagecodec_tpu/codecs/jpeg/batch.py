@@ -28,6 +28,7 @@ from typing import Dict, List
 import numpy as np
 
 from ...core.interfaces import DecodeParams, DecodeResult
+from ...core.trace import span
 from ...core.types import ProcessingStatus
 from .headers import parse_jpeg_structure
 from .pixel import cmyk_to_rgb, decode_pixels, geometry_key
@@ -67,7 +68,7 @@ def _next_pow2(n: int) -> int:
     return p
 
 
-def decode_batch_tpu(data_batch, params: DecodeParams) -> List[DecodeResult]:
+def decode_batch_tpu(data_batch, params: DecodeParams, fancy: bool = True) -> List[DecodeResult]:
     n = len(data_batch)
     results: List[DecodeResult] = [None] * n  # type: ignore[list-item]
 
@@ -127,6 +128,8 @@ def decode_batch_tpu(data_batch, params: DecodeParams) -> List[DecodeResult]:
 
             ok_idxs = []
             failed = set()
+            host_span = span("imgcodec.jpeg.host_entropy")
+            host_span.__enter__()
             if pool is not None:
                 futs = {
                     pool.submit(_fill, (j, i)): i for j, i in enumerate(idxs)
@@ -153,10 +156,12 @@ def decode_batch_tpu(data_batch, params: DecodeParams) -> List[DecodeResult]:
                             error=str(e),
                         )
 
+            host_span.__exit__(None, None, None)
             try:
-                call = _pixel_fn(key, bpad, True, True,
+                call = _pixel_fn(key, bpad, fancy, True,
                                  not params.allow_any_depth)
-                imgs = call(frame0, tuple(coef_arrays))
+                with span("imgcodec.jpeg.device_pixel_stage"):
+                    imgs = call(frame0, tuple(coef_arrays))
                 for j, i in enumerate(idxs):
                     if i in failed:
                         continue

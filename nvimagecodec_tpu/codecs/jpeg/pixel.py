@@ -11,6 +11,7 @@ batched path (batch.py) reuses it with a leading batch dim.
 """
 from __future__ import annotations
 
+import os
 from typing import List, Tuple
 
 import numpy as np
@@ -58,26 +59,45 @@ def idct_planes(
     hmax, vmax = frame.hmax, frame.vmax
     maxval = (1 << frame.precision) - 1
     center = float(1 << (frame.precision - 1))
+    use_pallas = False
+    if use_jax and not os.environ.get("TIC_NO_PALLAS"):
+        import jax
+
+        # Pallas path only on real device backends (interpret mode would be
+        # needed on CPU); identical output either way — see tests
+        use_pallas = jax.default_backend() != "cpu"
     planes = []
     for c, blocks in zip(frame.components, coefs):
         bh, bw = blocks.shape[-3], blocks.shape[-2]
         M = dequant_idct_matrix(frame.quant[c.tq])  # [64(pix), 64(coef)]
         lead = blocks.shape[:-3]
-        flat = blocks.reshape(*lead, bh * bw, 64)
-        if use_jax:
-            samp = (
-                xp.einsum(
-                    "...nk,pk->...np",
-                    xp.asarray(flat, xp.float32),
-                    xp.asarray(M),
-                    preferred_element_type=xp.float32,
+        plane = None
+        if use_pallas and len(lead) == 1:
+            try:
+                from ...ops.pallas_kernels import dequant_idct_blocks
+
+                samp_i = dequant_idct_blocks(blocks, M, frame.precision)
+                plane = _planes_from_blocks(
+                    xp, samp_i.reshape(*lead, bh * bw, 64), bh, bw
                 )
-                + center
-            )
-        else:
-            samp = flat.astype(np.float32) @ M.T + center
-        plane = _planes_from_blocks(xp, samp, bh, bw)
-        plane = xp.clip(xp.round(plane), 0, maxval).astype(xp.int32)
+            except Exception:
+                plane = None
+        if plane is None:
+            flat = blocks.reshape(*lead, bh * bw, 64)
+            if use_jax:
+                samp = (
+                    xp.einsum(
+                        "...nk,pk->...np",
+                        xp.asarray(flat, xp.float32),
+                        xp.asarray(M),
+                        preferred_element_type=xp.float32,
+                    )
+                    + center
+                )
+            else:
+                samp = flat.astype(np.float32) @ M.T + center
+            plane = _planes_from_blocks(xp, samp, bh, bw)
+            plane = xp.clip(xp.round(plane), 0, maxval).astype(xp.int32)
         # crop to the component's true sample area before upsampling so the
         # replicated-edge math sees real edge samples
         cw = (W * c.h + hmax - 1) // hmax
