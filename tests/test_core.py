@@ -1,0 +1,191 @@
+"""Orchestration-layer unit tests with mock plugins — the analog of the
+reference's gmock-based core suite (test/decoder_worker_test.cpp,
+codec_registry_test.cpp, processing_results_test.cpp,
+test/api/can_decode_test.cpp): priority chains, canDecode filtering,
+runtime per-sample fallback, load-hint saturation, backend allowlists, and
+promise/future incremental completion."""
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from nvimagecodec_tpu.core.interfaces import (
+    DecodeParams,
+    DecodeResult,
+    DecoderPlugin,
+)
+from nvimagecodec_tpu.core.promise import ProcessingResultsPromise
+from nvimagecodec_tpu.core.registry import CodecRegistry
+from nvimagecodec_tpu.core.scheduler import GenericDecoder
+from nvimagecodec_tpu.core.types import (
+    Backend,
+    BackendKind,
+    Priority,
+    ProcessingStatus,
+)
+from nvimagecodec_tpu.parsers.bmp import BmpParser
+
+
+class MockDecoder(DecoderPlugin):
+    """Configurable fake decoder (the role of mock_image_decoder.h)."""
+
+    codec = "bmp"
+
+    def __init__(self, plugin_id, priority, kind=BackendKind.CPU_ONLY,
+                 accept=True, fail_indices=()):
+        self.plugin_id = plugin_id
+        self.priority = priority
+        self.backend_kind = kind
+        self.accept = accept
+        self.fail_indices = set(fail_indices)
+        self.calls = []
+
+    def can_decode(self, data_batch, info_batch, params):
+        return [
+            ProcessingStatus.SUCCESS
+            if self.accept
+            else ProcessingStatus.FAIL | ProcessingStatus.CODEC_UNSUPPORTED
+            for _ in data_batch
+        ]
+
+    def decode_batch(self, data_batch, info_batch, params):
+        self.calls.append(len(data_batch))
+        out = []
+        for i, _ in enumerate(data_batch):
+            if i in self.fail_indices:
+                out.append(DecodeResult(ProcessingStatus.FAIL, error="boom"))
+            else:
+                out.append(
+                    DecodeResult(
+                        ProcessingStatus.SUCCESS,
+                        np.full((2, 2), ord(self.plugin_id[0]), np.uint8),
+                    )
+                )
+        return out
+
+
+def _registry(*decoders):
+    reg = CodecRegistry()
+    reg.codec("bmp").register_parser(BmpParser())
+    for d in decoders:
+        reg.codec("bmp").register_decoder(d)
+    return reg
+
+
+def _bmp_bytes(n=3):
+    from nvimagecodec_tpu.codecs.bmp import encode_bmp
+
+    return [encode_bmp(np.zeros((2, 2, 3), np.uint8)) for _ in range(n)]
+
+
+def _streams(reg, blobs):
+    from nvimagecodec_tpu.core.code_stream import CodeStream
+
+    return [CodeStream(b, reg) for b in blobs]
+
+
+def test_priority_order_and_first_wins():
+    hi = MockDecoder("high", Priority.HIGH)
+    lo = MockDecoder("low", Priority.NORMAL)
+    reg = _registry(lo, hi)  # registration order must not matter
+    dec = GenericDecoder(registry=reg)
+    results = dec.decode_batch(_streams(reg, _bmp_bytes(2)), DecodeParams())
+    assert all(r.status & ProcessingStatus.SUCCESS for r in results)
+    assert all(np.asarray(r.array)[0, 0] == ord("h") for r in results)
+    assert lo.calls == []
+
+
+def test_can_decode_rejection_falls_through():
+    hi = MockDecoder("high", Priority.HIGH, accept=False)
+    lo = MockDecoder("low", Priority.NORMAL)
+    reg = _registry(hi, lo)
+    dec = GenericDecoder(registry=reg)
+    results = dec.decode_batch(_streams(reg, _bmp_bytes(2)), DecodeParams())
+    assert all(np.asarray(r.array)[0, 0] == ord("l") for r in results)
+
+
+def test_runtime_per_sample_fallback():
+    """Samples failing at runtime in the high-priority backend re-route to
+    the fallback (reference: processCurrentResults,
+    src/decoder_worker.cpp:158-199)."""
+    hi = MockDecoder("high", Priority.HIGH, fail_indices={1})
+    lo = MockDecoder("low", Priority.NORMAL)
+    reg = _registry(hi, lo)
+    dec = GenericDecoder(registry=reg)
+    results = dec.decode_batch(_streams(reg, _bmp_bytes(3)), DecodeParams())
+    vals = [np.asarray(r.array)[0, 0] for r in results]
+    assert vals.count(ord("h")) == 2 and vals.count(ord("l")) == 1
+    assert all(r.status & ProcessingStatus.SUCCESS for r in results)
+
+
+def test_exhausted_chain_reports_failure():
+    hi = MockDecoder("high", Priority.HIGH, fail_indices={0, 1, 2})
+    reg = _registry(hi)
+    dec = GenericDecoder(registry=reg)
+    results = dec.decode_batch(_streams(reg, _bmp_bytes(3)), DecodeParams())
+    assert all(not (r.status & ProcessingStatus.SUCCESS) for r in results)
+
+
+def test_backend_allowlist():
+    tpu = MockDecoder("tpuD", Priority.HIGH, kind=BackendKind.HYBRID_CPU_TPU)
+    cpu = MockDecoder("cpuD", Priority.NORMAL, kind=BackendKind.CPU_ONLY)
+    reg = _registry(tpu, cpu)
+    dec = GenericDecoder(
+        registry=reg, backends=[Backend(BackendKind.CPU_ONLY)]
+    )
+    results = dec.decode_batch(_streams(reg, _bmp_bytes(2)), DecodeParams())
+    assert all(np.asarray(r.array)[0, 0] == ord("c") for r in results)
+
+
+def test_load_hint_saturation():
+    """A fractional load hint sends only ceil(hint*batch) samples to the
+    backend; the rest saturate onto the fallback (reference:
+    extensions/nvjpeg/hw_decoder.cpp:199,244)."""
+    hw = MockDecoder("hw", Priority.HIGH, kind=BackendKind.HYBRID_CPU_TPU)
+    cpu = MockDecoder("cpu", Priority.NORMAL, kind=BackendKind.CPU_ONLY)
+    reg = _registry(hw, cpu)
+    dec = GenericDecoder(
+        registry=reg,
+        backends=[
+            Backend(BackendKind.HYBRID_CPU_TPU, load_hint=0.5),
+            Backend(BackendKind.CPU_ONLY),
+        ],
+    )
+    results = dec.decode_batch(_streams(reg, _bmp_bytes(4)), DecodeParams())
+    vals = [np.asarray(r.array)[0, 0] for r in results]
+    assert vals.count(ord("h")) == 2 and vals.count(ord("c")) == 2
+
+
+def test_promise_incremental_wait_new():
+    """wait_new returns newly-ready samples as they complete
+    (reference: ProcessingResultsFuture::wait_new,
+    src/processing_results.cpp:78-93)."""
+    p = ProcessingResultsPromise(3)
+    f = p.future()
+    p.set(1, "b")
+
+    got = f.wait_new(timeout=1.0)
+    assert got == [(1, "b")]
+
+    def later():
+        time.sleep(0.05)
+        p.set(0, "a")
+        p.set(2, "c")
+
+    t = threading.Thread(target=later)
+    t.start()
+    collected = dict(got)
+    while len(collected) < 3:
+        for i, v in f.wait_new(timeout=1.0):
+            collected[i] = v
+    t.join()
+    assert collected == {0: "a", 1: "b", 2: "c"}
+    assert f.wait_all() == ["a", "b", "c"]
+
+
+def test_promise_double_set_rejected():
+    p = ProcessingResultsPromise(1)
+    p.set(0, "x")
+    with pytest.raises(RuntimeError):
+        p.set(0, "y")
