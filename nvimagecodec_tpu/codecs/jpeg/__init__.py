@@ -186,13 +186,33 @@ class JpegCpuEncoder(EncoderPlugin):
         return out
 
     def encode_batch(self, image_batch, info_batch, params) -> List[EncodeResult]:
+        # fan samples over a thread pool (numpy pixel stage + GIL-releasing
+        # native entropy encode — the executor fan-out analog,
+        # extensions/nvjpeg/cuda_encoder.cpp per-sample tasks)
+        import os
+        from concurrent.futures import ThreadPoolExecutor
+
         from .encode import encode_jpeg
 
+        def one(img):
+            return encode_jpeg(np.asarray(img), params)
+
+        if len(image_batch) > 1:
+            with ThreadPoolExecutor(
+                max_workers=min(len(image_batch), os.cpu_count() or 2)
+            ) as pool:
+                futs = [pool.submit(one, img) for img in image_batch]
+                out = []
+                for f in futs:
+                    try:
+                        out.append(EncodeResult(ProcessingStatus.SUCCESS, f.result()))
+                    except Exception as e:
+                        out.append(EncodeResult(ProcessingStatus.FAIL, error=str(e)))
+                return out
         out = []
         for img in image_batch:
             try:
-                data = encode_jpeg(np.asarray(img), params)
-                out.append(EncodeResult(ProcessingStatus.SUCCESS, data))
+                out.append(EncodeResult(ProcessingStatus.SUCCESS, one(img)))
             except Exception as e:
                 out.append(EncodeResult(ProcessingStatus.FAIL, error=str(e)))
         return out
