@@ -1,0 +1,78 @@
+"""Robustness: corrupted/truncated streams across every codec must yield a
+clean per-sample failure (None from the API), never a crash, hang, or junk
+success — the contract behind the reference's per-sample ProcessingStatus
+bitmask + runtime fallback (include/nvimgcodec.h:583-612)."""
+import numpy as np
+import pytest
+
+from util import make_photo
+
+import nvimagecodec_tpu as nic
+
+oracle = pytest.importorskip("oracle")
+
+
+def _corpus():
+    img = make_photo(40, 56, seed=1)
+    from nvimagecodec_tpu.codecs.jpeg2000.core import encode_j2k
+
+    out = {
+        "jpeg": oracle.jpeg_encode(img, 90, "420"),
+        "png": oracle.png_encode(img),
+        "tiff": oracle.tiff_encode(img, compression=5),
+        "webp": oracle.webp_encode_rgb(img, lossless=True),
+        "jp2": encode_j2k(img, reversible=True, levels=2),
+    }
+    from nvimagecodec_tpu.codecs.bmp import encode_bmp
+
+    out["bmp"] = encode_bmp(img)
+    return out
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return _corpus()
+
+
+@pytest.mark.parametrize("frac", [0.1, 0.5, 0.9])
+def test_truncated_streams(corpus, frac):
+    dec = nic.Decoder()
+    for name, data in corpus.items():
+        cut = data[: int(len(data) * frac)]
+        out = dec.decode(cut)  # must not raise or hang
+        if out is not None:
+            # a decoder may tolerate tail truncation; output must at least
+            # be a sane array
+            a = np.asarray(out)
+            assert a.ndim in (2, 3) and a.size > 0
+
+
+def test_bit_flips(corpus):
+    rng = np.random.default_rng(0)
+    dec = nic.Decoder()
+    for name, data in corpus.items():
+        for trial in range(4):
+            buf = bytearray(data)
+            for _ in range(3):
+                i = int(rng.integers(0, len(buf)))
+                buf[i] ^= 1 << int(rng.integers(0, 8))
+            out = dec.decode(bytes(buf))
+            if out is not None:
+                a = np.asarray(out)
+                assert a.ndim in (2, 3)
+
+
+def test_garbage_and_empty():
+    dec = nic.Decoder()
+    outs = dec.decode([b"", b"\x00" * 64, b"RIFFxxxxWEBP", b"\xff\xd8\xff"])
+    assert all(o is None for o in outs)
+
+
+def test_batch_isolation(corpus):
+    """One corrupted sample must not poison its batch."""
+    dec = nic.Decoder()
+    good = list(corpus.values())
+    batch = good[:2] + [good[0][:30]] + good[2:]
+    outs = dec.decode(batch)
+    assert outs[2] is None
+    assert all(o is not None for i, o in enumerate(outs) if i != 2)
