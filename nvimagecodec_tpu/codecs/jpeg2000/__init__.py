@@ -56,12 +56,21 @@ class Jpeg2kHybridDecoder(DecoderPlugin):
         ]
 
     def decode_batch(self, data_batch, info_batch, params) -> List[DecodeResult]:
+        try:
+            import jax
+
+            use_jax = jax.default_backend() != "cpu"
+        except Exception:
+            use_jax = False
         out = []
         for data in data_batch:
             try:
-                img = decode_j2k(bytes(data), num_threads=self.num_parallel_tiles)
-                if not params.allow_any_depth and img.dtype == np.uint16:
-                    img = (img >> 8).astype(np.uint8)
+                img = decode_j2k(bytes(data), num_threads=self.num_parallel_tiles,
+                                 use_jax=use_jax)
+                if not params.allow_any_depth and str(img.dtype) == "uint16":
+                    img = (img >> 8).astype(
+                        np.uint8 if isinstance(img, np.ndarray) else "uint8"
+                    )
                 out.append(DecodeResult(ProcessingStatus.SUCCESS, img))
             except Exception as e:
                 out.append(

@@ -12,6 +12,7 @@ code-block style, no precinct partitions, single-layer encode).
 """
 from __future__ import annotations
 
+import functools
 import math
 import struct
 from concurrent.futures import ThreadPoolExecutor
@@ -304,6 +305,42 @@ def _prog_iter(cp: CodingParams, ncomp: int):
                     yield l, r, c
 
 
+@functools.lru_cache(maxsize=64)
+def _j2k_device_fn(levels: int, reversible: bool, mct: bool, C: int,
+                   th: int, tw: int, depth: int):
+    """Jitted device pixel stage for one tile geometry: batched-over-
+    components inverse DWT + inverse MCT + level shift + clip (the role of
+    nvjpeg2k's GPU stages). Bands arrive stacked [C, h, w]."""
+    import jax
+    import jax.numpy as jnp
+
+    def fn(LL, bands):
+        plane = dwt_ops.idwt2d(LL, list(bands), (th, tw), reversible)
+        planes = [plane[c] for c in range(C)]
+        if mct and C == 3:
+            y, cb_, cr = planes
+            if reversible:
+                g = y - ((cb_ + cr) >> 2)
+                planes = [cr + g, g, cb_ + g]
+            else:
+                planes = [
+                    y + 1.402 * cr,
+                    y - 0.344136 * cb_ - 0.714136 * cr,
+                    y + 1.772 * cb_,
+                ]
+        shift = 1 << (depth - 1)
+        maxv = (1 << depth) - 1
+        dtype = jnp.uint16 if depth > 8 else jnp.uint8
+        outs = []
+        for p in planes:
+            if not reversible:
+                p = jnp.round(p)
+            outs.append(jnp.clip(p + shift, 0, maxv).astype(dtype))
+        return jnp.stack(outs, axis=-1)
+
+    return jax.jit(fn)
+
+
 def decode_j2k(
     data: bytes,
     num_threads: int = 0,
@@ -381,6 +418,28 @@ def decode_j2k(
                 blk = np.sign(blk) * rec
             decoded[c][(r, bi)][cb.y0 - band.y0 : cb.y1 - band.y0,
                                 cb.x0 - band.x0 : cb.x1 - band.x0] = blk
+
+        ntiles = siz.tiles_x * siz.tiles_y
+        if use_jax and ntiles == 1:
+            # device pixel stage: all components' subbands stacked and run
+            # through one jitted IDWT+MCT+shift call; output stays on device
+            cast = np.int32 if cp.reversible else np.float32
+            LL = np.stack([decoded[c][(0, 0)] for c in range(C)]).astype(cast)
+            bands_t = tuple(
+                tuple(
+                    np.stack(
+                        [decoded[c][(cp.levels - lev + 1, bi)] for c in range(C)]
+                    ).astype(cast)
+                    for bi in range(3)
+                )
+                for lev in range(1, cp.levels + 1)
+            )
+            fn = _j2k_device_fn(
+                cp.levels, cp.reversible, cp.mct and C == 3, C, th, tw, depth
+            )
+            img = fn(LL, bands_t)
+            pool.shutdown(wait=False)
+            return img[:, :, 0] if C == 1 else img
 
         for c in range(C):
             LL = decoded[c][(0, 0)]

@@ -62,3 +62,45 @@ def test_sharded_matches_local_seam_smoothing():
     mesh = make_mesh(dp=1, sp=8)
     sharded = np.asarray(smooth_tile_seams(jnp.asarray(tiles), mesh=mesh))
     np.testing.assert_array_equal(local, sharded)
+
+
+def test_pipeline_decode_batches_sharded():
+    import oracle
+    import jax.numpy as jnp
+
+    from nvimagecodec_tpu.parallel.mesh import make_mesh
+    from nvimagecodec_tpu.pipeline import decode_batches
+
+    mesh = make_mesh(dp=8, sp=1)
+    imgs = [make_photo(32, 48, seed=s) for s in range(8)]
+    jpgs = [oracle.png_encode(i) for i in imgs]
+    batches = [jpgs[:8], jpgs[:8]]
+    got = list(decode_batches(iter(batches), mesh=mesh))
+    assert len(got) == 2
+    for g in got:
+        a = np.asarray(g)
+        assert a.shape == (8, 32, 48, 3)
+        assert np.array_equal(a, np.stack(imgs))
+
+
+def test_multihost_stream_sharding_balance():
+    from nvimagecodec_tpu.parallel.multihost import shard_streams
+
+    rng = np.random.default_rng(0)
+    streams = [bytes(int(rng.integers(10, 5000))) for _ in range(37)]
+    shards = shard_streams(streams, 4)
+    assert sorted(i for s in shards for i in s) == list(range(37))
+    loads = [sum(len(streams[i]) for i in s) for s in shards]
+    assert max(loads) < 1.5 * min(loads)  # largest-first deal balances
+
+
+def test_multihost_global_batch_single_process():
+    from nvimagecodec_tpu.parallel.mesh import make_mesh
+    from nvimagecodec_tpu.parallel.multihost import global_batch, initialize
+
+    initialize()  # no-op single process
+    mesh = make_mesh(dp=8, sp=1)
+    local = np.arange(8 * 4 * 6 * 3, dtype=np.uint8).reshape(8, 4, 6, 3)
+    arr = global_batch(local, mesh)
+    assert arr.shape == (8, 4, 6, 3)
+    assert np.array_equal(np.asarray(arr), local)
