@@ -39,13 +39,16 @@ class Jpeg2kHybridDecoder(DecoderPlugin):
     backend_kind = BackendKind.HYBRID_CPU_TPU
     priority = Priority.HIGH
     num_parallel_tiles = 0  # 0 → thread-pool default
+    discard_levels = 0      # reduced-resolution decode
 
     def set_options(self, opts) -> None:
         # reference knob: num_parallel_tiles
-        # (extensions/nvjpeg2k/cuda_decoder.cpp:178-195)
+        # (extensions/nvjpeg2k/cuda_decoder.cpp:178-195); discard_levels is
+        # the classic J2K multi-resolution decode
         from ...core.options import get_int
 
         self.num_parallel_tiles = get_int(opts, "num_parallel_tiles", 0)
+        self.discard_levels = get_int(opts, "discard_levels", 0)
 
     def can_decode(self, data_batch, info_batch, params) -> List[ProcessingStatus]:
         return [
@@ -66,7 +69,8 @@ class Jpeg2kHybridDecoder(DecoderPlugin):
         for data in data_batch:
             try:
                 img = decode_j2k(bytes(data), num_threads=self.num_parallel_tiles,
-                                 use_jax=use_jax)
+                                 use_jax=use_jax,
+                                 discard_levels=self.discard_levels)
                 if not params.allow_any_depth and str(img.dtype) == "uint16":
                     img = (img >> 8).astype(
                         np.uint8 if isinstance(img, np.ndarray) else "uint8"

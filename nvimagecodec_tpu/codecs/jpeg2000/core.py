@@ -345,8 +345,14 @@ def decode_j2k(
     data: bytes,
     num_threads: int = 0,
     use_jax: bool = False,
+    discard_levels: int = 0,
 ) -> np.ndarray:
-    """Decode JP2/J2K bytes → [H, W] or [H, W, C] u8/u16."""
+    """Decode JP2/J2K bytes → [H, W] or [H, W, C] u8/u16.
+
+    discard_levels > 0 reconstructs at a reduced resolution (the classic
+    JPEG2000 multi-resolution decode): the top `discard_levels` resolutions'
+    code-blocks are never entropy-decoded and the inverse DWT stops early,
+    so a d-level discard costs roughly 4^-d of the full-pixel work."""
     cs = unwrap_jp2(bytes(data))
     siz, cp, pos = parse_main_header(cs, 0)
     if any(s != 1 for s in siz.sub_x + siz.sub_y):
@@ -365,14 +371,22 @@ def decode_j2k(
     C = siz.ncomp
     depth = siz.depth[0]
     dtype = np.uint16 if depth > 8 else np.uint8
-    out = np.zeros((siz.height - siz.y0, siz.width - siz.x0, C), dtype)
+    discard_levels = max(0, min(discard_levels, cp.levels))
+    keep_levels = cp.levels - discard_levels
+    d = 1 << discard_levels
+    out_h = ceil_div(siz.height, d) - ceil_div(siz.y0, d)
+    out_w = ceil_div(siz.width, d) - ceil_div(siz.x0, d)
+    out = np.zeros((out_h, out_w, C), dtype)
 
     pool = ThreadPoolExecutor(max_workers=num_threads or 8)
     border = _band_order(cp)
 
     for tidx, tdata in iter_tile_parts(cs, pos):
         tx0, ty0, tx1, ty1 = siz.tile_rect(tidx)
-        th, tw = ty1 - ty0, tx1 - tx0
+        # reduced-resolution tile rect (coordinates divide by 2^d)
+        rx0, ry0 = ceil_div(tx0, d), ceil_div(ty0, d)
+        rx1, ry1 = ceil_div(tx1, d), ceil_div(ty1, d)
+        th, tw = ry1 - ry0, rx1 - rx0
         resolutions = {c: build_resolutions(tx0, ty0, tx1, ty1, cp.levels)
                        for c in range(C)}
         pdec = PacketDecoder(siz, cp, resolutions)
@@ -383,8 +397,9 @@ def decode_j2k(
         # T1 decode all codeblocks in parallel, then dequant + IDWT
         planes = []
         jobs = []
+        kept = [(r, bi) for (r, bi) in border if r <= keep_levels]
         for c in range(C):
-            for (r, bi) in border:
+            for (r, bi) in kept:
                 band = resolutions[c][r].bands[bi]
                 ps = pdec.state[(c, r, bi)]
                 eps, mu = cp.band_q[border.index((r, bi))]
@@ -402,7 +417,7 @@ def decode_j2k(
             c: {} for c in range(C)
         }
         for c in range(C):
-            for (r, bi) in border:
+            for (r, bi) in kept:
                 band = resolutions[c][r].bands[bi]
                 fdtype = np.int32 if cp.reversible else np.float64
                 decoded[c][(r, bi)] = np.zeros((band.h, band.w), fdtype)
@@ -420,7 +435,7 @@ def decode_j2k(
                                 cb.x0 - band.x0 : cb.x1 - band.x0] = blk
 
         ntiles = siz.tiles_x * siz.tiles_y
-        if use_jax and ntiles == 1:
+        if use_jax and ntiles == 1 and discard_levels == 0:
             # device pixel stage: all components' subbands stacked and run
             # through one jitted IDWT+MCT+shift call; output stays on device
             cast = np.int32 if cp.reversible else np.float32
@@ -444,7 +459,9 @@ def decode_j2k(
         for c in range(C):
             LL = decoded[c][(0, 0)]
             bands_f = []
-            for lev in range(1, cp.levels + 1):
+            # with discard, the finest `discard_levels` decomposition levels
+            # are dropped: lev runs over the COARSEST keep_levels ones
+            for lev in range(discard_levels + 1, cp.levels + 1):
                 r = cp.levels - lev + 1
                 bands_f.append((decoded[c][(r, 0)], decoded[c][(r, 1)],
                                 decoded[c][(r, 2)]))
@@ -470,7 +487,9 @@ def decode_j2k(
             if not cp.reversible:
                 p = np.round(p)
             p = np.clip(p + shift, 0, maxv).astype(dtype)
-            out[ty0 - siz.y0 : ty1 - siz.y0, tx0 - siz.x0 : tx1 - siz.x0, c] = p
+            oy0 = ry0 - ceil_div(siz.y0, d)
+            ox0 = rx0 - ceil_div(siz.x0, d)
+            out[oy0 : oy0 + th, ox0 : ox0 + tw, c] = p
     pool.shutdown(wait=False)
 
     return out[:, :, 0] if C == 1 else out

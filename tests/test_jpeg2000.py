@@ -143,3 +143,29 @@ def test_tagtree_roundtrip():
                     k += 1
                 assert dec.leaf_value(x, y) == vals[y * w + x], (
                     trial, x, y, vals[y * w + x], dec.leaf_value(x, y))
+
+
+def test_reduced_resolution_decode():
+    """Multi-resolution decode: discard_levels=d reconstructs the 2^-d
+    image from only the coarse subbands (the classic J2K capability the
+    reference gets from nvjpeg2k)."""
+    img = make_photo(256, 320, seed=1)
+    data = encode_j2k(img, reversible=True, levels=4)
+    for dl in (1, 2):
+        lo = decode_j2k(data, discard_levels=dl)
+        h = -(-256 // (1 << dl))
+        w = -(-320 // (1 << dl))
+        assert lo.shape == (h, w, 3)
+        # the 5/3 lowpass is a genuine downscale: close to a bilinear ref
+        from nvimagecodec_tpu.ops.resize import resize_bilinear
+
+        assert psnr(resize_bilinear(img, h, w), lo) > 30
+    # tiled stream too
+    data = encode_j2k(img, reversible=True, levels=3, tile_size=128)
+    assert decode_j2k(data, discard_levels=2).shape == (64, 80, 3)
+    # via plugin option string
+    import nvimagecodec_tpu as nic
+
+    dec = nic.Decoder(options="tpu_jpeg2k_hybrid_decoder:discard_levels=1")
+    out = dec.decode(encode_j2k(img, reversible=True, levels=4))
+    assert np.asarray(out).shape == (128, 160, 3)
