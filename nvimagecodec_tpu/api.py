@@ -70,6 +70,20 @@ class Decoder:
         """Decode from file path(s) (reference: Decoder.read)."""
         return self.decode(path, params, **kw)
 
+    def decode_async(self, sources, params: Optional[DecodeParams] = None):
+        """Submit a batch and return a ProcessingResultsFuture: `wait_all()`
+        for every result, `wait_new()` for incremental per-sample completion
+        (reference: nvimgcodecFuture + ProcessingResultsFuture::wait_new,
+        src/processing_results.cpp:78-93). Results are raw DecodeResults;
+        use `decode` for the Image-wrapping convenience path."""
+        params = params or DecodeParams()
+        srcs = sources if isinstance(sources, (list, tuple)) else [sources]
+        streams = [
+            s if isinstance(s, CodeStream) else CodeStream(s, self._generic.registry)
+            for s in srcs
+        ]
+        return self._generic.decode_batch_async(streams, params)
+
     def _decode_batch(self, sources: List[Source], params, to_tpu: bool = False):
         params = params or DecodeParams()
         streams = [

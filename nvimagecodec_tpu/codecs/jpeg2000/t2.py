@@ -180,7 +180,6 @@ class PacketEncoder:
                 k = 1
                 # emit zbp tag tree up to resolution of this leaf
                 while True:
-                    before = len(bw.out) * 8 + bw.n
                     zbp.encode(bw, x, y, k)
                     if zbp.coded[zbp._index(0, x, y)]:
                         break

@@ -189,3 +189,22 @@ def test_promise_double_set_rejected():
     p.set(0, "x")
     with pytest.raises(RuntimeError):
         p.set(0, "y")
+
+
+def test_decoder_decode_async_incremental():
+    """Public async API: future with wait_all/wait_new
+    (reference: nvimgcodecDecoderDecode + nvimgcodecFutureWaitForAll)."""
+    import oracle
+    from util import make_photo
+
+    import nvimagecodec_tpu as nic
+
+    imgs = [make_photo(20, 24, seed=s) for s in range(3)]
+    batch = [oracle.png_encode(i) for i in imgs] + [b"junk"]
+    fut = nic.Decoder().decode_async(batch)
+    results = fut.wait_all()
+    assert len(results) == 4
+    for i in range(3):
+        assert results[i].status & ProcessingStatus.SUCCESS
+        assert np.array_equal(np.asarray(results[i].array), imgs[i])
+    assert not (results[3].status & ProcessingStatus.SUCCESS)
