@@ -13,7 +13,6 @@ priority ladder at nvjpeg_ext.cpp:42-47). Our ladder:
 """
 from __future__ import annotations
 
-import functools
 from typing import List, Sequence
 
 import numpy as np

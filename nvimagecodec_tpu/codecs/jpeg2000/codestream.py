@@ -17,8 +17,6 @@ import struct
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Tuple
 
-import numpy as np
-
 # marker codes
 SOC, SOT, SOD, EOC = 0xFF4F, 0xFF90, 0xFF93, 0xFFD9
 SIZ, COD, COC, QCD, QCC, RGN, POC, COM = (
@@ -336,6 +334,11 @@ def parse_main_header(data: bytes, pos: int):
                 prog_order=prog,
                 num_layers=nlayers,
             )
+        elif marker in (COC, QCC):
+            # per-component coding/quantization overrides would silently
+            # mis-decode if ignored — reject cleanly so the scheduler's
+            # fallback chain reports a proper failure
+            raise ValueError("J2K: per-component COC/QCC overrides not supported")
         elif marker == QCD:
             sqcd = body[0]
             style = sqcd & 0x1F
@@ -375,12 +378,17 @@ def iter_tile_parts(data: bytes, pos: int):
         isot, psot, tpsot, tnsot = struct.unpack_from(">HIBB", data, pos + 4)
         tile_end = pos + psot if psot else n
         q = pos + 2 + lsot
-        # skip tile-part header segments until SOD
+        # skip tile-part header segments until SOD; reject per-tile coding
+        # overrides rather than mis-decode with main-header parameters
         while q + 2 <= n:
             m = struct.unpack_from(">H", data, q)[0]
             if m == SOD:
                 q += 2
                 break
+            if m in (COD, COC, QCD, QCC):
+                raise ValueError(
+                    "J2K: per-tile coding/quantization overrides not supported"
+                )
             ln = struct.unpack_from(">H", data, q + 2)[0]
             q += 2 + ln
         yield isot, data[q:tile_end]

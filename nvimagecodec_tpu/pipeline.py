@@ -9,8 +9,6 @@ from __future__ import annotations
 
 from typing import Iterable, Iterator, Optional, Sequence
 
-import numpy as np
-
 from .api import Decoder
 from .core.interfaces import DecodeParams
 

@@ -76,3 +76,28 @@ def test_batch_isolation(corpus):
     outs = dec.decode(batch)
     assert outs[2] is None
     assert all(o is not None for i, o in enumerate(outs) if i != 2)
+
+
+def test_parser_fuzz_random_blobs():
+    """Random byte blobs through format detection and decode: never crash,
+    never hang (reference: parser canParse robustness)."""
+    rng = np.random.default_rng(42)
+    dec = nic.Decoder()
+    magics = [
+        b"\xff\xd8\xff", b"\x89PNG\r\n\x1a\n", b"II*\x00", b"MM\x00*",
+        b"BM", b"P6", b"RIFF", b"\xff\x4f\xff\x51",
+        b"\x00\x00\x00\x0cjP  ",
+    ]
+    for trial in range(200):
+        n = int(rng.integers(0, 400))
+        blob = bytes(rng.integers(0, 256, n, dtype=np.uint8))
+        if trial % 2:
+            blob = bytes(magics[trial % len(magics)]) + blob
+        try:
+            cs = nic.CodeStream(blob)
+            cs.get_image_info()
+        except Exception:
+            pass
+        out = dec.decode(blob)
+        if out is not None:
+            assert np.asarray(out).ndim in (2, 3)
