@@ -1,0 +1,72 @@
+"""Golden-MD5 encode regression net — the analog of the reference's
+MD5-pinned transcode matrix (test/test_transcode.py:42-100). Every encoder
+must be deterministic; a hash change means the emitted bitstream changed
+and must be an intentional, reviewed event."""
+import hashlib
+
+import numpy as np
+import pytest
+
+from util import make_photo
+
+from nvimagecodec_tpu import Encoder
+from nvimagecodec_tpu.core.interfaces import (
+    EncodeParams,
+    Jpeg2kEncodeParams,
+    JpegEncodeParams,
+)
+
+GOLDEN = {
+    "bmp_rgb": ("bmp", "0cd947aa1ac94ce5ac1a8dec11463b77"),
+    "pnm_rgb": ("pnm", "e519c0c1bb432ed38f6159085a7df493"),
+    "pnm_gray": ("pnm", "0ed4ee89abce1dce17f9f10d2aed567d"),
+    "jpeg_q90_420": ("jpeg", "25c94807e84f35930a3fa027504bf56d"),
+    "jpeg_q95_444": ("jpeg", "fd32e20d279d57019bfda80c788cc802"),
+    "jpeg_gray": ("jpeg", "e84499f538b732eabc7e1b2d1e4e1bb2"),
+    "jpeg_optimized": ("jpeg", "13f8b89f3494463b2cf6ca1a427b5675"),
+    "jpeg_progressive": ("jpeg", "9282b66745712cd8770f188ebf961709"),
+    "jp2_lossless": ("jp2", "d8cfae069b1c059ffb163688470f8c94"),
+    "j2k_q70": ("jpeg2k", "fdff44204929c554bb94aa5ae3e34ff1"),
+    "jp2_gray_lossless": ("jp2", "c9507010822498dc9d5d887a1ad6bf1b"),
+}
+
+
+def _params(name):
+    img = make_photo(60, 80, seed=7)
+    gray = img[..., 0]
+    table = {
+        "bmp_rgb": (img, EncodeParams()),
+        "pnm_rgb": (img, EncodeParams()),
+        "pnm_gray": (gray, EncodeParams()),
+        "jpeg_q90_420": (img, EncodeParams(quality=90, chroma_subsampling="420")),
+        "jpeg_q95_444": (img, EncodeParams(quality=95, chroma_subsampling="444")),
+        "jpeg_gray": (gray, EncodeParams(quality=92)),
+        "jpeg_optimized": (
+            img,
+            EncodeParams(quality=90, chroma_subsampling="420",
+                         jpeg=JpegEncodeParams(optimized_huffman=True)),
+        ),
+        "jpeg_progressive": (
+            img,
+            EncodeParams(quality=90, chroma_subsampling="422",
+                         jpeg=JpegEncodeParams(progressive=True)),
+        ),
+        "jp2_lossless": (img, EncodeParams(jpeg2k=Jpeg2kEncodeParams(reversible=True))),
+        "j2k_q70": (
+            img,
+            EncodeParams(quality=70, jpeg2k=Jpeg2kEncodeParams(stream_type="j2k")),
+        ),
+        "jp2_gray_lossless": (
+            gray, EncodeParams(jpeg2k=Jpeg2kEncodeParams(reversible=True)),
+        ),
+    }
+    return table[name]
+
+
+@pytest.mark.parametrize("name", sorted(GOLDEN))
+def test_golden_md5(name):
+    codec, want = GOLDEN[name]
+    pix, params = _params(name)
+    data = Encoder().encode(pix, codec=codec, params=params)
+    assert data is not None
+    assert hashlib.md5(data).hexdigest() == want, name
