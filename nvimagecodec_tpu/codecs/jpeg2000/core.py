@@ -357,6 +357,8 @@ def decode_j2k(
     siz, cp, pos = parse_main_header(cs, 0)
     if any(s != 1 for s in siz.sub_x + siz.sub_y):
         raise ValueError("J2K: component subsampling not supported")
+    if any(siz.signed):
+        raise ValueError("J2K: signed components not supported")
     if (siz.tx0 | siz.ty0 | siz.x0 | siz.y0) % 2 or siz.tile_w % 2:
         if siz.tiles_x * siz.tiles_y > 1:
             raise ValueError("J2K: odd tile origins not supported")
