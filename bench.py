@@ -107,6 +107,21 @@ def main() -> None:
     ips = max(one_pass() for _ in range(2))
     log(f"tpu decode: best of 2 passes -> {ips:.1f} img/s")
 
+    # --- informational: encode throughput (stderr only) --------------------
+    try:
+        from nvimagecodec_tpu import Encoder
+        from nvimagecodec_tpu.core.interfaces import EncodeParams
+
+        enc = Encoder()
+        eparams = EncodeParams(quality=85, chroma_subsampling="420")
+        enc.encode(base, codec="jpeg", params=eparams)  # warm
+        t0 = time.perf_counter()
+        outs = enc.encode(base * 8, codec="jpeg", params=eparams)
+        n_ok = sum(o is not None for o in outs)
+        log(f"jpeg encode: {n_ok / (time.perf_counter() - t0):.1f} img/s")
+    except Exception as e:
+        log("encode bench skipped:", e)
+
     # --- baseline: libjpeg-turbo single-thread -----------------------------
     vs = None
     if have_oracle:
