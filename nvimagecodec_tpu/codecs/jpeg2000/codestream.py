@@ -325,6 +325,12 @@ def parse_main_header(data: bytes, pos: int):
                 raise ValueError("J2K: precinct partitions not supported")
             if style != 0:
                 raise ValueError("J2K: non-default code-block style")
+            # range checks: corrupted bytes here would otherwise drive
+            # gigantic geometry loops (levels/cblk are exponents)
+            if levels > 32:
+                raise ValueError("J2K: decomposition levels > 32")
+            if cbw > 8 or cbh > 8 or prog > 4:
+                raise ValueError("J2K: invalid COD parameters")
             cp = CodingParams(
                 levels=levels,
                 reversible=(transform == 0),
@@ -392,6 +398,8 @@ def iter_tile_parts(data: bytes, pos: int):
             ln = struct.unpack_from(">H", data, q + 2)[0]
             q += 2 + ln
         yield isot, data[q:tile_end]
+        if tile_end <= pos:  # corrupted Psot must not stall the walk
+            raise ValueError("J2K: non-advancing tile-part length")
         pos = tile_end
 
 

@@ -394,6 +394,8 @@ def decode_j2k(
         pdec = PacketDecoder(siz, cp, resolutions)
         br = HeaderBitReader(tdata, 0)
         for l, r, c in _prog_iter(cp, C):
+            if br.pos > len(tdata):
+                raise ValueError("J2K: tile data exhausted mid-packet")
             pdec.read_packet(br, c, r, l)
 
         # T1 decode all codeblocks in parallel, then dequant + IDWT

@@ -118,21 +118,32 @@ class PacketDecoder:
                     continue
                 if not cb.included:
                     # zero bitplanes: raise threshold until resolved
+                    # (bounded — exhausted data reads as zeros and would
+                    # otherwise chase the threshold forever)
                     k = 1
                     while not ps.zbp.decode(br, x, y, k):
                         k += 1
+                        if k > 64:
+                            raise ValueError("J2K: runaway zero-bitplane tree")
                     cb.zero_bps = ps.zbp.leaf_value(x, y)
                     cb.included = True
                 npasses = _npasses_read(br)
-                # length-indicator increments
+                # length-indicator increments (bounded: corrupted headers
+                # must not spin or produce absurd lengths)
                 while br.get_bit():
                     cb.lblock += 1
+                    if cb.lblock > 32:
+                        raise ValueError("J2K: runaway Lblock")
                 nbits = cb.lblock + _floor_log2(npasses)
+                if nbits > 32:
+                    raise ValueError("J2K: absurd segment length field")
                 seg_len = br.get_bits(nbits)
                 cb.num_passes += npasses
                 body_reads.append((cb, seg_len))
         br.align()
         for cb, seg_len in body_reads:
+            if br.pos + seg_len > len(br.data):
+                raise ValueError("J2K: packet body past end of tile data")
             cb.segments.append(br.data[br.pos : br.pos + seg_len])
             br.pos += seg_len
 

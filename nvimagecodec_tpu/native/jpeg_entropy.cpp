@@ -318,10 +318,14 @@ bool Decoder::parse_and_decode() {
         if (!have_sof) return false;
         Scan s;
         s.ncomp = seg[0];
-        if (s.ncomp > 4) return false;
+        // bounds: a corrupted SOS must fail cleanly, not index out of
+        // range (ss/se drive kNat[] indexing; table ids index [4] arrays)
+        if (s.ncomp < 1 || s.ncomp > 4) return false;
+        if (seg + 4 + 2 * s.ncomp > segend) return false;
         for (int j = 0; j < s.ncomp; j++) {
           int cid = seg[1 + 2 * j];
           int tt = seg[2 + 2 * j];
+          if ((tt >> 4) > 3 || (tt & 15) > 3) return false;
           int idx = -1;
           for (int c = 0; c < ncomp; c++)
             if (comps[c].id == cid) idx = c;
@@ -332,11 +336,29 @@ bool Decoder::parse_and_decode() {
           s.dc[j] = dc_tbl[tt >> 4];
           s.ac[j] = ac_tbl[tt & 15];
         }
+        // every table a scan will actually consult must have been defined
+        // (an undefined HuffTable holds uninitialized LUT memory)
+        for (int j = 0; j < s.ncomp; j++) {
+          bool need_dc = (seg[1 + 2 * s.ncomp] == 0) &&
+                         ((seg[3 + 2 * s.ncomp] >> 4) == 0);
+          bool need_ac = seg[2 + 2 * s.ncomp] > 0;
+          if (need_dc && !s.dc[j].valid) return false;
+          if (need_ac && !s.ac[j].valid) return false;
+        }
         s.ss = seg[1 + 2 * s.ncomp];
         s.se = seg[2 + 2 * s.ncomp];
         int ahal = seg[3 + 2 * s.ncomp];
         s.ah = ahal >> 4;
         s.al = ahal & 15;
+        if (s.ss > 63 || s.se > 63 || s.ss > s.se) return false;
+        if (progressive) {
+          // T.81 G.1: DC scans are (0,0); AC scans exclude coefficient 0
+          if (s.ss == 0 && s.se != 0) return false;
+          if (s.ss > 0 && s.ncomp != 1) return false;
+          if (s.al > 13 || s.ah > 13) return false;
+        } else {
+          if (s.ss != 0 || s.se != 63) return false;
+        }
         s.restart_interval = restart_interval;
         s.data_start = segend;
         // find end: next marker that is not RST/stuffing

@@ -191,6 +191,7 @@ int tic_jpeg_lossless_decode(const uint8_t* data, size_t len, uint16_t* out,
         int tc = q[0] >> 4, th = q[0] & 15;
         int nv = 0;
         for (int i = 1; i <= 16; i++) nv += q[i];
+        if (nv > 256 || q + 17 + nv > segend) return 13;
         if (tc == 0 && th < 4) tables[th].build(q + 1, q + 17, nv);
         q += 17 + nv;
       }
@@ -200,9 +201,11 @@ int tic_jpeg_lossless_decode(const uint8_t* data, size_t len, uint16_t* out,
       if (!have_sof) return 6;
       int ns = seg[0];
       int scomp[4], stbl[4];
+      if (ns < 1 || ns > 4 || seg + 4 + 2 * ns > segend) return 7;
       for (int j = 0; j < ns; j++) {
         int cs = seg[1 + 2 * j];
         int td = seg[2 + 2 * j] >> 4;
+        if (td > 3) return 7;  // tables[] has 4 slots
         int idx = -1;
         for (int c = 0; c < ncomp; c++)
           if (comps[c].id == cs) idx = c;
