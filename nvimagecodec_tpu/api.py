@@ -36,8 +36,10 @@ _EXT_TO_CODEC = {
     "j2k": "jpeg2k",
     "jpeg2000": "jpeg2k",
     "jpg": "jpeg",
+    "png": "png",
     ".png": "png",
     ".tif": "tiff",
+    "tif": "tiff",
     ".tiff": "tiff",
     ".webp": "webp",
 }

@@ -62,7 +62,7 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("-i", "--input", required=True, help="input file or dir")
     p.add_argument("-o", "--output", default=".", help="output file or dir")
     p.add_argument("-c", "--output_codec", default="bmp",
-                   help="bmp|pnm|jpeg|jpeg2k|jp2|j2k")
+                   help="bmp|pnm|png|tiff|jpeg|jpeg2k|jp2|j2k")
     p.add_argument("-q", "--quality", type=float, default=95)
     p.add_argument("--psnr", type=float, default=50)
     p.add_argument("--chroma_subsampling", default=None,
@@ -78,7 +78,7 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("-v", "--verbose", action="store_true")
 
 
-_EXT = {"bmp": ".bmp", "pnm": ".ppm", "jpeg": ".jpg", "jpg": ".jpg",
+_EXT = {"bmp": ".bmp", "pnm": ".ppm", "jpeg": ".jpg", "jpg": ".jpg", "png": ".png", "tiff": ".tif", "tif": ".tif",
         "jpeg2k": ".j2k", "j2k": ".j2k", "jp2": ".jp2"}
 
 

@@ -23,6 +23,8 @@ from ..core.interfaces import (
     DecodeParams,
     DecodeResult,
     DecoderPlugin,
+    EncodeResult,
+    EncoderPlugin,
 )
 from ..core.types import BackendKind, Priority, ProcessingStatus
 
@@ -231,6 +233,107 @@ def decode_png(data: bytes) -> Tuple[np.ndarray, PngStream]:
     return img, ps
 
 
+# ------------------------------------------------------------------ encode
+def encode_png(img: np.ndarray, compress_level: int = 6) -> bytes:
+    """Encode [H,W], [H,W,2], [H,W,3] or [H,W,4] u8/u16 → PNG bytes.
+
+    (The reference has no PNG encoder — its encode matrix is bmp/pnm/jpeg/
+    jpeg2k — but a drop-in replacement's users expect one.) Per-row adaptive
+    filtering with the minimum-sum-of-absolute-differences heuristic over
+    the five RFC 2083 filters, vectorized across each row; zlib for the
+    DEFLATE stage.
+    """
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, ch = img.shape
+    if img.dtype == np.uint16:
+        bd = 16
+        raw = np.ascontiguousarray(img).astype(">u2").view(np.uint8)
+        raw = raw.reshape(h, w * ch * 2)
+        bpp = ch * 2
+    else:
+        bd = 8
+        raw = np.ascontiguousarray(img, np.uint8).reshape(h, w * ch)
+        bpp = ch
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+
+    rowbytes = raw.shape[1]
+    prev = np.zeros(rowbytes, np.int32)
+    out_rows = []
+    for y in range(h):
+        cur = raw[y].astype(np.int32)
+        left = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
+        upl = np.concatenate([np.zeros(bpp, np.int32), prev[:-bpp]])
+        cand = [
+            (0, cur),
+            (1, (cur - left) & 0xFF),
+            (2, (cur - prev) & 0xFF),
+            (3, (cur - ((left + prev) >> 1)) & 0xFF),
+        ]
+        pp = left + prev - upl
+        pa = np.abs(pp - left)
+        pb = np.abs(pp - prev)
+        pc = np.abs(pp - upl)
+        paeth = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upl))
+        cand.append((4, (cur - paeth) & 0xFF))
+        # minimum sum of absolute differences (bytes as signed)
+        best_f, best_row, best_cost = 0, cand[0][1], None
+        for f, row in cand:
+            signed = np.where(row > 127, 256 - row, row)
+            cost = int(signed.sum())
+            if best_cost is None or cost < best_cost:
+                best_f, best_row, best_cost = f, row, cost
+        out_rows.append(bytes([best_f]) + best_row.astype(np.uint8).tobytes())
+        prev = cur
+    payload = zlib.compress(b"".join(out_rows), compress_level)
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    out = bytearray(PNG_SIG)
+    out += chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, bd, color_type, 0, 0, 0))
+    out += chunk(b"IDAT", payload)
+    out += chunk(b"IEND", b"")
+    return bytes(out)
+
+
+class PngEncoder(EncoderPlugin):
+    codec = "png"
+    plugin_id = "cpu_png_encoder"
+    backend_kind = BackendKind.CPU_ONLY
+    priority = Priority.NORMAL
+
+    def can_encode(self, image_batch, info_batch, params):
+        out = []
+        for img in image_batch:
+            a = np.asarray(img)
+            ok = a.dtype in (np.uint8, np.uint16) and (
+                a.ndim == 2 or (a.ndim == 3 and a.shape[-1] in (1, 2, 3, 4))
+            )
+            out.append(
+                ProcessingStatus.SUCCESS
+                if ok
+                else ProcessingStatus.FAIL | ProcessingStatus.SAMPLE_TYPE_UNSUPPORTED
+            )
+        return out
+
+    def encode_batch(self, image_batch, info_batch, params):
+        out = []
+        for img in image_batch:
+            try:
+                out.append(
+                    EncodeResult(
+                        ProcessingStatus.SUCCESS, encode_png(np.asarray(img))
+                    )
+                )
+            except Exception as e:
+                out.append(EncodeResult(ProcessingStatus.FAIL, error=str(e)))
+        return out
+
+
 class PngCpuDecoder(DecoderPlugin):
     """CPU PNG decoder (the reference's PNG path is CPU-only too)."""
 
@@ -270,3 +373,4 @@ class PngCpuDecoder(DecoderPlugin):
 
 def register(registry) -> None:
     registry.codec("png").register_decoder(PngCpuDecoder())
+    registry.codec("png").register_encoder(PngEncoder())

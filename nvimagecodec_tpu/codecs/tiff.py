@@ -15,7 +15,13 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
-from ..core.interfaces import DecodeParams, DecodeResult, DecoderPlugin
+from ..core.interfaces import (
+    DecodeParams,
+    DecodeResult,
+    DecoderPlugin,
+    EncodeResult,
+    EncoderPlugin,
+)
 from ..core.types import BackendKind, Priority, ProcessingStatus
 
 # tag ids
@@ -285,6 +291,121 @@ def decode_tiff(data: bytes) -> np.ndarray:
     return img
 
 
+# ------------------------------------------------------------------ encode
+def encode_tiff(img: np.ndarray, compression: int = 8,
+                rows_per_strip: int = 64) -> bytes:
+    """Encode [H,W] / [H,W,C] u8/u16 → little-endian TIFF (strips; 
+    compression 1 = none or 8 = Deflate). The reference has no TIFF encoder
+    (its matrix is bmp/pnm/jpeg/jpeg2k); provided for drop-in completeness.
+    """
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, ch = img.shape
+    bd = 16 if img.dtype == np.uint16 else 8
+    body = np.ascontiguousarray(img)
+    if bd == 16:
+        body = body.astype("<u2")
+
+    strips = []
+    for y0 in range(0, h, rows_per_strip):
+        raw = body[y0 : y0 + rows_per_strip].tobytes()
+        strips.append(zlib.compress(raw) if compression == 8 else raw)
+
+    extra = ch in (2, 4)  # alpha channel → ExtraSamples tag
+    ntags = 11 + (1 if extra else 0)
+    # layout: header(8) + IFD + offset arrays + pixel data
+    ifd_off = 8
+    after_ifd = ifd_off + 2 + ntags * 12 + 4
+    nstrips = len(strips)
+    counts_off = after_ifd
+    offsets_off = counts_off + 4 * nstrips
+    data_off = offsets_off + 4 * nstrips
+    strip_offsets = []
+    pos = data_off
+    for sdata in strips:
+        strip_offsets.append(pos)
+        pos += len(sdata)
+
+    def tag(tid, typ, n, val):
+        return struct.pack("<HHI", tid, typ, n) + val
+
+    def short(v):
+        return struct.pack("<HH", v, 0)
+
+    def long_(v):
+        return struct.pack("<I", v)
+
+    bps_off = None
+    entries = []
+    entries.append(tag(256, 3, 1, short(w)))
+    entries.append(tag(257, 3, 1, short(h)))
+    if ch == 1:
+        entries.append(tag(258, 3, 1, short(bd)))
+    else:
+        # per-channel BitsPerSample array lives after strip offsets
+        bps_off = pos
+        entries.append(tag(258, 3, ch, long_(bps_off)))
+        pos += 2 * ch
+    entries.append(tag(259, 3, 1, short(compression)))
+    entries.append(tag(262, 3, 1, short(2 if ch >= 3 else 1)))
+    entries.append(tag(273, 4, nstrips, long_(
+        offsets_off if nstrips > 1 else strip_offsets[0])))
+    entries.append(tag(277, 3, 1, short(ch)))
+    entries.append(tag(278, 3, 1, short(rows_per_strip)))
+    entries.append(tag(279, 4, nstrips, long_(
+        counts_off if nstrips > 1 else len(strips[0]))))
+    entries.append(tag(284, 3, 1, short(1)))
+    if extra:
+        entries.append(tag(338, 3, 1, short(2)))  # unassociated alpha
+    entries.append(tag(339, 3, 1, short(1)))  # unsigned integer samples
+
+    out = bytearray(b"II*\x00" + struct.pack("<I", ifd_off))
+    out += struct.pack("<H", ntags) + b"".join(entries) + struct.pack("<I", 0)
+    for sdata in strips:
+        out += struct.pack("<I", len(sdata))
+    for off in strip_offsets:
+        out += struct.pack("<I", off)
+    for sdata in strips:
+        out += sdata
+    if bps_off is not None:
+        out += struct.pack(f"<{ch}H", *([bd] * ch))
+    return bytes(out)
+
+
+class TiffEncoder(EncoderPlugin):
+    codec = "tiff"
+    plugin_id = "cpu_tiff_encoder"
+    backend_kind = BackendKind.CPU_ONLY
+    priority = Priority.NORMAL
+
+    def can_encode(self, image_batch, info_batch, params):
+        out = []
+        for img in image_batch:
+            a = np.asarray(img)
+            ok = a.dtype in (np.uint8, np.uint16) and (
+                a.ndim == 2 or (a.ndim == 3 and a.shape[-1] in (1, 2, 3, 4))
+            )
+            out.append(
+                ProcessingStatus.SUCCESS
+                if ok
+                else ProcessingStatus.FAIL | ProcessingStatus.SAMPLE_TYPE_UNSUPPORTED
+            )
+        return out
+
+    def encode_batch(self, image_batch, info_batch, params):
+        out = []
+        for img in image_batch:
+            try:
+                out.append(
+                    EncodeResult(
+                        ProcessingStatus.SUCCESS, encode_tiff(np.asarray(img))
+                    )
+                )
+            except Exception as e:
+                out.append(EncodeResult(ProcessingStatus.FAIL, error=str(e)))
+        return out
+
+
 class TiffCpuDecoder(DecoderPlugin):
     codec = "tiff"
     plugin_id = "cpu_tiff_decoder"
@@ -323,3 +444,4 @@ class TiffCpuDecoder(DecoderPlugin):
 
 def register(registry) -> None:
     registry.codec("tiff").register_decoder(TiffCpuDecoder())
+    registry.codec("tiff").register_encoder(TiffEncoder())

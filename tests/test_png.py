@@ -212,3 +212,37 @@ def test_u16_default_depth_reduction():
     # allow_any_depth keeps u16
     out16 = nic.Decoder().decode(data, DecodeParams(allow_any_depth=True))
     assert np.asarray(out16).dtype == np.uint16
+
+
+@pytest.mark.parametrize(
+    "shape_dtype",
+    [("rgb8", None), ("gray8", None), ("rgba8", None), ("rgb16", None), ("ga8", None)],
+)
+def test_encoder_bit_exact_via_libpng(shape_dtype):
+    """Our PNG encoder's streams must decode bit-exact in libpng."""
+    from nvimagecodec_tpu.codecs.png import encode_png
+
+    kind, _ = shape_dtype
+    img = make_photo(75, 103, seed=4)
+    pix = {
+        "rgb8": img,
+        "gray8": img[..., 0],
+        "rgba8": np.dstack([img, img[..., 0]]),
+        "rgb16": (img.astype(np.uint16) << 8) | img,
+        "ga8": np.dstack([img[..., 0], img[..., 1]]),
+    }[kind]
+    data = encode_png(pix)
+    assert np.array_equal(oracle.png_decode(data).squeeze(), pix.squeeze())
+
+
+def test_encoder_public_api_roundtrip(tmp_path):
+    import nvimagecodec_tpu as nic
+
+    img = make_photo(40, 52, seed=8)
+    enc, dec = nic.Encoder(), nic.Decoder()
+    data = enc.encode(img, codec="png")
+    assert data is not None and data[:8] == b"\x89PNG\r\n\x1a\n"
+    assert np.array_equal(np.asarray(dec.decode(data)), img)
+    p = tmp_path / "x.png"
+    enc.write(p, img)
+    assert np.array_equal(np.asarray(dec.read(str(p))), img)

@@ -164,3 +164,29 @@ def test_public_api(img):
     assert (info.height, info.width) == (53, 71)
     out = nic.Decoder().decode(data)
     assert np.array_equal(np.asarray(out), img)
+
+
+@pytest.mark.parametrize("comp", [1, 8])
+def test_encoder_bit_exact_via_libtiff(img, comp):
+    """Our TIFF encoder's streams must decode bit-exact in libtiff AND in
+    our own decoder (the reference has no TIFF encoder; completeness)."""
+    from nvimagecodec_tpu.codecs.tiff import encode_tiff
+
+    gray = img[..., 0]
+    img16 = (img.astype(np.uint16) << 8) | img
+    for pix in (img, gray, np.dstack([img, gray]), img16):
+        data = encode_tiff(pix, compression=comp)
+        assert np.array_equal(oracle.tiff_decode(data).squeeze(), pix.squeeze())
+        assert np.array_equal(decode_tiff(data).squeeze(), pix.squeeze())
+
+
+def test_encoder_public_api(img, tmp_path):
+    import nvimagecodec_tpu as nic
+
+    enc, dec = nic.Encoder(), nic.Decoder()
+    data = enc.encode(img, codec="tiff")
+    assert data is not None and data[:4] == b"II*\x00"
+    assert np.array_equal(np.asarray(dec.decode(data)), img)
+    p = tmp_path / "x.tif"
+    enc.write(p, img)
+    assert np.array_equal(np.asarray(dec.read(str(p))), img)
