@@ -42,6 +42,7 @@ _EXT_TO_CODEC = {
     "tif": "tiff",
     ".tiff": "tiff",
     ".webp": "webp",
+    "webp": "webp",
 }
 
 

@@ -16,7 +16,13 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 
-from ..core.interfaces import DecodeParams, DecodeResult, DecoderPlugin
+from ..core.interfaces import (
+    DecodeParams,
+    DecodeResult,
+    DecoderPlugin,
+    EncodeResult,
+    EncoderPlugin,
+)
 from ..core.types import BackendKind, Priority, ProcessingStatus
 
 # order in which code-length code lengths are stored
@@ -496,6 +502,288 @@ def decode_webp_lossless(data: bytes) -> np.ndarray:
     raise ValueError("WebP: no VP8L chunk (lossy VP8 handled by fallback)")
 
 
+
+
+# ------------------------------------------------------------------ encode
+class BitWriterLSB:
+    """LSB-first bit writer (VP8L payload convention)."""
+
+    __slots__ = ("out", "acc", "n")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def bits(self, v: int, k: int) -> None:
+        self.acc |= (v & ((1 << k) - 1)) << self.n
+        self.n += k
+        while self.n >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.n -= 8
+
+    def finish(self) -> bytes:
+        if self.n:
+            self.out.append(self.acc & 0xFF)
+        return bytes(self.out)
+
+
+def _limited_huffman_lengths(freq: np.ndarray, max_len: int = 15) -> np.ndarray:
+    """Code lengths from frequencies, limited to max_len (same
+    merge-then-push-down algorithm as the JPEG optimized-table path)."""
+    n = len(freq)
+    lengths = np.zeros(n, np.int32)
+    nz = np.nonzero(freq)[0]
+    if len(nz) == 0:
+        return lengths
+    if len(nz) == 1:
+        lengths[nz[0]] = 1
+        return lengths
+    import heapq
+
+    heap = [(int(freq[i]), int(i), (int(i),)) for i in nz]
+    heapq.heapify(heap)
+    while len(heap) > 1:
+        f1, _, s1 = heapq.heappop(heap)
+        f2, _, s2 = heapq.heappop(heap)
+        for sym in s1 + s2:
+            lengths[sym] += 1
+        heapq.heappush(heap, (f1 + f2, min(s1 + s2), s1 + s2))
+    # push over-long codes down (Kraft-preserving adjustment)
+    while lengths.max() > max_len:
+        over = np.argmax(lengths)
+        lengths[over] -= 1
+        # find deepest leaf shallower than max_len-1 to deepen
+        cand = np.where((lengths > 0) & (lengths < max_len) &
+                        (np.arange(n) != over))[0]
+        deepen = cand[np.argmax(lengths[cand])]
+        lengths[deepen] += 1
+        # verify Kraft; if violated, revert via full redistribution
+        if np.sum(np.where(lengths > 0, 2.0 ** (-lengths.astype(float)), 0)) > 1.0 + 1e-12:
+            lengths[over] += 1
+            lengths[deepen] -= 1
+            # flatten everything long to max_len then fix greedily
+            lengths = np.where(lengths > max_len, max_len, lengths)
+            while np.sum(np.where(lengths > 0, 2.0 ** (-lengths.astype(float)), 0)) > 1.0 + 1e-12:
+                i = int(np.argmin(np.where(lengths > 0, lengths, 99)))
+                lengths[i] += 1
+    return lengths
+
+
+def _write_prefix_code(bw: BitWriterLSB, lengths: np.ndarray) -> None:
+    """Emit one prefix code: simple form for <=2 symbols, else the
+    code-length-code form (RFC 9649 §3.5)."""
+    syms = np.nonzero(lengths)[0]
+    if len(syms) <= 2 and (len(syms) == 0 or syms.max() <= 255):
+        bw.bits(1, 1)  # simple
+        nsym = max(1, len(syms))
+        bw.bits(len(syms) - 1 if len(syms) else 0, 1)
+        first = int(syms[0]) if len(syms) else 0
+        if first <= 1 and len(syms):
+            bw.bits(0, 1)  # 1-bit first symbol
+            bw.bits(first, 1)
+        else:
+            bw.bits(1, 1)
+            bw.bits(first, 8)
+        if len(syms) == 2:
+            bw.bits(int(syms[1]), 8)
+        return
+
+    bw.bits(0, 1)  # normal form
+    # RLE the length array with 16 (repeat prev non-zero), 17/18 (zero runs)
+    tokens = []  # (symbol, extra_value, extra_bits)
+    i = 0
+    n = len(lengths)
+    prev_nz = 8
+    while i < n:
+        l = int(lengths[i])
+        if l == 0:
+            run = 1
+            while i + run < n and lengths[i + run] == 0:
+                run += 1
+            i += run
+            while run >= 11:
+                r = min(run, 138)
+                tokens.append((18, r - 11, 7))
+                run -= r
+            if run >= 3:
+                tokens.append((17, run - 3, 3))
+                run = 0
+            for _ in range(run):
+                tokens.append((0, 0, 0))
+        else:
+            tokens.append((l, 0, 0))
+            prev = l
+            i += 1
+            run = 0
+            while i + run < n and lengths[i + run] == prev:
+                run += 1
+            reps = run
+            i += run
+            while reps >= 3:
+                r = min(reps, 6)
+                tokens.append((16, r - 3, 2))
+                reps -= r
+            for _ in range(reps):
+                tokens.append((prev, 0, 0))
+    clc_freq = np.zeros(19, np.int64)
+    for sym, _, _ in tokens:
+        clc_freq[sym] += 1
+    clc_len = _limited_huffman_lengths(clc_freq, 7)
+    # emit CLC lengths in the fixed order, trimmed
+    order_pos = {s: i for i, s in enumerate(_CLC_ORDER)}
+    ordered = [int(clc_len[s]) for s in _CLC_ORDER]
+    num = 19
+    while num > 4 and ordered[num - 1] == 0:
+        num -= 1
+    bw.bits(num - 4, 4)
+    for i in range(num):
+        bw.bits(ordered[i], 3)
+    clc = PrefixCode(list(clc_len))
+    codes = _canonical_codes(clc_len)
+    bw.bits(0, 1)  # no explicit max_symbol
+    for sym, extra, nbits in tokens:
+        c, l = codes[sym]
+        bw.bits(_reverse_bits(c, l), l)
+        if nbits:
+            bw.bits(extra, nbits)
+
+
+def _canonical_codes(lengths) -> dict:
+    """{symbol: (code, length)} canonical (sorted by length then symbol)."""
+    pairs = sorted(
+        (int(l), s) for s, l in enumerate(lengths) if l
+    )
+    codes = {}
+    code = 0
+    prev_len = 0
+    for l, s in pairs:
+        code <<= (l - prev_len)
+        codes[s] = (code, l)
+        code += 1
+        prev_len = l
+    return codes
+
+
+def _reverse_bits(v: int, n: int) -> int:
+    """Prefix-code bits are written so the decoder's MSB-first per-bit walk
+    sees them in order; with an LSB-first byte writer that means emitting
+    the code MSB-first bit by bit (i.e. bit-reversed as one field)."""
+    r = 0
+    for _ in range(n):
+        r = (r << 1) | (v & 1)
+        v >>= 1
+    return r
+
+
+def encode_webp_lossless(img: np.ndarray) -> bytes:
+    """Encode [H,W,3] or [H,W,4] u8 → lossless WebP (VP8L).
+
+    Minimal-but-valid stream: subtract-green transform + one prefix-code
+    group of order-0 optimized codes (no LZ77/palette/predictor — decoders
+    are agnostic; compression is entropy-bound). The reference cannot encode
+    WebP at all; this rounds out the drop-in matrix.
+    """
+    if img.ndim == 2:
+        img = np.dstack([img] * 3)
+    h, w, ch = img.shape
+    has_alpha = ch == 4
+    r = img[..., 0].astype(np.int32)
+    g = img[..., 1].astype(np.int32)
+    b = img[..., 2].astype(np.int32)
+    a = img[..., 3].astype(np.int32) if has_alpha else np.full((h, w), 255, np.int32)
+    # subtract-green (forward)
+    r_ = (r - g) & 0xFF
+    b_ = (b - g) & 0xFF
+
+    bw = BitWriterLSB()
+    bw.bits(0x2F, 8)
+    bw.bits(w - 1, 14)
+    bw.bits(h - 1, 14)
+    bw.bits(1 if has_alpha else 0, 1)
+    bw.bits(0, 3)  # version
+    bw.bits(1, 1)  # transform present
+    bw.bits(2, 2)  # subtract-green
+    bw.bits(0, 1)  # no more transforms
+    bw.bits(0, 1)  # no color cache
+    bw.bits(0, 1)  # no meta-prefix
+
+    def hist(vals, size):
+        f = np.zeros(size, np.int64)
+        np.add.at(f, vals.reshape(-1), 1)
+        return f
+
+    green_len = _limited_huffman_lengths(hist(g, 280))
+    red_len = _limited_huffman_lengths(hist(r_, 256))
+    blue_len = _limited_huffman_lengths(hist(b_, 256))
+    alpha_len = _limited_huffman_lengths(hist(a, 256))
+    dist_len = np.zeros(40, np.int32)
+    dist_len[0] = 1  # unused, single-symbol code
+    for lens in (green_len, red_len, blue_len, alpha_len, dist_len):
+        _write_prefix_code(bw, lens)
+
+    gc = _canonical_codes(green_len)
+    rc = _canonical_codes(red_len)
+    bc = _canonical_codes(blue_len)
+    ac = _canonical_codes(alpha_len)
+    single_alpha = len(ac) == 1
+
+    gf, rf, bf, af = g.reshape(-1), r_.reshape(-1), b_.reshape(-1), a.reshape(-1)
+    for i in range(gf.shape[0]):
+        c, l = gc[int(gf[i])]
+        bw.bits(_reverse_bits(c, l), l)
+        c, l = rc[int(rf[i])]
+        bw.bits(_reverse_bits(c, l), l)
+        c, l = bc[int(bf[i])]
+        bw.bits(_reverse_bits(c, l), l)
+        if not single_alpha:
+            c, l = ac[int(af[i])]
+            bw.bits(_reverse_bits(c, l), l)
+    payload = bw.finish()
+
+    riff = b"VP8L" + len(payload).to_bytes(4, "little") + payload
+    if len(payload) & 1:
+        riff += b"\x00"
+    out = b"RIFF" + (len(riff) + 4).to_bytes(4, "little") + b"WEBP" + riff
+    return out
+
+
+class WebpLosslessEncoder(EncoderPlugin):
+    codec = "webp"
+    plugin_id = "tpu_webp_lossless_encoder"
+    backend_kind = BackendKind.CPU_ONLY
+    priority = Priority.NORMAL
+
+    def can_encode(self, image_batch, info_batch, params):
+        out = []
+        for img in image_batch:
+            arr = np.asarray(img)
+            ok = arr.dtype == np.uint8 and (
+                arr.ndim == 2 or (arr.ndim == 3 and arr.shape[-1] in (3, 4))
+            )
+            out.append(
+                ProcessingStatus.SUCCESS
+                if ok
+                else ProcessingStatus.FAIL | ProcessingStatus.SAMPLE_TYPE_UNSUPPORTED
+            )
+        return out
+
+    def encode_batch(self, image_batch, info_batch, params):
+        out = []
+        for img in image_batch:
+            try:
+                out.append(
+                    EncodeResult(
+                        ProcessingStatus.SUCCESS,
+                        encode_webp_lossless(np.asarray(img)),
+                    )
+                )
+            except Exception as e:
+                out.append(EncodeResult(ProcessingStatus.FAIL, error=str(e)))
+        return out
+
+
 class WebpLosslessDecoder(DecoderPlugin):
     codec = "webp"
     plugin_id = "tpu_webp_lossless_decoder"
@@ -540,3 +828,4 @@ class WebpLosslessDecoder(DecoderPlugin):
 
 def register(registry) -> None:
     registry.codec("webp").register_decoder(WebpLosslessDecoder())
+    registry.codec("webp").register_encoder(WebpLosslessEncoder())

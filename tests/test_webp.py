@@ -67,3 +67,36 @@ def test_public_api_lossless_and_lossy():
         ref = oracle.webp_decode_rgba(lossy)[..., :3]
         assert np.asarray(out).shape == ref.shape
         assert np.array_equal(np.asarray(out), ref)
+
+
+def test_encoder_bit_exact_via_libwebp():
+    """Our VP8L encoder's streams must decode bit-exact in libwebp and in
+    our own decoder (RGB and RGBA)."""
+    from nvimagecodec_tpu.codecs.webp import (
+        decode_webp_lossless,
+        encode_webp_lossless,
+    )
+
+    img = make_photo(40, 56, seed=1)
+    for pix in (img, np.dstack([img, img[..., 0]])):
+        data = encode_webp_lossless(pix)
+        ref = oracle.webp_decode_rgba(data)
+        want = pix if pix.shape[-1] == 4 else pix
+        got = ref if pix.shape[-1] == 4 else ref[..., :3]
+        assert np.array_equal(got, want)
+        own = decode_webp_lossless(data)
+        own = own[..., : pix.shape[-1]] if own.shape[-1] > pix.shape[-1] else own
+        assert np.array_equal(own, pix)
+
+
+def test_encoder_public_api(tmp_path):
+    import nvimagecodec_tpu as nic
+
+    img = make_photo(30, 44, seed=3)
+    enc, dec = nic.Encoder(), nic.Decoder()
+    data = enc.encode(img, codec="webp")
+    assert data is not None and data[:4] == b"RIFF"
+    assert np.array_equal(np.asarray(dec.decode(data)), img)
+    p = tmp_path / "x.webp"
+    enc.write(p, img)
+    assert np.array_equal(np.asarray(dec.read(str(p))), img)
