@@ -296,45 +296,51 @@ static void sc_context(int hc, int vc, int* cx, int* xorbit) {
 // ----------------------------------------------------------- block state
 struct T1 {
   int w, h, band;
-  std::vector<uint8_t> sig;      // significance
-  std::vector<uint8_t> sgn;      // sign bit (1 = negative)
+  int ws;                        // padded stride = w + 2
+  std::vector<uint8_t> sig;      // significance, (w+2)x(h+2) zero border
+  std::vector<int8_t> sgnc;      // sign contribution: 0 insig, +1, -1 (padded)
   std::vector<uint8_t> visited;  // coded in current bitplane's SPP
   std::vector<uint8_t> refined;  // has been refined at least once
   std::vector<int32_t> mag;
+  std::vector<uint8_t> sgn;      // sign bit per pixel (unpadded)
 
   void reset(int w_, int h_, int band_) {
     w = w_;
     h = h_;
     band = band_;
-    sig.assign((size_t)w * h, 0);
-    sgn.assign((size_t)w * h, 0);
+    ws = w + 2;
+    sig.assign((size_t)ws * (h + 2), 0);
+    sgnc.assign((size_t)ws * (h + 2), 0);
     visited.assign((size_t)w * h, 0);
     refined.assign((size_t)w * h, 0);
     mag.assign((size_t)w * h, 0);
+    sgn.assign((size_t)w * h, 0);
   }
 
-  inline int at(const std::vector<uint8_t>& m, int x, int y) const {
-    if (x < 0 || y < 0 || x >= w || y >= h) return 0;
-    return m[(size_t)y * w + x];
+  inline size_t pi(int x, int y) const {
+    return (size_t)(y + 1) * ws + (x + 1);
   }
 
-  void neighborhood(int x, int y, int* hs, int* vs, int* ds) const {
-    *hs = at(sig, x - 1, y) + at(sig, x + 1, y);
-    *vs = at(sig, x, y - 1) + at(sig, x, y + 1);
-    *ds = at(sig, x - 1, y - 1) + at(sig, x + 1, y - 1) +
-          at(sig, x - 1, y + 1) + at(sig, x + 1, y + 1);
+  inline bool is_sig(int x, int y) const { return sig[pi(x, y)] != 0; }
+
+  inline void mark_sig(int x, int y, int negative) {
+    sig[pi(x, y)] = 1;
+    sgnc[pi(x, y)] = negative ? -1 : 1;
+    sgn[(size_t)y * w + x] = (uint8_t)negative;
   }
 
-  void sign_contrib(int x, int y, int* hc, int* vc) const {
-    auto contrib = [&](int xx, int yy) -> int {
-      if (xx < 0 || yy < 0 || xx >= w || yy >= h) return 0;
-      size_t i = (size_t)yy * w + xx;
-      if (!sig[i]) return 0;
-      return sgn[i] ? -1 : 1;
-    };
-    int l = contrib(x - 1, y), r = contrib(x + 1, y);
-    int u = contrib(x, y - 1), d = contrib(x, y + 1);
-    int hsum = l + r, vsum = u + d;
+  // padded unchecked neighbor sums (border cells are zero)
+  inline void neighborhood(int x, int y, int* hs, int* vs, int* ds) const {
+    const uint8_t* c = &sig[pi(x, y)];
+    *hs = c[-1] + c[1];
+    *vs = c[-ws] + c[ws];
+    *ds = c[-ws - 1] + c[-ws + 1] + c[ws - 1] + c[ws + 1];
+  }
+
+  inline void sign_contrib(int x, int y, int* hc, int* vc) const {
+    const int8_t* c = &sgnc[pi(x, y)];
+    int hsum = c[-1] + c[1];
+    int vsum = c[-ws] + c[ws];
     *hc = hsum > 0 ? 1 : hsum < 0 ? -1 : 0;
     *vc = vsum > 0 ? 1 : vsum < 0 ? -1 : 0;
   }
@@ -349,6 +355,7 @@ struct T1Decoder : T1 {
     sign_contrib(x, y, &hc, &vc);
     sc_context(hc, vc, &cx, &xorbit);
     int bit = mq.decode(cx);
+    sgnc[pi(x, y)] = (int8_t)((bit ^ xorbit) ? -1 : 1);
     sgn[(size_t)y * w + x] = (uint8_t)(bit ^ xorbit);
   }
 
@@ -357,13 +364,13 @@ struct T1Decoder : T1 {
       for (int x = 0; x < w; x++)
         for (int y = y0; y < y0 + 4 && y < h; y++) {
           size_t i = (size_t)y * w + x;
-          if (sig[i]) continue;
+          if (sig[pi(x, y)]) continue;
           int hs, vs, ds;
           neighborhood(x, y, &hs, &vs, &ds);
           if (hs + vs + ds == 0) continue;
           int cx = zc_context(band, hs, vs, ds);
           if (mq.decode(cx)) {
-            sig[i] = 1;
+            sig[pi(x, y)] = 1;
             mag[i] |= (int32_t)1 << bp;
             decode_sign(x, y);
           }
@@ -376,7 +383,7 @@ struct T1Decoder : T1 {
       for (int x = 0; x < w; x++)
         for (int y = y0; y < y0 + 4 && y < h; y++) {
           size_t i = (size_t)y * w + x;
-          if (!sig[i] || visited[i]) continue;
+          if (!sig[pi(x, y)] || visited[i]) continue;
           int cx;
           if (!refined[i]) {
             int hs, vs, ds;
@@ -403,7 +410,7 @@ struct T1Decoder : T1 {
             size_t i = (size_t)yy * w + x;
             int hs, vs, ds;
             neighborhood(x, yy, &hs, &vs, &ds);
-            if (sig[i] || visited[i] || hs + vs + ds != 0) {
+            if (sig[pi(x, yy)] || visited[i] || hs + vs + ds != 0) {
               rl = false;
               break;
             }
@@ -416,21 +423,20 @@ struct T1Decoder : T1 {
             }
             int r = (mq.decode(CTX_UNI) << 1) | mq.decode(CTX_UNI);
             y = y0 + r;
-            size_t i = (size_t)y * w + x;
-            sig[i] = 1;
-            mag[i] |= (int32_t)1 << bp;
+            sig[pi(x, y)] = 1;
+            mag[(size_t)y * w + x] |= (int32_t)1 << bp;
             decode_sign(x, y);
             y++;
           }
         }
         for (; y < y0 + 4 && y < h; y++) {
           size_t i = (size_t)y * w + x;
-          if (!sig[i] && !visited[i]) {
+          if (!sig[pi(x, y)] && !visited[i]) {
             int hs, vs, ds;
             neighborhood(x, y, &hs, &vs, &ds);
             int cx = zc_context(band, hs, vs, ds);
             if (mq.decode(cx)) {
-              sig[i] = 1;
+              sig[pi(x, y)] = 1;
               mag[i] |= (int32_t)1 << bp;
               decode_sign(x, y);
             }
@@ -450,7 +456,9 @@ struct T1Encoder : T1 {
     int hc, vc, cx, xorbit;
     sign_contrib(x, y, &hc, &vc);
     sc_context(hc, vc, &cx, &xorbit);
-    mq.encode(cx, sgn[(size_t)y * w + x] ^ xorbit);
+    int neg = sgn[(size_t)y * w + x];
+    mq.encode(cx, neg ^ xorbit);
+    sgnc[pi(x, y)] = (int8_t)(neg ? -1 : 1);
   }
 
   void sig_prop_pass(int bp) {
@@ -458,7 +466,7 @@ struct T1Encoder : T1 {
       for (int x = 0; x < w; x++)
         for (int y = y0; y < y0 + 4 && y < h; y++) {
           size_t i = (size_t)y * w + x;
-          if (sig[i]) continue;
+          if (sig[pi(x, y)]) continue;
           int hs, vs, ds;
           neighborhood(x, y, &hs, &vs, &ds);
           if (hs + vs + ds == 0) continue;
@@ -466,7 +474,7 @@ struct T1Encoder : T1 {
           int bit = (mag[i] >> bp) & 1;
           mq.encode(cx, bit);
           if (bit) {
-            sig[i] = 1;
+            sig[pi(x, y)] = 1;
             encode_sign(x, y);
           }
           visited[i] = 1;
@@ -478,7 +486,7 @@ struct T1Encoder : T1 {
       for (int x = 0; x < w; x++)
         for (int y = y0; y < y0 + 4 && y < h; y++) {
           size_t i = (size_t)y * w + x;
-          if (!sig[i] || visited[i]) continue;
+          if (!sig[pi(x, y)] || visited[i]) continue;
           int cx;
           if (!refined[i]) {
             int hs, vs, ds;
@@ -503,7 +511,7 @@ struct T1Encoder : T1 {
             size_t i = (size_t)yy * w + x;
             int hs, vs, ds;
             neighborhood(x, yy, &hs, &vs, &ds);
-            if (sig[i] || visited[i] || hs + vs + ds != 0) {
+            if (sig[pi(x, yy)] || visited[i] || hs + vs + ds != 0) {
               rl = false;
               break;
             }
@@ -525,22 +533,21 @@ struct T1Encoder : T1 {
             int r = first - y0;
             mq.encode(CTX_UNI, (r >> 1) & 1);
             mq.encode(CTX_UNI, r & 1);
-            size_t i = (size_t)first * w + x;
-            sig[i] = 1;
+            sig[pi(x, first)] = 1;
             encode_sign(x, first);
             y = first + 1;
           }
         }
         for (; y < y0 + 4 && y < h; y++) {
           size_t i = (size_t)y * w + x;
-          if (!sig[i] && !visited[i]) {
+          if (!sig[pi(x, y)] && !visited[i]) {
             int hs, vs, ds;
             neighborhood(x, y, &hs, &vs, &ds);
             int cx = zc_context(band, hs, vs, ds);
             int bit = (mag[i] >> bp) & 1;
             mq.encode(cx, bit);
             if (bit) {
-              sig[i] = 1;
+              sig[pi(x, y)] = 1;
               encode_sign(x, y);
             }
           }

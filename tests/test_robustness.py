@@ -101,3 +101,31 @@ def test_parser_fuzz_random_blobs():
         out = dec.decode(blob)
         if out is not None:
             assert np.asarray(out).ndim in (2, 3)
+
+
+@pytest.mark.parametrize("shape", [(1, 1), (1, 7), (8, 1), (3, 3), (2, 2)])
+def test_edge_sizes_all_codecs(shape):
+    """Tiny/degenerate dimensions through every codec's encode+decode
+    (lossless paths bit-exact; JPEG shape-correct)."""
+    from util import make_photo
+
+    from nvimagecodec_tpu.core.interfaces import (
+        EncodeParams,
+        Jpeg2kEncodeParams,
+    )
+
+    h, w = shape
+    enc, dec = nic.Encoder(), nic.Decoder()
+    img = make_photo(max(h, 8), max(w, 8), seed=1)[:h, :w]
+    for codec in ("bmp", "pnm", "png", "tiff", "webp", "jpeg", "jp2"):
+        params = EncodeParams(quality=95)
+        if codec == "jp2":
+            params = EncodeParams(jpeg2k=Jpeg2kEncodeParams(reversible=True))
+        data = enc.encode(img, codec=codec, params=params)
+        assert data is not None, codec
+        out = dec.decode(data)
+        assert out is not None, codec
+        a = np.asarray(out)
+        assert a.shape[:2] == (h, w), (codec, a.shape)
+        if codec != "jpeg":
+            assert np.array_equal(a, img), codec
