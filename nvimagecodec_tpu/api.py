@@ -55,12 +55,14 @@ class Decoder:
         options: str = "",
         max_num_cpu_threads: int = 0,
         registry: Optional[CodecRegistry] = None,
+        executor=None,
     ):
         self._generic = GenericDecoder(
             registry=registry,
             backends=backends,
             options=options,
             max_num_cpu_threads=max_num_cpu_threads,
+            executor=executor,
         )
 
     # -- single/batch entry points (reference: decoder.cpp:147-253) ---------
@@ -128,12 +130,14 @@ class Encoder:
         options: str = "",
         max_num_cpu_threads: int = 0,
         registry: Optional[CodecRegistry] = None,
+        executor=None,
     ):
         self._generic = GenericEncoder(
             registry=registry,
             backends=backends,
             options=options,
             max_num_cpu_threads=max_num_cpu_threads,
+            executor=executor,
         )
 
     def encode(

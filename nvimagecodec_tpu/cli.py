@@ -76,6 +76,8 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--ignore_orientation", action="store_true")
     p.add_argument("-b", "--batch_size", type=int, default=16)
     p.add_argument("-v", "--verbose", action="store_true")
+    p.add_argument("-l", "--list-devices", action="store_true",
+                   help="print available accelerator devices and exit")
 
 
 _EXT = {"bmp": ".bmp", "pnm": ".ppm", "jpeg": ".jpg", "jpg": ".jpg", "png": ".png", "tiff": ".tif", "tif": ".tif",
@@ -198,6 +200,12 @@ def main(argv=None) -> int:
     p2.add_argument("--crop", default=None, help="x,y,w,h")
     p2.add_argument("--resize", default=None, help="WxH")
     args = ap.parse_args(argv)
+    if getattr(args, "list_devices", False):
+        import jax
+
+        for d in jax.devices():
+            print(d)
+        return 0
     if args.cmd == "imtrans":
         return cmd_imtrans(args)
     return cmd_improc(args)

@@ -106,20 +106,69 @@ class Jpeg2kEncoder(EncoderPlugin):
             )
         return out
 
+    @staticmethod
+    def _psnr_to_quality(target_psnr: float) -> float:
+        """Map a PSNR target to the quality knob using the measured ladder
+        (q40≈36 dB … q95≈57 dB, ~0.38 dB per quality step) — the role of
+        target_psnr in the reference's nvjpeg2k encoder
+        (extensions/nvjpeg2k/cuda_encoder.cpp:272-474)."""
+        return float(min(100.0, max(1.0, 40.0 + (target_psnr - 36.0) / 0.38)))
+
     def encode_batch(self, image_batch, info_batch, params) -> List[EncodeResult]:
         jp = params.jpeg2k or Jpeg2kEncodeParams()
+        quality = params.quality
+        # explicit non-default target_psnr takes precedence (reference
+        # semantics: psnr-driven rate control)
+        if params.target_psnr and params.target_psnr != 50.0:
+            quality = self._psnr_to_quality(params.target_psnr)
+        psnr_target = (
+            params.target_psnr
+            if params.target_psnr and params.target_psnr != 50.0
+            else None
+        )
         out = []
         for img in image_batch:
             try:
                 a = np.asarray(img)
-                data = encode_j2k(
-                    a,
-                    reversible=jp.reversible or params.quality >= 100,
-                    levels=jp.num_resolutions - 1,
-                    quality=params.quality,
-                    cblk=(jp.code_block_w, jp.code_block_h),
-                    stream_type=jp.stream_type,
-                )
+                q = quality
+
+                def run(qv):
+                    return encode_j2k(
+                        a,
+                        reversible=jp.reversible or qv >= 100,
+                        levels=jp.num_resolutions - 1,
+                        quality=qv,
+                        cblk=(jp.code_block_w, jp.code_block_h),
+                        stream_type=jp.stream_type,
+                    )
+
+                data = run(q)
+                if psnr_target is not None and not jp.reversible:
+                    # closed-loop rate control: measure, secant-step the
+                    # quality knob, re-encode (up to 3 corrections)
+                    def measure(d):
+                        rec = decode_j2k(d).astype(np.float64)
+                        ref = (
+                            a if a.ndim == 3 else a[:, :, None]
+                        ).astype(np.float64)
+                        rec = rec.reshape(ref.shape)
+                        mse = float(np.mean((rec - ref) ** 2))
+                        peak = 65535.0 if a.dtype == np.uint16 else 255.0
+                        return 99.0 if mse == 0 else 10.0 * np.log10(peak**2 / mse)
+
+                    slope = 0.38
+                    prev_q, prev_p = None, None
+                    for _ in range(3):
+                        actual = measure(data)
+                        if abs(actual - psnr_target) <= 0.75 or actual >= 98:
+                            break
+                        if prev_q is not None and abs(q - prev_q) > 1e-6:
+                            est = (actual - prev_p) / (q - prev_q)
+                            if 0.05 < est < 5.0:
+                                slope = est
+                        prev_q, prev_p = q, actual
+                        q = min(100.0, max(1.0, q + (psnr_target - actual) / slope))
+                        data = run(q)
                 out.append(EncodeResult(ProcessingStatus.SUCCESS, data))
             except Exception as e:
                 out.append(EncodeResult(ProcessingStatus.FAIL, error=str(e)))

@@ -95,7 +95,12 @@ class GenericBatchProcessor:
         backends: Optional[Sequence[Backend]] = None,
         options: str = "",
         max_num_cpu_threads: int = 0,
+        executor=None,
     ):
+        """`executor`: optional user-supplied object with submit(fn, *args)
+        returning a future — the analog of the reference's user executor
+        vtable (src/user_executor.h); defaults to an internal thread pool
+        (src/default_executor.cpp:25-77)."""
         self.registry = registry or global_registry()
         self.backends = list(backends) if backends else None
         self.options = options
@@ -111,8 +116,11 @@ class GenericBatchProcessor:
 
         n = max_num_cpu_threads or min(8, (os.cpu_count() or 2))
         # Per-device thread pool analog (reference: DefaultExecutor lazily
-        # creates one ThreadPool per device, src/default_executor.cpp:25-77).
-        self._pool = ThreadPoolExecutor(max_workers=n, thread_name_prefix="imgcodec")
+        # creates one ThreadPool per device, src/default_executor.cpp:25-77);
+        # a user-supplied executor replaces it (src/user_executor.h).
+        self._pool = executor or ThreadPoolExecutor(
+            max_workers=n, thread_name_prefix="imgcodec"
+        )
 
 
 class GenericDecoder(GenericBatchProcessor):

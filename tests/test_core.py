@@ -208,3 +208,28 @@ def test_decoder_decode_async_incremental():
         assert results[i].status & ProcessingStatus.SUCCESS
         assert np.array_equal(np.asarray(results[i].array), imgs[i])
     assert not (results[3].status & ProcessingStatus.SUCCESS)
+
+
+def test_user_executor():
+    """A user-supplied executor replaces the internal pool
+    (reference: UserExecutor, src/user_executor.h)."""
+    import oracle
+    from util import make_photo
+
+    import nvimagecodec_tpu as nic
+
+    class CountingExecutor:
+        def __init__(self):
+            self.inner = __import__("concurrent.futures", fromlist=["x"]).ThreadPoolExecutor(2)
+            self.count = 0
+
+        def submit(self, fn, *a, **kw):
+            self.count += 1
+            return self.inner.submit(fn, *a, **kw)
+
+    ex = CountingExecutor()
+    img = make_photo(20, 24, seed=1)
+    dec = nic.Decoder(executor=ex)
+    out = dec.decode(oracle.png_encode(img))
+    assert np.array_equal(np.asarray(out), img)
+    assert ex.count > 0

@@ -169,3 +169,17 @@ def test_reduced_resolution_decode():
     dec = nic.Decoder(options="tpu_jpeg2k_hybrid_decoder:discard_levels=1")
     out = dec.decode(encode_j2k(img, reversible=True, levels=4))
     assert np.asarray(out).shape == (128, 160, 3)
+
+
+def test_target_psnr_rate_control():
+    """target_psnr drives closed-loop rate control (reference: nvjpeg2k
+    target_psnr, extensions/nvjpeg2k/cuda_encoder.cpp:272-474)."""
+    import nvimagecodec_tpu as nic
+    from nvimagecodec_tpu.core.interfaces import EncodeParams
+
+    img = make_photo(120, 160, seed=1)
+    enc, dec = nic.Encoder(), nic.Decoder()
+    for target in (38.0, 45.0, 52.0):
+        data = enc.encode(img, codec="jp2", params=EncodeParams(target_psnr=target))
+        actual = psnr(img, np.asarray(dec.decode(data)))
+        assert abs(actual - target) < 2.0, (target, actual)
