@@ -65,17 +65,45 @@ class Jpeg2kHybridDecoder(DecoderPlugin):
             use_jax = jax.default_backend() != "cpu"
         except Exception:
             use_jax = False
+
+        def one(data):
+            img = decode_j2k(bytes(data), num_threads=self.num_parallel_tiles,
+                             use_jax=use_jax,
+                             discard_levels=self.discard_levels)
+            if not params.allow_any_depth and str(img.dtype) == "uint16":
+                img = (img >> 8).astype(
+                    np.uint8 if isinstance(img, np.ndarray) else "uint8"
+                )
+            return img
+
+        # fan samples over an outer pool — each sample's T1 already fans
+        # over codeblocks, so this keeps all cores busy across sample
+        # boundaries (the batch analog of the reference's tile pool)
+        if len(data_batch) > 1:
+            import os
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(
+                max_workers=min(len(data_batch), os.cpu_count() or 2)
+            ) as pool:
+                futs = [pool.submit(one, d) for d in data_batch]
+                out = []
+                for f in futs:
+                    try:
+                        out.append(DecodeResult(ProcessingStatus.SUCCESS, f.result()))
+                    except Exception as e:
+                        out.append(
+                            DecodeResult(
+                                ProcessingStatus.FAIL
+                                | ProcessingStatus.IMAGE_CORRUPTED,
+                                error=str(e),
+                            )
+                        )
+                return out
         out = []
         for data in data_batch:
             try:
-                img = decode_j2k(bytes(data), num_threads=self.num_parallel_tiles,
-                                 use_jax=use_jax,
-                                 discard_levels=self.discard_levels)
-                if not params.allow_any_depth and str(img.dtype) == "uint16":
-                    img = (img >> 8).astype(
-                        np.uint8 if isinstance(img, np.ndarray) else "uint8"
-                    )
-                out.append(DecodeResult(ProcessingStatus.SUCCESS, img))
+                out.append(DecodeResult(ProcessingStatus.SUCCESS, one(data)))
             except Exception as e:
                 out.append(
                     DecodeResult(
