@@ -268,7 +268,7 @@ def write_cod(cp: CodingParams) -> bytes:
         _cblk_exp(cp.cblk_w),
         _cblk_exp(cp.cblk_h),
         cp.cblk_style,
-        0 if cp.reversible else 1,  # transform: 0 = 5/3, 1 = 9/7
+        1 if cp.reversible else 0,  # T.800 A.20: 1 = 5/3 reversible, 0 = 9/7
     )
     return _seg(COD, bytes([scod]) + sgcod + spcod)
 
@@ -333,7 +333,7 @@ def parse_main_header(data: bytes, pos: int):
                 raise ValueError("J2K: invalid COD parameters")
             cp = CodingParams(
                 levels=levels,
-                reversible=(transform == 0),
+                reversible=(transform == 1),  # T.800 A.20
                 mct=bool(mct),
                 cblk_w=1 << (cbw + 2),
                 cblk_h=1 << (cbh + 2),

@@ -108,8 +108,73 @@ class WebpSystemDecoder(DecoderPlugin):
         return out
 
 
+class OpjJpeg2kDecoder(DecoderPlugin):
+    """JPEG2000 fallback via system libopenjp2: HTJ2K block coding and
+    stream features the native decoder rejects (per-component COC/QCC,
+    precinct partitions, subsampled or signed components). The same
+    lowest-rung pattern as the reference's opencv extension; the bridge
+    self-validates its hand-declared ABI before registering
+    (native/opj_bridge.py)."""
+
+    codec = "jpeg2k"
+    plugin_id = "system_openjpeg_decoder"
+    backend_kind = BackendKind.CPU_ONLY
+    priority = Priority.LOW
+
+    def __init__(self):
+        from ..native import opj_bridge
+
+        opj_bridge.lib()  # build + self-validate now; raises if unusable
+        self._bridge = opj_bridge
+
+    def can_decode(self, data_batch, info_batch, params) -> List[ProcessingStatus]:
+        out = []
+        for data in data_batch:
+            head = bytes(data[:12])
+            ok = head[:4] == b"\xff\x4f\xff\x51" or head[:8] == bytes.fromhex(
+                "0000000c6a502020"
+            )
+            out.append(
+                ProcessingStatus.SUCCESS
+                if ok
+                else ProcessingStatus.FAIL | ProcessingStatus.CODEC_UNSUPPORTED
+            )
+        return out
+
+    def decode_batch(self, data_batch, info_batch, params) -> List[DecodeResult]:
+        out = []
+        for data in data_batch:
+            try:
+                arr, prec, signed = self._bridge.decode(bytes(data))
+                if signed:
+                    arr = arr + (1 << (prec - 1))
+                maxv = (1 << prec) - 1
+                arr = np.clip(arr, 0, maxv)
+                if prec <= 8:
+                    img = arr.astype(np.uint8)
+                else:
+                    img = arr.astype(np.uint16)
+                    if not params.allow_any_depth:
+                        img = (img >> (prec - 8)).astype(np.uint8)
+                if img.shape[-1] == 1:
+                    img = img[..., 0]
+                out.append(DecodeResult(ProcessingStatus.SUCCESS, img))
+            except Exception as e:
+                out.append(
+                    DecodeResult(
+                        ProcessingStatus.FAIL | ProcessingStatus.IMAGE_CORRUPTED,
+                        error=str(e),
+                    )
+                )
+        return out
+
+
 def register(registry) -> None:
     try:
         registry.codec("webp").register_decoder(WebpSystemDecoder())
     except ImportError:
         pass
+    try:
+        registry.codec("jpeg2k").register_decoder(OpjJpeg2kDecoder())
+    except Exception:
+        pass  # libopenjp2 absent or ABI validation failed

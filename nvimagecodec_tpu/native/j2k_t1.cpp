@@ -241,8 +241,10 @@ struct MQEncoder {
 // Inputs: h = sum of horizontal significant neighbors (0-2),
 //         v = vertical (0-2), d = diagonal (0-4).
 static int zc_context(int band, int h, int v, int d) {
-  // band: 0 LL, 1 HL, 2 LH, 3 HH
-  if (band == 2) {  // LH: swap h and v roles vs HL
+  // band: 0 LL, 1 HL, 2 LH, 3 HH. T.800 Table D.1: LL and LH use the
+  // table as-is; HL (horizontally high-pass, vertical correlation)
+  // interchanges H and V.
+  if (band == 1) {
     int t = h; h = v; v = t;
   }
   if (band == 0 || band == 1 || band == 2) {

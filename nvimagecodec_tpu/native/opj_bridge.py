@@ -1,0 +1,146 @@
+"""Optional system-openjpeg bridge (native/optional/opj_shim.cpp).
+
+Built lazily against the system libopenjp2 (no headers shipped — the shim
+declares the minimal public API locally). Because the opj_image struct
+layout is declared by hand, the bridge SELF-VALIDATES on first use: it
+encodes a tiny image with our own J2K encoder, decodes it through the shim,
+and only reports available if the pixels round-trip exactly. Used by the
+JPEG2000 fallback plugin (HTJ2K + stream features our native decoder
+rejects) and by the conformance test-suite."""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional, Tuple
+
+import numpy as np
+
+_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "optional")
+_SRC = os.path.join(_DIR, "opj_shim.cpp")
+_SO = os.path.join(_DIR, "libtic_opj.so")
+
+_lock = threading.Lock()
+_lib = None
+_validated = False
+
+
+def _build() -> None:
+    cmd = [
+        "c++", "-O2", "-std=c++17", "-shared", "-fPIC", _SRC, "-o", _SO,
+        "-l:libopenjp2.so.7",
+    ]
+    r = subprocess.run(cmd, capture_output=True, text=True)
+    if r.returncode != 0:
+        raise RuntimeError(f"opj shim build failed:\n{r.stderr}")
+
+
+def _declare(L: ctypes.CDLL) -> None:
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    L.tic_opj_decode.argtypes = [
+        ctypes.c_char_p, ctypes.c_uint64, ctypes.c_int, i32p, ctypes.c_int64,
+        i32p, i32p, i32p, i32p, i32p,
+    ]
+    L.tic_opj_decode.restype = ctypes.c_int
+    L.tic_opj_encode_lossless.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.POINTER(ctypes.c_uint64),
+    ]
+    L.tic_opj_encode_lossless.restype = ctypes.c_int
+
+
+def lib() -> ctypes.CDLL:
+    """Load (building if needed) and self-validate; raises if unusable."""
+    global _lib, _validated
+    with _lock:
+        if _lib is None:
+            if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+                _build()
+            L = ctypes.CDLL(_SO)
+            _declare(L)
+            _lib = L
+        if not _validated:
+            _self_validate(_lib)
+            _validated = True
+        return _lib
+
+
+def decode(data: bytes) -> Tuple[np.ndarray, int, int]:
+    """J2K/JP2 bytes → (interleaved int32 [H, W, C], precision, signed)."""
+    L = lib()
+    is_jp2 = 1 if data[:4] == b"\x00\x00\x00\x0c" else 0
+    # generous output capacity guess: grow on rc=7
+    cap = max(1 << 20, len(data) * 64)
+    for _ in range(3):
+        out = np.zeros(cap, np.int32)
+        w = ctypes.c_int32()
+        h = ctypes.c_int32()
+        nc = ctypes.c_int32()
+        pr = ctypes.c_int32()
+        sg = ctypes.c_int32()
+        rc = L.tic_opj_decode(
+            data, len(data), is_jp2,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), out.size,
+            ctypes.byref(w), ctypes.byref(h), ctypes.byref(nc),
+            ctypes.byref(pr), ctypes.byref(sg),
+        )
+        if rc == 7:
+            cap *= 8
+            continue
+        if rc != 0:
+            raise ValueError(f"openjpeg decode failed rc={rc}")
+        n = w.value * h.value * nc.value
+        return (
+            out[:n].reshape(h.value, w.value, nc.value),
+            pr.value,
+            sg.value,
+        )
+    raise ValueError("openjpeg decode: image too large")
+
+
+def encode_lossless(pix: np.ndarray, stream_type: str = "j2k") -> bytes:
+    """u8 [H,W(,C)] → lossless J2K/JP2 via openjpeg (test oracle)."""
+    L = lib()
+    if pix.ndim == 2:
+        pix = pix[:, :, None]
+    h, w, nc = pix.shape
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    n = ctypes.c_uint64()
+    rc = L.tic_opj_encode_lossless(
+        np.ascontiguousarray(pix, np.uint8).tobytes(), w, h, nc,
+        1 if stream_type == "jp2" else 0, ctypes.byref(out), ctypes.byref(n),
+    )
+    if rc != 0:
+        raise ValueError(f"openjpeg encode failed rc={rc}")
+    data = ctypes.string_at(out, n.value)
+    # shim allocates with malloc; free through libc
+    ctypes.CDLL(None).free(out)
+    return data
+
+
+def _self_validate(L: ctypes.CDLL) -> None:
+    """Layout check: our encoder's tiny lossless stream must round-trip
+    exactly through the shim (guards the hand-declared opj_image layout)."""
+    from ..codecs.jpeg2000.core import encode_j2k
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (8, 9, 3)).astype(np.uint8)
+    data = encode_j2k(img, reversible=True, levels=1, stream_type="j2k")
+    out = np.zeros(8 * 9 * 3, np.int32)
+    w = ctypes.c_int32()
+    h = ctypes.c_int32()
+    nc = ctypes.c_int32()
+    pr = ctypes.c_int32()
+    sg = ctypes.c_int32()
+    rc = L.tic_opj_decode(
+        data, len(data), 0,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), out.size,
+        ctypes.byref(w), ctypes.byref(h), ctypes.byref(nc),
+        ctypes.byref(pr), ctypes.byref(sg),
+    )
+    if rc != 0 or (w.value, h.value, nc.value) != (9, 8, 3):
+        raise RuntimeError("opj bridge self-validation failed (layout)")
+    if not np.array_equal(out.reshape(8, 9, 3), img.astype(np.int32)):
+        raise RuntimeError("opj bridge self-validation failed (pixels)")

@@ -1,0 +1,266 @@
+// Optional system-openjpeg decode shim (HTJ2K + exotic JPEG2000 variants).
+//
+// The framework analog of the reference's opencv fallback extension
+// (extensions/opencv/opencv_decoder.cpp): our native J2K implementation
+// handles the common envelope; streams it rejects (HT block coding,
+// per-component coding overrides, precinct partitions, subsampled
+// components) fall through to the system libopenjp2 at LOW priority.
+//
+// libopenjp2 ships no headers here, so the minimal public API is declared
+// locally; the struct layouts are validated at runtime by the Python side
+// (decode a known stream, check dims/pixels) before the plugin registers.
+
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+
+extern "C" {
+
+// ---- minimal OpenJPEG 2.x public API (matches libopenjp2.so.2.5) ----
+typedef int OPJ_BOOL;
+typedef size_t OPJ_SIZE_T;
+typedef int64_t OPJ_OFF_T;
+
+typedef struct opj_image_comp {
+  uint32_t dx, dy, w, h, x0, y0, prec, bpp, sgnd, resno_decoded, factor;
+  int32_t* data;
+  uint16_t alpha;
+} opj_image_comp_t;
+
+typedef struct opj_image {
+  uint32_t x0, y0, x1, y1;
+  uint32_t numcomps;
+  int32_t color_space;
+  opj_image_comp_t* comps;
+  uint8_t* icc_profile_buf;
+  uint32_t icc_profile_len;
+} opj_image_t;
+
+void* opj_create_decompress(int format);  // 0 = J2K, 2 = JP2
+void opj_set_default_decoder_parameters(void* params);
+OPJ_BOOL opj_setup_decoder(void* codec, void* params);
+OPJ_BOOL opj_codec_set_threads(void* codec, int n);
+void* opj_stream_create(OPJ_SIZE_T buf_size, OPJ_BOOL is_input);
+void opj_stream_set_read_function(void* stream, OPJ_SIZE_T (*fn)(void*, OPJ_SIZE_T, void*));
+void opj_stream_set_skip_function(void* stream, OPJ_OFF_T (*fn)(OPJ_OFF_T, void*));
+void opj_stream_set_seek_function(void* stream, OPJ_BOOL (*fn)(OPJ_OFF_T, void*));
+void opj_stream_set_user_data(void* stream, void* data, void (*free_fn)(void*));
+void opj_stream_set_user_data_length(void* stream, uint64_t len);
+OPJ_BOOL opj_read_header(void* stream, void* codec, opj_image_t** image);
+OPJ_BOOL opj_decode(void* codec, void* stream, opj_image_t* image);
+OPJ_BOOL opj_end_decompress(void* codec, void* stream);
+void opj_destroy_codec(void* codec);
+void opj_stream_destroy(void* stream);
+void opj_image_destroy(opj_image_t* image);
+
+// ---- in-memory stream ----
+struct MemStream {
+  const uint8_t* data;
+  uint64_t len;
+  uint64_t pos;
+};
+
+static OPJ_SIZE_T mem_read(void* out, OPJ_SIZE_T n, void* user) {
+  MemStream* m = (MemStream*)user;
+  if (m->pos >= m->len) return (OPJ_SIZE_T)-1;
+  uint64_t take = m->len - m->pos;
+  if (n < take) take = n;
+  memcpy(out, m->data + m->pos, take);
+  m->pos += take;
+  return (OPJ_SIZE_T)take;
+}
+
+static OPJ_OFF_T mem_skip(OPJ_OFF_T n, void* user) {
+  MemStream* m = (MemStream*)user;
+  if (m->pos + n > m->len) {
+    OPJ_OFF_T avail = (OPJ_OFF_T)(m->len - m->pos);
+    m->pos = m->len;
+    return avail > 0 ? avail : (OPJ_OFF_T)-1;
+  }
+  m->pos += n;
+  return n;
+}
+
+static OPJ_BOOL mem_seek(OPJ_OFF_T n, void* user) {
+  MemStream* m = (MemStream*)user;
+  if (n < 0 || (uint64_t)n > m->len) return 0;
+  m->pos = (uint64_t)n;
+  return 1;
+}
+
+// Decode J2K/JP2 bytes → interleaved int32 samples.
+// out buffer: caller-allocated, cap samples. Returns 0 ok.
+int tic_opj_decode(const uint8_t* data, uint64_t len, int is_jp2,
+                   int32_t* out, int64_t cap, int32_t* ow, int32_t* oh,
+                   int32_t* oncomp, int32_t* oprec, int32_t* osgnd) {
+  void* codec = opj_create_decompress(is_jp2 ? 2 : 0);
+  if (!codec) return 1;
+  // generous zeroed parameter block; defaults filled by the library
+  void* params = calloc(1, 1 << 16);  // opj_dparameters_t embeds two 4 KB paths
+  opj_set_default_decoder_parameters(params);
+  if (!opj_setup_decoder(codec, params)) {
+    free(params);
+    opj_destroy_codec(codec);
+    return 2;
+  }
+  free(params);
+  opj_codec_set_threads(codec, 2);
+
+  MemStream ms{data, len, 0};
+  void* stream = opj_stream_create(1 << 20, 1);
+  opj_stream_set_read_function(stream, mem_read);
+  opj_stream_set_skip_function(stream, mem_skip);
+  opj_stream_set_seek_function(stream, mem_seek);
+  opj_stream_set_user_data(stream, &ms, nullptr);
+  opj_stream_set_user_data_length(stream, len);
+
+  opj_image_t* image = nullptr;
+  int rc = 0;
+  if (!opj_read_header(stream, codec, &image)) {
+    rc = 3;
+  } else if (!opj_decode(codec, stream, image) ||
+             !opj_end_decompress(codec, stream)) {
+    rc = 4;
+  } else {
+    uint32_t nc = image->numcomps;
+    if (nc < 1 || nc > 8 || !image->comps) {
+      rc = 5;
+    } else {
+      uint32_t w = image->comps[0].w, h = image->comps[0].h;
+      for (uint32_t c = 1; c < nc; c++)
+        if (image->comps[c].w != w || image->comps[c].h != h) rc = 6;
+      if (!rc) {
+        if ((int64_t)w * h * nc > cap) {
+          rc = 7;
+        } else {
+          for (uint32_t c = 0; c < nc; c++) {
+            const int32_t* src = image->comps[c].data;
+            if (!src) { rc = 8; break; }
+            for (uint64_t i = 0; i < (uint64_t)w * h; i++)
+              out[i * nc + c] = src[i];
+          }
+          *ow = (int32_t)w;
+          *oh = (int32_t)h;
+          *oncomp = (int32_t)nc;
+          *oprec = (int32_t)image->comps[0].prec;
+          *osgnd = (int32_t)image->comps[0].sgnd;
+        }
+      }
+    }
+  }
+  if (image) opj_image_destroy(image);
+  opj_stream_destroy(stream);
+  opj_destroy_codec(codec);
+  return rc;
+}
+
+}  // extern "C"
+
+extern "C" {
+
+typedef struct opj_image_cmptparm {
+  uint32_t dx, dy, w, h, x0, y0, prec, bpp, sgnd;
+} opj_image_cmptparm_t;
+
+void* opj_create_compress(int format);
+void opj_set_default_encoder_parameters(void* params);
+OPJ_BOOL opj_setup_encoder(void* codec, void* params, opj_image_t* image);
+OPJ_BOOL opj_start_compress(void* codec, opj_image_t* image, void* stream);
+OPJ_BOOL opj_encode(void* codec, void* stream);
+OPJ_BOOL opj_end_compress(void* codec, void* stream);
+opj_image_t* opj_image_create(uint32_t numcmpts, opj_image_cmptparm_t* cmptparms,
+                              int32_t clrspc);
+
+struct GrowBuf {
+  uint8_t* data;
+  uint64_t len, cap, pos;
+};
+
+static OPJ_SIZE_T gb_write(void* src, OPJ_SIZE_T n, void* user) {
+  GrowBuf* g = (GrowBuf*)user;
+  if (g->pos + n > g->cap) {
+    uint64_t cap = g->cap ? g->cap * 2 : 65536;
+    while (cap < g->pos + n) cap *= 2;
+    g->data = (uint8_t*)realloc(g->data, cap);
+    g->cap = cap;
+  }
+  memcpy(g->data + g->pos, src, n);
+  g->pos += n;
+  if (g->pos > g->len) g->len = g->pos;
+  return n;
+}
+
+static OPJ_OFF_T gb_skip(OPJ_OFF_T n, void* user) {
+  GrowBuf* g = (GrowBuf*)user;
+  g->pos += n;
+  return n;
+}
+
+static OPJ_BOOL gb_seek(OPJ_OFF_T n, void* user) {
+  GrowBuf* g = (GrowBuf*)user;
+  g->pos = (uint64_t)n;
+  return 1;
+}
+
+void opj_stream_set_write_function(void* stream, OPJ_SIZE_T (*fn)(void*, OPJ_SIZE_T, void*));
+
+// Lossless-encode interleaved u8 samples with openjpeg (conformance oracle).
+// Caller frees *out with free().
+int tic_opj_encode_lossless(const uint8_t* pix, int w, int h, int ncomp,
+                            int is_jp2, uint8_t** out, uint64_t* outlen) {
+  opj_image_cmptparm_t parms[4];
+  memset(parms, 0, sizeof(parms));
+  for (int c = 0; c < ncomp; c++) {
+    parms[c].dx = parms[c].dy = 1;
+    parms[c].w = (uint32_t)w;
+    parms[c].h = (uint32_t)h;
+    parms[c].prec = 8;
+    parms[c].sgnd = 0;
+  }
+  // color space: 1 = sRGB, 2 = gray
+  opj_image_t* image = opj_image_create((uint32_t)ncomp, parms,
+                                        ncomp >= 3 ? 1 : 2);
+  if (!image) return 1;
+  image->x0 = 0;
+  image->y0 = 0;
+  image->x1 = (uint32_t)w;
+  image->y1 = (uint32_t)h;
+  for (int c = 0; c < ncomp; c++)
+    for (int64_t i = 0; i < (int64_t)w * h; i++)
+      image->comps[c].data[i] = pix[i * ncomp + c];
+
+  void* codec = opj_create_compress(is_jp2 ? 2 : 0);
+  void* params = calloc(1, 1 << 16);
+  opj_set_default_encoder_parameters(params);
+  if (!opj_setup_encoder(codec, params, image)) {
+    free(params);
+    opj_image_destroy(image);
+    opj_destroy_codec(codec);
+    return 2;
+  }
+  free(params);
+
+  GrowBuf gb{nullptr, 0, 0, 0};
+  void* stream = opj_stream_create(1 << 20, 0);
+  opj_stream_set_write_function(stream, gb_write);
+  opj_stream_set_skip_function(stream, gb_skip);
+  opj_stream_set_seek_function(stream, gb_seek);
+  opj_stream_set_user_data(stream, &gb, nullptr);
+
+  int rc = 0;
+  if (!opj_start_compress(codec, image, stream) || !opj_encode(codec, stream) ||
+      !opj_end_compress(codec, stream))
+    rc = 3;
+  opj_stream_destroy(stream);
+  opj_destroy_codec(codec);
+  opj_image_destroy(image);
+  if (rc) {
+    free(gb.data);
+    return rc;
+  }
+  *out = gb.data;
+  *outlen = gb.len;
+  return 0;
+}
+
+}  // extern "C"

@@ -187,22 +187,24 @@ def _inv_lift_97(L, H, axis: int, n: int):
 def dwt2d_level(x, reversible: bool):
     """One analysis level on [..., H, W] → (LL, HL, LH, HH).
 
-    HL = horizontally-highpass (X high, Y low), LH = vertically-highpass —
-    matching T.800 subband naming (HL stored to the right, LH below).
+    T.800 order: COLUMNS are filtered first, then rows (integer lifting
+    does not commute, so the order is normative — validated bit-exact
+    against openjpeg). HL = horizontally-highpass (X high, Y low), LH =
+    vertically-highpass, matching the spec's subband naming.
     """
     f = _fwd_lift_53 if reversible else _fwd_lift_97
-    Lx, Hx = f(x, -1)
-    LL, LH = f(Lx, -2)
-    HL, HH = f(Hx, -2)
+    Ly, Hy = f(x, -2)
+    LL, HL = f(Ly, -1)
+    LH, HH = f(Hy, -1)
     return LL, HL, LH, HH
 
 
 def idwt2d_level(LL, HL, LH, HH, out_h: int, out_w: int, reversible: bool):
     """Inverse of dwt2d_level for a [..., out_h, out_w] target."""
     g = _inv_lift_53 if reversible else _inv_lift_97
-    Lx = g(LL, LH, -2, out_h)
-    Hx = g(HL, HH, -2, out_h)
-    return g(Lx, Hx, -1, out_w)
+    Ly = g(LL, HL, -1, out_w)
+    Hy = g(LH, HH, -1, out_w)
+    return g(Ly, Hy, -2, out_h)
 
 
 def subband_dims(h: int, w: int, levels: int) -> List[Tuple[int, int]]:

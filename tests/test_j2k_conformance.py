@@ -1,0 +1,78 @@
+"""JPEG2000 conformance: bit-exact interop with system openjpeg in BOTH
+directions, via the self-validating ABI bridge (native/opj_bridge.py).
+
+This net found three real spec deviations that self-roundtrips could never
+catch (COD transformation flag polarity, ZC context H/V swap band, and the
+normative column-first 2D DWT order) — all fixed; these tests pin the
+conformance."""
+import numpy as np
+import pytest
+
+from util import make_photo, psnr
+
+opj = pytest.importorskip("nvimagecodec_tpu.native.opj_bridge")
+try:
+    opj.lib()
+except Exception:  # libopenjp2 missing or ABI validation failed
+    pytest.skip("openjpeg bridge unavailable", allow_module_level=True)
+
+from nvimagecodec_tpu.codecs.jpeg2000.core import decode_j2k, encode_j2k
+
+
+@pytest.mark.parametrize("shape,seed", [((64, 80), 1), ((100, 120), 5), ((37, 53), 9)])
+def test_openjpeg_encodes_we_decode_exact(shape, seed):
+    img = make_photo(*shape, seed=seed)
+    for pix in (img, np.ascontiguousarray(img[..., 0])):
+        data = opj.encode_lossless(pix, "j2k")
+        got = np.asarray(decode_j2k(data)).squeeze()
+        assert np.array_equal(got, pix.squeeze())
+
+
+@pytest.mark.parametrize("st", ["j2k", "jp2"])
+def test_we_encode_openjpeg_decodes_exact(st):
+    img = make_photo(64, 80, seed=1)
+    data = encode_j2k(img, reversible=True, levels=3, stream_type=st)
+    arr, prec, signed = opj.decode(data)
+    assert prec == 8 and not signed
+    assert np.array_equal(arr, img.astype(np.int32))
+
+
+def test_we_encode_tiled_openjpeg_decodes_exact():
+    img = make_photo(128, 160, seed=3)
+    data = encode_j2k(img, reversible=True, levels=3, tile_size=64,
+                      stream_type="j2k")
+    arr, _, _ = opj.decode(data)
+    assert np.array_equal(arr, img.astype(np.int32))
+
+
+def test_irreversible_quality_agreement():
+    """openjpeg's decode of our 9/7 stream must match our own decode's
+    quality (same dequant/IDWT interpretation)."""
+    img = make_photo(64, 80, seed=1)
+    data = encode_j2k(img, reversible=False, levels=3, quality=80)
+    arr, _, _ = opj.decode(data)
+    p_opj = psnr(img, np.clip(arr, 0, 255))
+    p_ours = psnr(img, decode_j2k(data))
+    assert abs(p_opj - p_ours) < 0.5, (p_opj, p_ours)
+
+
+def test_coc_stream_falls_back_to_openjpeg_plugin():
+    """Streams with per-component overrides (rejected by the native
+    decoder) route to the system-openjpeg plugin at LOW priority."""
+    import struct
+
+    import nvimagecodec_tpu as nic
+
+    img = make_photo(40, 52, seed=3)
+    data = opj.encode_lossless(img, "j2k")
+    cs = bytearray(data)
+    pos = 2
+    while struct.unpack_from(">H", cs, pos)[0] != 0xFF52:
+        pos += 2 + struct.unpack_from(">H", cs, pos + 2)[0]
+    ln = struct.unpack_from(">H", cs, pos + 2)[0]
+    cod_body = bytes(cs[pos + 4 : pos + 2 + ln])
+    coc_payload = bytes([0]) + cod_body[0:1] + cod_body[5:]
+    coc = struct.pack(">HH", 0xFF53, len(coc_payload) + 2) + coc_payload
+    spliced = bytes(cs[: pos + 2 + ln]) + coc + bytes(cs[pos + 2 + ln :])
+    out = nic.Decoder().decode(spliced)
+    assert out is not None and np.array_equal(np.asarray(out), img)
