@@ -45,7 +45,8 @@ def _declare(L: ctypes.CDLL) -> None:
     L.tic_opj_decode.restype = ctypes.c_int
     L.tic_opj_encode_lossless.argtypes = [
         ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-        ctypes.c_int, ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
         ctypes.POINTER(ctypes.c_uint64),
     ]
     L.tic_opj_encode_lossless.restype = ctypes.c_int
@@ -101,16 +102,23 @@ def decode(data: bytes) -> Tuple[np.ndarray, int, int]:
 
 
 def encode_lossless(pix: np.ndarray, stream_type: str = "j2k") -> bytes:
-    """u8 [H,W(,C)] → lossless J2K/JP2 via openjpeg (test oracle)."""
+    """u8/u16 [H,W(,C)] → lossless J2K/JP2 via openjpeg (test oracle)."""
     L = lib()
     if pix.ndim == 2:
         pix = pix[:, :, None]
     h, w, nc = pix.shape
+    if pix.dtype == np.uint16:
+        prec = 16
+        body = np.ascontiguousarray(pix).tobytes()
+    else:
+        prec = 8
+        body = np.ascontiguousarray(pix, np.uint8).tobytes()
     out = ctypes.POINTER(ctypes.c_uint8)()
     n = ctypes.c_uint64()
     rc = L.tic_opj_encode_lossless(
-        np.ascontiguousarray(pix, np.uint8).tobytes(), w, h, nc,
-        1 if stream_type == "jp2" else 0, ctypes.byref(out), ctypes.byref(n),
+        body, w, h, nc,
+        1 if stream_type == "jp2" else 0, prec,
+        ctypes.byref(out), ctypes.byref(n),
     )
     if rc != 0:
         raise ValueError(f"openjpeg encode failed rc={rc}")

@@ -204,17 +204,19 @@ static OPJ_BOOL gb_seek(OPJ_OFF_T n, void* user) {
 
 void opj_stream_set_write_function(void* stream, OPJ_SIZE_T (*fn)(void*, OPJ_SIZE_T, void*));
 
-// Lossless-encode interleaved u8 samples with openjpeg (conformance oracle).
+// Lossless-encode interleaved samples with openjpeg (conformance oracle).
+// prec <= 8: pix is u8; prec 9..16: pix is u16 (native endian).
 // Caller frees *out with free().
 int tic_opj_encode_lossless(const uint8_t* pix, int w, int h, int ncomp,
-                            int is_jp2, uint8_t** out, uint64_t* outlen) {
+                            int is_jp2, int prec, uint8_t** out,
+                            uint64_t* outlen) {
   opj_image_cmptparm_t parms[4];
   memset(parms, 0, sizeof(parms));
   for (int c = 0; c < ncomp; c++) {
     parms[c].dx = parms[c].dy = 1;
     parms[c].w = (uint32_t)w;
     parms[c].h = (uint32_t)h;
-    parms[c].prec = 8;
+    parms[c].prec = (uint32_t)prec;
     parms[c].sgnd = 0;
   }
   // color space: 1 = sRGB, 2 = gray
@@ -225,9 +227,16 @@ int tic_opj_encode_lossless(const uint8_t* pix, int w, int h, int ncomp,
   image->y0 = 0;
   image->x1 = (uint32_t)w;
   image->y1 = (uint32_t)h;
-  for (int c = 0; c < ncomp; c++)
-    for (int64_t i = 0; i < (int64_t)w * h; i++)
-      image->comps[c].data[i] = pix[i * ncomp + c];
+  if (prec <= 8) {
+    for (int c = 0; c < ncomp; c++)
+      for (int64_t i = 0; i < (int64_t)w * h; i++)
+        image->comps[c].data[i] = pix[i * ncomp + c];
+  } else {
+    const uint16_t* p16 = (const uint16_t*)pix;
+    for (int c = 0; c < ncomp; c++)
+      for (int64_t i = 0; i < (int64_t)w * h; i++)
+        image->comps[c].data[i] = p16[i * ncomp + c];
+  }
 
   void* codec = opj_create_compress(is_jp2 ? 2 : 0);
   void* params = calloc(1, 1 << 16);

@@ -76,3 +76,14 @@ def test_coc_stream_falls_back_to_openjpeg_plugin():
     spliced = bytes(cs[: pos + 2 + ln]) + coc + bytes(cs[pos + 2 + ln :])
     out = nic.Decoder().decode(spliced)
     assert out is not None and np.array_equal(np.asarray(out), img)
+
+
+def test_u16_interop_both_directions():
+    img = make_photo(48, 60, seed=2)
+    u16 = (img.astype(np.uint16) << 8) | img
+    data = opj.encode_lossless(u16, "j2k")
+    got = np.asarray(decode_j2k(data))
+    assert got.dtype == np.uint16 and np.array_equal(got, u16)
+    d = encode_j2k(u16, reversible=True, levels=3, stream_type="j2k")
+    arr, prec, _ = opj.decode(d)
+    assert prec == 16 and np.array_equal(arr, u16.astype(np.int32))
