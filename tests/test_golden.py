@@ -70,3 +70,42 @@ def test_golden_md5(name):
     data = Encoder().encode(pix, codec=codec, params=params)
     assert data is not None
     assert hashlib.md5(data).hexdigest() == want, name
+
+
+DECODE_GOLDEN = {
+    "jpeg_420": "82ea48efe9ab365b2d99a6e1bde75566",
+    "jpeg_prog": "b96333f15f44283da685b569c66d17dd",
+    "jpeg_lossless": "2aac65ac3245a05eb17850b60019f9dd",
+    "png": "2aac65ac3245a05eb17850b60019f9dd",
+    "tiff_lzw_pred": "2aac65ac3245a05eb17850b60019f9dd",
+    "webp_vp8l": "2aac65ac3245a05eb17850b60019f9dd",
+    "jp2_lossless": "2aac65ac3245a05eb17850b60019f9dd",
+}
+
+
+@pytest.mark.parametrize("name", sorted(DECODE_GOLDEN))
+def test_decode_golden_md5(name):
+    """Decode-side regression net: pixel hashes pinned per stream class
+    (all lossless chains collapse to the source image's hash)."""
+    import sys as _sys
+
+    import oracle
+
+    import nvimagecodec_tpu as nic
+    from nvimagecodec_tpu.codecs.jpeg2000.core import encode_j2k
+
+    _sys.path.insert(0, "tests")
+    from test_jpeg_lossless import encode_lossless_jpeg
+
+    img = make_photo(60, 80, seed=7)
+    streams = {
+        "jpeg_420": lambda: oracle.jpeg_encode(img, 90, "420"),
+        "jpeg_prog": lambda: oracle.jpeg_encode(img, 85, "444", progressive=True),
+        "jpeg_lossless": lambda: encode_lossless_jpeg(img, predictor=4),
+        "png": lambda: oracle.png_encode(img),
+        "tiff_lzw_pred": lambda: oracle.tiff_encode(img, compression=5, predictor=2),
+        "webp_vp8l": lambda: oracle.webp_encode_rgb(img, lossless=True),
+        "jp2_lossless": lambda: encode_j2k(img, reversible=True, levels=3),
+    }
+    out = np.ascontiguousarray(np.asarray(nic.Decoder().decode(streams[name]())))
+    assert hashlib.md5(out.tobytes()).hexdigest() == DECODE_GOLDEN[name]
