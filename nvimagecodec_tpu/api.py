@@ -114,6 +114,21 @@ class Decoder:
                 arr = arr[rg.start_y : rg.end_y, rg.start_x : rg.end_x]
                 if isinstance(arr, np.ndarray):
                     arr = np.ascontiguousarray(arr)
+            if (
+                params.color_spec is not None
+                and int(params.color_spec) == int(ColorSpec.GRAY)
+                and arr.ndim == 3
+                and arr.shape[-1] >= 3
+            ):
+                # BT.601 luma, fixed-point (reference GRAY routing)
+                xp = np if isinstance(arr, np.ndarray) else None
+                if xp is None:
+                    import jax.numpy as xp
+                r32 = arr[..., 0].astype(xp.int32)
+                g32 = arr[..., 1].astype(xp.int32)
+                b32 = arr[..., 2].astype(xp.int32)
+                y = (19595 * r32 + 38470 * g32 + 7471 * b32 + 32768) >> 16
+                arr = y.astype(arr.dtype)
             img = Image(arr, info)
             if to_tpu:
                 img = img.tpu()

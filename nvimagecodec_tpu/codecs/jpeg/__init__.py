@@ -106,12 +106,14 @@ class _JpegDecoderBase(DecoderPlugin):
                 np.uint8 if isinstance(img, np.ndarray) else "uint8"
             )
         if img.ndim == 3 and img.shape[-1] == 4:
-            # CMYK/YCCK → RGB by default (the reference's python Decoder
-            # outputs I_RGB u8 by default, python/decoder.cpp:156-225)
-            xp = np if isinstance(img, np.ndarray) else None
-            if xp is None:
-                import jax.numpy as xp
-            img = cmyk_to_rgb(img, xp)
+            # CMYK/YCCK → RGB by default; UNCHANGED keeps native channels
+            # (reference: color_spec routing, python/decoder.cpp:156-225)
+            cs = getattr(params, "color_spec", None)
+            if not (cs is not None and int(cs) == int(ColorSpec.UNCHANGED)):
+                xp = np if isinstance(img, np.ndarray) else None
+                if xp is None:
+                    import jax.numpy as xp
+                img = cmyk_to_rgb(img, xp)
         return img
 
     def decode_batch(self, data_batch, info_batch, params) -> List[DecodeResult]:

@@ -158,7 +158,11 @@ def decode_batch_tpu(data_batch, params: DecodeParams, fancy: bool = True) -> Li
 
             host_span.__exit__(None, None, None)
             try:
-                call = _pixel_fn(key, bpad, fancy, True,
+                from ...core.types import ColorSpec as _CS
+
+                cs = getattr(params, "color_spec", None)
+                to_rgb = not (cs is not None and int(cs) == int(_CS.UNCHANGED))
+                call = _pixel_fn(key, bpad, fancy, to_rgb,
                                  not params.allow_any_depth)
                 with span("imgcodec.jpeg.device_pixel_stage"):
                     imgs = call(frame0, tuple(coef_arrays))

@@ -26,6 +26,11 @@ class DecodeParams:
     apply_exif_orientation: bool = True
     allow_any_depth: bool = False
     enable_roi: bool = False
+    # Output color routing (reference: color_spec handling in
+    # python/decoder.cpp:156-225): None/SRGB → RGB (the default),
+    # GRAY → single-channel luma, UNCHANGED → the stream's native
+    # channels (e.g. CMYK stays 4-channel).
+    color_spec: Optional[object] = None  # core.types.ColorSpec
     # Region of interest applied when enable_roi is set (reference: ROI via
     # nvimgcodecImageInfo_t.region, include/nvimgcodec.h:487 + decode_params
     # enable_roi :629). End-exclusive pixel coordinates.

@@ -122,3 +122,26 @@ def test_exif_orientation_applied(orient, expected_shape):
         assert np.array_equal(out, np.flip(np.swapaxes(base, 0, 1), axis=1))
     elif orient == 8:
         assert np.array_equal(out, np.flip(np.swapaxes(base, 0, 1), axis=0))
+
+
+def test_color_spec_routing():
+    """DecodeParams.color_spec: GRAY → luma output; UNCHANGED keeps the
+    native channel count (reference: python/decoder.cpp:156-225)."""
+    import oracle
+
+    img = make_photo(30, 40, seed=6)
+    data = oracle.jpeg_encode(img, 92, "444")
+    dec = nic.Decoder()
+    # GRAY routing
+    g = np.asarray(dec.decode(data, nic.DecodeParams(color_spec=nic.ColorSpec.GRAY)))
+    assert g.ndim == 2 and g.shape == (30, 40)
+    rgb = np.asarray(dec.decode(data)).astype(np.int64)
+    luma = (19595 * rgb[..., 0] + 38470 * rgb[..., 1] + 7471 * rgb[..., 2] + 32768) >> 16
+    assert np.array_equal(g, luma.astype(np.uint8))
+    # UNCHANGED keeps CMYK 4-channel
+    cmyk = (np.random.default_rng(0).integers(0, 256, (24, 32, 4)) // 8 * 8).astype(np.uint8)
+    d4 = _encode_4comp(cmyk, adobe_transform=0)
+    out4 = np.asarray(dec.decode(d4, nic.DecodeParams(color_spec=nic.ColorSpec.UNCHANGED)))
+    assert out4.shape[-1] == 4
+    out3 = np.asarray(dec.decode(d4))
+    assert out3.shape[-1] == 3  # default still converts
