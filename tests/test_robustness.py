@@ -129,3 +129,32 @@ def test_edge_sizes_all_codecs(shape):
         assert a.shape[:2] == (h, w), (codec, a.shape)
         if codec != "jpeg":
             assert np.array_equal(a, img), codec
+
+
+def test_large_mixed_batch_under_load(corpus):
+    """300-sample mixed-format batch with interleaved corrupt samples:
+    ordering, per-sample isolation and correctness at scale."""
+    from util import make_photo
+
+    rng = np.random.default_rng(5)
+    keys = list(corpus)
+    batch = []
+    expect_ok = []
+    for i in range(300):
+        if i % 17 == 3:
+            batch.append(bytes(rng.integers(0, 256, 80, dtype=np.uint8)))
+            expect_ok.append(False)
+        else:
+            batch.append(corpus[keys[i % len(keys)]])
+            expect_ok.append(True)
+    outs = nic.Decoder().decode(batch)
+    assert len(outs) == 300
+    img = make_photo(40, 56, seed=1)
+    for i, (o, ok) in enumerate(zip(outs, expect_ok)):
+        if not ok:
+            assert o is None, i
+        else:
+            a = np.asarray(o)
+            assert a.shape[:2] == (40, 56), (i, a.shape)
+            if keys[i % len(keys)] in ("png", "tiff", "webp", "jp2", "bmp"):
+                assert np.array_equal(a, img), i
