@@ -341,6 +341,50 @@ def _j2k_device_fn(levels: int, reversible: bool, mct: bool, C: int,
     return jax.jit(fn)
 
 
+@functools.lru_cache(maxsize=64)
+def _j2k_device_fn_tiles(levels: int, reversible: bool, mct: bool, C: int,
+                         th: int, tw: int, depth: int, tiles_x: int,
+                         tiles_y: int):
+    """Jitted device stage for a UNIFORM tile grid: subbands stacked over a
+    leading tile axis [T, C, h, w]; output assembled to the full image on
+    device — the product-path realization of the tile-parallel design
+    (the tile axis is what shards over the mesh "sp" axis)."""
+    import jax
+    import jax.numpy as jnp
+
+    T = tiles_x * tiles_y
+
+    def fn(LL, bands):
+        lead = (T * C,)
+        plane = dwt_ops.idwt2d(
+            LL.reshape(lead + LL.shape[2:]),
+            [tuple(b.reshape(lead + b.shape[2:]) for b in lvl) for lvl in bands],
+            (th, tw), reversible,
+        ).reshape(T, C, th, tw)
+        if mct and C == 3:
+            y, cb_, cr = plane[:, 0], plane[:, 1], plane[:, 2]
+            if reversible:
+                g = y - ((cb_ + cr) >> 2)
+                plane = jnp.stack([cr + g, g, cb_ + g], axis=1)
+            else:
+                plane = jnp.stack(
+                    [y + 1.402 * cr,
+                     y - 0.344136 * cb_ - 0.714136 * cr,
+                     y + 1.772 * cb_], axis=1)
+        shift = 1 << (depth - 1)
+        maxv = (1 << depth) - 1
+        dtype = jnp.uint16 if depth > 8 else jnp.uint8
+        if not reversible:
+            plane = jnp.round(plane)
+        tiles = jnp.clip(plane + shift, 0, maxv).astype(dtype)
+        # [T, C, th, tw] → [ty, tx, C, th, tw] → [H, W, C]
+        img = tiles.reshape(tiles_y, tiles_x, C, th, tw)
+        img = jnp.transpose(img, (0, 3, 1, 4, 2))
+        return img.reshape(tiles_y * th, tiles_x * tw, C)
+
+    return jax.jit(fn)
+
+
 def decode_j2k(
     data: bytes,
     num_threads: int = 0,
@@ -382,6 +426,17 @@ def decode_j2k(
 
     pool = ThreadPoolExecutor(max_workers=num_threads or 8)
     border = _band_order(cp)
+
+    ntiles_total = siz.tiles_x * siz.tiles_y
+    uniform_grid = (
+        use_jax
+        and discard_levels == 0
+        and ntiles_total > 1
+        and siz.x0 == 0 and siz.y0 == 0 and siz.tx0 == 0 and siz.ty0 == 0
+        and siz.width % siz.tile_w == 0
+        and siz.height % siz.tile_h == 0
+    )
+    tile_stacks = {} if uniform_grid else None
 
     for tidx, tdata in iter_tile_parts(cs, pos):
         tx0, ty0, tx1, ty1 = siz.tile_rect(tidx)
@@ -437,6 +492,21 @@ def decode_j2k(
                 blk = np.sign(blk) * rec
             decoded[c][(r, bi)][cb.y0 - band.y0 : cb.y1 - band.y0,
                                 cb.x0 - band.x0 : cb.x1 - band.x0] = blk
+
+        if uniform_grid:
+            cast = np.int32 if cp.reversible else np.float32
+            LL = np.stack([decoded[c][(0, 0)] for c in range(C)]).astype(cast)
+            bands_t = tuple(
+                tuple(
+                    np.stack(
+                        [decoded[c][(cp.levels - lev + 1, bi)] for c in range(C)]
+                    ).astype(cast)
+                    for bi in range(3)
+                )
+                for lev in range(1, cp.levels + 1)
+            )
+            tile_stacks[tidx] = (LL, bands_t)
+            continue
 
         ntiles = siz.tiles_x * siz.tiles_y
         if use_jax and ntiles == 1 and discard_levels == 0:
@@ -495,5 +565,22 @@ def decode_j2k(
             ox0 = rx0 - ceil_div(siz.x0, d)
             out[oy0 : oy0 + th, ox0 : ox0 + tw, c] = p
     pool.shutdown(wait=False)
+
+    if uniform_grid and len(tile_stacks) == ntiles_total:
+        th_, tw_ = siz.tile_h, siz.tile_w
+        LL_all = np.stack([tile_stacks[t][0] for t in range(ntiles_total)])
+        bands_all = tuple(
+            tuple(
+                np.stack([tile_stacks[t][1][lvl][bi] for t in range(ntiles_total)])
+                for bi in range(3)
+            )
+            for lvl in range(cp.levels)
+        )
+        fn = _j2k_device_fn_tiles(
+            cp.levels, cp.reversible, cp.mct and C == 3, C, th_, tw_, depth,
+            siz.tiles_x, siz.tiles_y,
+        )
+        img = fn(LL_all, bands_all)
+        return img[:, :, 0] if C == 1 else img
 
     return out[:, :, 0] if C == 1 else out

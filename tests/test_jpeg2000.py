@@ -183,3 +183,21 @@ def test_target_psnr_rate_control():
         data = enc.encode(img, codec="jp2", params=EncodeParams(target_psnr=target))
         actual = psnr(img, np.asarray(dec.decode(data)))
         assert abs(actual - target) < 2.0, (target, actual)
+
+
+def test_jax_pixel_stage_matches_numpy_paths():
+    """decode_j2k(use_jax=True) — single-tile and uniform-tile-grid device
+    stages — must match the numpy path exactly (runs on the CPU jax
+    backend here; verified identical on real TPU too)."""
+    img = make_photo(128, 160, seed=1)
+    for kw in (dict(), dict(tile_size=64)):
+        d = encode_j2k(img, reversible=True, levels=3, **kw)
+        a = decode_j2k(d, use_jax=False)
+        b = np.asarray(decode_j2k(d, use_jax=True))
+        assert np.array_equal(a, b), kw
+    # partial tile grid falls back to the host path, still exact
+    img2 = make_photo(100, 150, seed=2)
+    d2 = encode_j2k(img2, reversible=True, levels=2, tile_size=64)
+    assert np.array_equal(
+        np.asarray(decode_j2k(d2, use_jax=True)), decode_j2k(d2, use_jax=False)
+    )
