@@ -40,15 +40,19 @@ class Jpeg2kHybridDecoder(DecoderPlugin):
     priority = Priority.HIGH
     num_parallel_tiles = 0  # 0 → thread-pool default
     discard_levels = 0      # reduced-resolution decode
+    device_pixel_stage = True
 
     def set_options(self, opts) -> None:
         # reference knob: num_parallel_tiles
         # (extensions/nvjpeg2k/cuda_decoder.cpp:178-195); discard_levels is
-        # the classic J2K multi-resolution decode
-        from ...core.options import get_int
+        # the classic J2K multi-resolution decode; device_pixel_stage=false
+        # keeps the IDWT on host (first jit compile of the deep DWT graph
+        # can be slow on remote-tunnel devices)
+        from ...core.options import get_bool, get_int
 
         self.num_parallel_tiles = get_int(opts, "num_parallel_tiles", 0)
         self.discard_levels = get_int(opts, "discard_levels", 0)
+        self.device_pixel_stage = get_bool(opts, "device_pixel_stage", True)
 
     def can_decode(self, data_batch, info_batch, params) -> List[ProcessingStatus]:
         return [
@@ -59,10 +63,16 @@ class Jpeg2kHybridDecoder(DecoderPlugin):
         ]
 
     def decode_batch(self, data_batch, info_batch, params) -> List[DecodeResult]:
+        import os as _os
+
         try:
             import jax
 
-            use_jax = jax.default_backend() != "cpu"
+            use_jax = (
+                self.device_pixel_stage
+                and not _os.environ.get("TIC_J2K_NO_DEVICE")
+                and jax.default_backend() != "cpu"
+            )
         except Exception:
             use_jax = False
 
