@@ -35,18 +35,6 @@ def _xp(a):
     return jnp
 
 
-def _reflect_pad1(x, axis: int):
-    """Pad 1 sample on both ends of `axis` with whole-sample reflection
-    (..., a, b, c, ... -> b, a, b, c, ..., y, z, y)."""
-    xp = _xp(x)
-    n = x.shape[axis]
-    if n == 1:
-        first = xp.take(x, np.array([0]), axis=axis)
-        return xp.concatenate([first, x, first], axis=axis)
-    left = xp.take(x, np.array([1]), axis=axis)
-    right = xp.take(x, np.array([n - 2]), axis=axis)
-    return xp.concatenate([left, x, right], axis=axis)
-
 
 def _split_even_odd(x, axis: int):
     xp = _xp(x)
@@ -79,11 +67,39 @@ def _interleave(xp, even, odd, axis: int, n: int):
     return out
 
 
-def _nb(x, axis, lo: bool):
-    """Neighbor pairs for lifting: for each position i in the target subset,
-    (x[i-1], x[i+1]) with reflection — implemented by shifting a padded
-    copy."""
-    raise NotImplementedError  # not used; kept for clarity of derivation
+
+def _ax_slice(x, axis: int, start, stop):
+    idx = [slice(None)] * x.ndim
+    idx[axis] = slice(start, stop)
+    return x[tuple(idx)]
+
+
+def _shift_left_clamp(x, axis: int, out_len: int):
+    """y[k] = x[min(k + 1, n - 1)] for k in [0, out_len) — pure slices."""
+    xp = _xp(x)
+    n = x.shape[axis]
+    if out_len + 1 <= n:
+        return _ax_slice(x, axis, 1, out_len + 1)
+    # out_len == n: shift with edge clamp
+    return xp.concatenate(
+        [_ax_slice(x, axis, 1, None), _ax_slice(x, axis, n - 1, None)], axis=axis
+    )
+
+
+def _shift_right_clamp(x, axis: int, out_len: int):
+    """y[k] = x[max(k - 1, 0)] for k in [0, out_len); out_len <= n + 1."""
+    xp = _xp(x)
+    head = _ax_slice(x, axis, 0, 1)
+    return xp.concatenate([head, _ax_slice(x, axis, 0, out_len - 1)], axis=axis)
+
+
+def _clamp_len(x, axis: int, out_len: int):
+    """y[k] = x[min(k, n - 1)] for k in [0, out_len); out_len <= n + 1."""
+    xp = _xp(x)
+    n = x.shape[axis]
+    if out_len <= n:
+        return _ax_slice(x, axis, 0, out_len)
+    return xp.concatenate([x, _ax_slice(x, axis, n - 1, None)], axis=axis)
 
 
 # -- 1D lifting on the interleaved signal ----------------------------------
@@ -94,24 +110,18 @@ def _fwd_lift_53(x, axis: int):
     n = x.shape[axis]
     if n == 1:
         return x, xp.take(x, np.array([], np.int64), axis=axis)
-    p = _reflect_pad1(x, axis)  # indices shifted by +1
     # d[i] for odd positions: x[2k+1] - floor((x[2k] + x[2k+2]) / 2)
     even, odd = _split_even_odd(x, axis)
     ne = even.shape[axis]
     no = odd.shape[axis]
-    # right neighbor of odd position 2k+1 is even sample k+1 (reflect at end)
-    idx_r = np.minimum(np.arange(no) + 1, ne - 1)
-    even_c = xp.take(even, np.arange(no), axis=axis) if ne != no else even
-    even_r = xp.take(even, idx_r, axis=axis)
-    H = odd - ((even_c + even_r) >> 1)
-    # s[k] = x[2k] + floor((d[k-1] + d[k] + 2) / 4); reflect d at both ends
-    idx_l = np.maximum(np.arange(ne) - 1, 0)
-    idx_c = np.minimum(np.arange(ne), no - 1)
     if no == 0:
         return even, odd
-    H_l = xp.take(H, idx_l, axis=axis)
-    H_c = xp.take(H, idx_c, axis=axis)
-    # for even position 0, left neighbor d[-1] reflects to d[0]
+    even_c = _ax_slice(even, axis, 0, no)
+    even_r = _shift_left_clamp(even, axis, no)
+    H = odd - ((even_c + even_r) >> 1)
+    # s[k] = x[2k] + floor((d[k-1] + d[k] + 2) / 4); reflect d at both ends
+    H_l = _shift_right_clamp(H, axis, ne)
+    H_c = _clamp_len(H, axis, ne)
     L = even + ((H_l + H_c + 2) >> 2)
     return L, H
 
@@ -123,14 +133,11 @@ def _inv_lift_53(L, H, axis: int, n: int):
     no = H.shape[axis]
     if no == 0:
         return L
-    idx_l = np.maximum(np.arange(ne) - 1, 0)
-    idx_c = np.minimum(np.arange(ne), no - 1)
-    H_l = xp.take(H, idx_l, axis=axis)
-    H_c = xp.take(H, idx_c, axis=axis)
+    H_l = _shift_right_clamp(H, axis, ne)
+    H_c = _clamp_len(H, axis, ne)
     even = L - ((H_l + H_c + 2) >> 2)
-    idx_r = np.minimum(np.arange(no) + 1, ne - 1)
-    even_c = xp.take(even, np.arange(no), axis=axis) if ne != no else even
-    even_r = xp.take(even, idx_r, axis=axis)
+    even_c = _ax_slice(even, axis, 0, no)
+    even_r = _shift_left_clamp(even, axis, no)
     odd = H + ((even_c + even_r) >> 1)
     return _interleave(xp, even, odd, axis, n)
 
@@ -144,17 +151,18 @@ def _fwd_lift_97(x, axis: int):
     ne, no = even.shape[axis], odd.shape[axis]
     if no == 0:
         return even, odd
-    er = np.minimum(np.arange(no) + 1, ne - 1)
-    el = np.maximum(np.arange(ne) - 1, 0)
-    ec = np.minimum(np.arange(ne), no - 1)
-
-    def ev_c(e):
-        return xp.take(e, np.arange(no), axis=axis) if ne != no else e
-
-    odd = odd + ALPHA * (ev_c(even) + xp.take(even, er, axis=axis))
-    even = even + BETA * (xp.take(odd, el, axis=axis) + xp.take(odd, ec, axis=axis))
-    odd = odd + GAMMA * (ev_c(even) + xp.take(even, er, axis=axis))
-    even = even + DELTA * (xp.take(odd, el, axis=axis) + xp.take(odd, ec, axis=axis))
+    odd = odd + ALPHA * (
+        _ax_slice(even, axis, 0, no) + _shift_left_clamp(even, axis, no)
+    )
+    even = even + BETA * (
+        _shift_right_clamp(odd, axis, ne) + _clamp_len(odd, axis, ne)
+    )
+    odd = odd + GAMMA * (
+        _ax_slice(even, axis, 0, no) + _shift_left_clamp(even, axis, no)
+    )
+    even = even + DELTA * (
+        _shift_right_clamp(odd, axis, ne) + _clamp_len(odd, axis, ne)
+    )
     L = even * (1.0 / K)
     H = odd * K
     return L, H
@@ -166,19 +174,20 @@ def _inv_lift_97(L, H, axis: int, n: int):
     no = H.shape[axis]
     if no == 0:
         return L
-    er = np.minimum(np.arange(no) + 1, ne - 1)
-    el = np.maximum(np.arange(ne) - 1, 0)
-    ec = np.minimum(np.arange(ne), no - 1)
-
-    def ev_c(e):
-        return xp.take(e, np.arange(no), axis=axis) if ne != no else e
-
     even = L * K
     odd = H * (1.0 / K)
-    even = even - DELTA * (xp.take(odd, el, axis=axis) + xp.take(odd, ec, axis=axis))
-    odd = odd - GAMMA * (ev_c(even) + xp.take(even, er, axis=axis))
-    even = even - BETA * (xp.take(odd, el, axis=axis) + xp.take(odd, ec, axis=axis))
-    odd = odd - ALPHA * (ev_c(even) + xp.take(even, er, axis=axis))
+    even = even - DELTA * (
+        _shift_right_clamp(odd, axis, ne) + _clamp_len(odd, axis, ne)
+    )
+    odd = odd - GAMMA * (
+        _ax_slice(even, axis, 0, no) + _shift_left_clamp(even, axis, no)
+    )
+    even = even - BETA * (
+        _shift_right_clamp(odd, axis, ne) + _clamp_len(odd, axis, ne)
+    )
+    odd = odd - ALPHA * (
+        _ax_slice(even, axis, 0, no) + _shift_left_clamp(even, axis, no)
+    )
     return _interleave(xp, even, odd, axis, n)
 
 
