@@ -171,6 +171,15 @@ class JpegCpuEncoder(EncoderPlugin):
     plugin_id = "cpu_jpeg_encoder"
     backend_kind = BackendKind.CPU_ONLY
     priority = Priority.NORMAL
+    device_pixel_stage = False  # opt-in: fDCT+quant on the accelerator
+
+    def set_options(self, opts) -> None:
+        # device_pixel_stage=true runs the fused color/downsample/fDCT/quant
+        # stage under jax (worth it on real hardware; the quantizer boundary
+        # may differ by one ulp on a handful of coefficients vs numpy)
+        from ...core.options import get_bool
+
+        self.device_pixel_stage = get_bool(opts, "device_pixel_stage", False)
 
     def can_encode(self, image_batch, info_batch, params) -> List[ProcessingStatus]:
         out = []
@@ -195,8 +204,17 @@ class JpegCpuEncoder(EncoderPlugin):
 
         from .encode import encode_jpeg
 
+        use_jax = False
+        if self.device_pixel_stage:
+            try:
+                import jax
+
+                use_jax = jax.default_backend() != "cpu"
+            except Exception:
+                use_jax = False
+
         def one(img):
-            return encode_jpeg(np.asarray(img), params)
+            return encode_jpeg(np.asarray(img), params, use_jax=use_jax)
 
         if len(image_batch) > 1:
             with ThreadPoolExecutor(

@@ -178,3 +178,19 @@ def test_progressive_gray():
     assert np.array_equal(
         oracle.jpeg_decode(prog).squeeze(), oracle.jpeg_decode(base).squeeze()
     )
+
+
+def test_device_pixel_stage_option():
+    """cpu_jpeg_encoder:device_pixel_stage=true routes the pixel stage
+    through jax; output must decode to near-identical pixels."""
+    from nvimagecodec_tpu import Decoder, Encoder
+
+    img = make_photo(64, 80, seed=4)
+    enc_dev = Encoder(options="cpu_jpeg_encoder:device_pixel_stage=true")
+    enc_cpu = Encoder()
+    p = EncodeParams(quality=90, chroma_subsampling="420")
+    d1 = enc_dev.encode(img, codec="jpeg", params=p)
+    d2 = enc_cpu.encode(img, codec="jpeg", params=p)
+    a = np.asarray(Decoder().decode(d1)).astype(int)
+    b = np.asarray(Decoder().decode(d2)).astype(int)
+    assert np.abs(a - b).max() <= 2  # one-ulp quantizer boundary effects
