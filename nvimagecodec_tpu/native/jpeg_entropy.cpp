@@ -36,7 +36,9 @@ struct HuffTable {
   uint8_t values[256];
   bool valid = false;
 
-  void build(const uint8_t bits[16], const uint8_t* vals, int nvals) {
+  bool build(const uint8_t bits[16], const uint8_t* vals, int nvals) {
+    valid = false;
+    if (nvals > 256) return false;
     memcpy(values, vals, nvals);
     int code = 0, k = 0;
     int codes[256], lens[256];
@@ -49,6 +51,9 @@ struct HuffTable {
         code++;
         k++;
       }
+      // canonical codes of length l must fit in l bits; a malformed DHT
+      // (e.g. bits[1]=255) would otherwise push LUT bases past 512
+      if (code > (1 << l)) return false;
       maxcode[l] = code - 1;
       code <<= 1;
     }
@@ -68,6 +73,7 @@ struct HuffTable {
       }
     }
     valid = true;
+    return true;
   }
 };
 
@@ -303,10 +309,11 @@ bool Decoder::parse_and_decode() {
             nv += bits[i];
           }
           if (q + 17 + nv > segend || nv > 256) return false;
-          if (tc == 0)
-            dc_tbl[th].build(bits, q + 17, nv);
-          else
-            ac_tbl[th].build(bits, q + 17, nv);
+          if (tc == 0) {
+            if (!dc_tbl[th].build(bits, q + 17, nv)) return false;
+          } else {
+            if (!ac_tbl[th].build(bits, q + 17, nv)) return false;
+          }
           q += 17 + nv;
         }
         break;
@@ -433,7 +440,9 @@ void Decoder::sequential_scan(Scan& s) {
             long col = interleaved ? mx * c.h + bx : mx;
             int16_t* block = c.coef + (row * c.bw + col) * 64;
             int t = decode_huff(br, dct);
-            if (t < 0) { error = 1; return; }
+            // DC magnitude category is at most 15 (12-bit mode); a larger
+            // table byte would drive get_bits into UB shifts
+            if (t < 0 || t > 15) { error = 1; return; }
             pred[j] += extend(br.get_bits(t), t);
             block[0] = (int16_t)pred[j];
             int k = 1;
@@ -502,7 +511,7 @@ void Decoder::progressive_scan(Scan& s) {
             if (is_dc) {
               if (s.ah == 0) {
                 int t = decode_huff(br, s.dc[j]);
-                if (t < 0) { error = 1; return; }
+                if (t < 0 || t > 15) { error = 1; return; }
                 pred[j] += extend(br.get_bits(t), t);
                 block[0] = (int16_t)(pred[j] << s.al);
               } else {

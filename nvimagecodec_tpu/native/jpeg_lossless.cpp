@@ -20,7 +20,9 @@ struct HuffTable {
   uint8_t values[256];
   bool valid = false;
 
-  void build(const uint8_t bits[16], const uint8_t* vals, int nvals) {
+  bool build(const uint8_t bits[16], const uint8_t* vals, int nvals) {
+    valid = false;
+    if (nvals > 256) return false;
     memcpy(values, vals, nvals);
     int code = 0, k = 0;
     int codes[256], lens[256];
@@ -33,6 +35,8 @@ struct HuffTable {
         code++;
         k++;
       }
+      // canonical codes of length l must fit in l bits (malformed DHT guard)
+      if (code > (1 << l)) return false;
       maxcode[l] = code - 1;
       code <<= 1;
     }
@@ -50,6 +54,7 @@ struct HuffTable {
         }
       }
     valid = true;
+    return true;
   }
 };
 
@@ -192,7 +197,8 @@ int tic_jpeg_lossless_decode(const uint8_t* data, size_t len, uint16_t* out,
         int nv = 0;
         for (int i = 1; i <= 16; i++) nv += q[i];
         if (nv > 256 || q + 17 + nv > segend) return 13;
-        if (tc == 0 && th < 4) tables[th].build(q + 1, q + 17, nv);
+        if (tc == 0 && th < 4 && !tables[th].build(q + 1, q + 17, nv))
+          return 13;
         q += 17 + nv;
       }
     } else if (m == 0xDD) {
@@ -236,7 +242,9 @@ int tic_jpeg_lossless_decode(const uint8_t* data, size_t len, uint16_t* out,
             const HuffTable& t = tables[stbl[j]];
             if (!t.valid) return 10;
             int ssss = decode_huff(br, t);
-            if (ssss < 0) return 11;
+            // ssss beyond 16 is not a legal magnitude category (ssss==16
+            // means +32768 with no extra bits); guard get_bits shifts
+            if (ssss < 0 || ssss > 16) return 11;
             int diff;
             if (ssss == 16)
               diff = 32768;

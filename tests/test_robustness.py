@@ -68,6 +68,38 @@ def test_garbage_and_empty():
     assert all(o is None for o in outs)
 
 
+def _jpeg_with_dht(bits):
+    """Minimal JPEG stream carrying a crafted DHT (bits = 16 counts)."""
+    vals = bytes(range(min(sum(bits), 256)))
+    dht = bytes([0x00]) + bytes(bits) + vals
+    seg = b"\xff\xc4" + (len(dht) + 2).to_bytes(2, "big") + dht
+    dqt = b"\xff\xdb" + (67).to_bytes(2, "big") + b"\x00" + bytes([16] * 64)
+    sof = b"\xff\xc0" + (11).to_bytes(2, "big") + bytes(
+        [8, 0, 8, 0, 8, 1, 1, 0x11, 0]
+    )
+    sos = b"\xff\xda" + (8).to_bytes(2, "big") + bytes([1, 1, 0x00, 0, 63, 0])
+    return b"\xff\xd8" + dqt + seg + sof + sos + b"\xa5" * 32 + b"\xff\xd9"
+
+
+def test_malformed_dht_overflow():
+    """DHT whose canonical codes overflow their bit length (e.g. 255 codes of
+    length 1) must fail cleanly — previously smashed the native decoder's
+    stack via an out-of-bounds lookahead-LUT write (ADVICE r1, high)."""
+    dec = nic.Decoder()
+    crafted = [
+        [255] + [0] * 15,            # 255 codes of length 1
+        [2, 255] + [0] * 14,         # overflow at length 2
+        [1] * 16,                    # fills exactly; last length overflows? no
+        [0] * 14 + [255, 255],       # huge long-code counts
+    ]
+    for bits in crafted:
+        out = dec.decode(_jpeg_with_dht(bits))
+        # clean failure or a sane decode — never a crash
+        if out is not None:
+            a = np.asarray(out)
+            assert a.ndim in (2, 3)
+
+
 def test_batch_isolation(corpus):
     """One corrupted sample must not poison its batch."""
     dec = nic.Decoder()
