@@ -7,14 +7,24 @@ jitted pixel function — variable shapes become shape buckets instead of
 per-sample dynamic dispatch (SURVEY.md §7 "Variable shapes under XLA").
 Batch sizes are padded to powers of two to bound recompilation.
 
-Hot-path design (measured on the axon TPU tunnel):
+Hot-path design (measured on the axon TPU tunnel — see PARITY.md):
 - the host stage parses headers, preallocates the stacked [B, bh, bw, 64]
   int16 batch per component, and entropy-decodes each sample DIRECTLY into
-  its batch slot from a thread pool (the native decoder releases the GIL) —
-  no per-sample arrays, no np.stack copy;
+  its batch slot from a thread pool (the native decoder releases the GIL);
+- the H2D transfer is the measured bottleneck (~38 MB of int16 coefficients
+  per 64-image 4:2:0 bucket vs ~7 ms of device compute), so the host packs
+  coefficients into ONE contiguous uint8 wire buffer — per block, 64
+  zigzag-order low bytes + the 8 high bytes of zigzag 0..7 (72 B vs 128 B).
+  The device unpacks with three elementwise ops; the zigzag order is folded
+  into the IDCT matrix columns so reordering costs nothing. Blocks whose
+  tail coefficients exceed int8 (very high quality factors) fall back to
+  the wide int16 wire per bucket, host-verified, bit-exact either way;
+- transfers run on a dedicated thread in sub-batch chunks so the entropy
+  decode of chunk N+1 overlaps the device_put of chunk N (the reference's
+  2-page host/GPU overlap, extensions/nvjpeg/cuda_decoder.cpp:425-427); one
+  put per chunk — the tunnel charges a fixed latency per transfer;
 - the device stage is one jitted call per bucket that returns a TUPLE of
-  per-sample images, so splitting the batch costs zero extra dispatches
-  (eager `imgs[j]` slices were ~40 ms each over the tunnel);
+  per-sample images, so splitting the batch costs zero extra dispatches;
 - outputs stay on device; callers that need completion use
   jax.block_until_ready without fetching.
 """
@@ -22,6 +32,7 @@ from __future__ import annotations
 
 import functools
 import os
+import threading
 from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, List
 
@@ -33,22 +44,123 @@ from ...core.types import ProcessingStatus
 from .headers import parse_jpeg_structure
 from .pixel import cmyk_to_rgb, decode_pixels, geometry_key
 
+_PACK_HEAD = 8  # zigzag positions carrying a high byte on the packed wire
+
+# adaptive wire ladder: (luma lo_len, chroma lo_len) per packed level. Level
+# 0 truncates the always-zero zigzag tail (q<=~90 corpora); any coefficient
+# that does not fit bumps the bucket's geometry to the next level, memoized
+# so steady-state corpora pay the re-decode once per geometry.
+_WIRE_LEVELS = ((48, 32), (64, 64))
+_LEVEL_MEMO: Dict[tuple, int] = {}
+_LEVEL_LOCK = threading.Lock()
+
+
+def _lo_lens(level: int, ncomp: int) -> tuple:
+    luma, chroma = _WIRE_LEVELS[level]
+    if ncomp == 1:
+        return (luma,)
+    if ncomp == 4:  # CMYK/YCCK: K behaves like luma
+        return (luma, chroma, chroma, luma)
+    return (luma,) + (chroma,) * (ncomp - 1)
+
+
+class _HostBufferPool:
+    """Recycles host-side staging buffers across decode calls.
+
+    The device transport pins/registers host memory per buffer; streaming
+    fresh 20 MB numpy arrays every batch degrades transfer throughput by
+    ~40x after a handful of batches (measured on the axon tunnel). Reusing
+    the same buffers keeps the fast path — the TPU analog of the
+    reference's pinned-buffer recycling in Work::ensure_expected_buffer
+    (src/work.h:144-169)."""
+
+    def __init__(self, max_bytes: int):
+        self._free: Dict[tuple, list] = {}
+        self._lock = threading.Lock()
+        self._bytes = 0
+        self._max = max_bytes
+
+    def acquire(self, key, shape, dtype) -> np.ndarray:
+        with self._lock:
+            lst = self._free.get(key)
+            if lst:
+                arr = lst.pop()
+                self._bytes -= arr.nbytes
+                return arr
+        return np.empty(shape, dtype)
+
+    def release(self, key, arr: np.ndarray) -> None:
+        with self._lock:
+            if self._bytes + arr.nbytes <= self._max:
+                self._free.setdefault(key, []).append(arr)
+                self._bytes += arr.nbytes
+            # else: drop — pool is full
+
+
+_POOL = _HostBufferPool(
+    int(os.environ.get("TIC_HOST_POOL_MB", "512")) << 20)
+
+
+def _wire_layout(dims, lo_lens):
+    """Byte offsets of each component's lo/hi region in one sample's wire
+    row. Returns (offsets, total): offsets[c] = (lo_off, hi_off)."""
+    offs = []
+    pos = 0
+    for (bw, bh), ll in zip(dims, lo_lens):
+        offs.append(pos)
+        pos += bh * bw * ll
+    hi_offs = []
+    for (bw, bh) in dims:
+        hi_offs.append(pos)
+        pos += bh * bw * _PACK_HEAD
+    return list(zip(offs, hi_offs)), pos
+
+
+def _unpack_component(xp, wire, lo_off, hi_off, bh, bw, lo_len):
+    """One component from the packed wire → zigzag-order int16 blocks
+    [..., lo_len] (a truncated zigzag prefix when lo_len < 64)."""
+    B = wire.shape[0]
+    lo = wire[:, lo_off:lo_off + bh * bw * lo_len].reshape(B, bh, bw, lo_len)
+    hi = wire[:, hi_off:hi_off + bh * bw * _PACK_HEAD].reshape(
+        B, bh, bw, _PACK_HEAD).astype(xp.int8)
+    head = (hi.astype(xp.int16) << 8) | lo[..., :_PACK_HEAD].astype(xp.int16)
+    tail = lo[..., _PACK_HEAD:].astype(xp.int8).astype(xp.int16)
+    return xp.concatenate([head, tail], axis=-1)
+
 
 @functools.lru_cache(maxsize=256)
-def _pixel_fn(geom_key, batch: int, fancy: bool, to_rgb: bool, to_u8: bool):
+def _pixel_fn(geom_key, batch: int, fancy: bool, to_rgb: bool, to_u8: bool,
+              wire: str = "wide", nchunks: int = 1, lo_lens: tuple = ()):
     """Build + jit the pixel stage for one geometry bucket. Returns a tuple
-    of `batch` per-sample images from a single dispatch."""
+    of `batch` per-sample images from a single dispatch.
+
+    wire="wide": args = tuple of per-component [B, bh, bw, 64] int16.
+    wire="packed": args = tuple of nchunks [chunk, row_bytes] uint8 wire
+        buffers, concatenated on device."""
     import jax
 
     jitted = {}
 
-    def call(frame, coef_arrays):
+    def call(frame, arrs):
         if "f" not in jitted:
+            _, _, dims = frame.mcu_geometry()
+            offsets, _ = _wire_layout(dims, lo_lens) if lo_lens else (None, 0)
 
-            def fn(arrs):
+            def fn(flat):
                 import jax.numpy as jnp
 
-                imgs = decode_pixels(frame, list(arrs), use_jax=True, fancy=fancy)
+                if wire == "packed":
+                    w = flat[0] if nchunks == 1 else jnp.concatenate(
+                        flat, axis=0)
+                    coefs = [
+                        _unpack_component(jnp, w, lo_off, hi_off, bh, bw, ll)
+                        for (lo_off, hi_off), (bw, bh), ll in zip(
+                            offsets, dims, lo_lens)
+                    ]
+                else:
+                    coefs = list(flat)
+                imgs = decode_pixels(frame, coefs, use_jax=True, fancy=fancy,
+                                     zigzag=(wire == "packed"))
                 if to_rgb and imgs.ndim == 4 and imgs.shape[-1] == 4:
                     imgs = cmyk_to_rgb(imgs, jnp)
                 if to_u8 and frame.precision > 8:
@@ -56,7 +168,7 @@ def _pixel_fn(geom_key, batch: int, fancy: bool, to_rgb: bool, to_u8: bool):
                 return tuple(imgs[j] for j in range(batch))
 
             jitted["f"] = jax.jit(fn)
-        return jitted["f"](coef_arrays)
+        return jitted["f"](arrs)
 
     return call
 
@@ -68,6 +180,20 @@ def _next_pow2(n: int) -> int:
     return p
 
 
+def _chunk_plan(bpad: int) -> int:
+    """Number of transfer chunks for a bucket of bpad samples. Each
+    device_put over the tunnel has a fixed cost, so only split buckets big
+    enough that entropy/transfer overlap wins it back."""
+    env = os.environ.get("TIC_XFER_CHUNKS")
+    if env:
+        n = max(1, int(env))
+    else:
+        n = 2 if bpad >= 32 else 1
+    while bpad % n:
+        n -= 1
+    return n
+
+
 def decode_batch_tpu(data_batch, params: DecodeParams, fancy: bool = True) -> List[DecodeResult]:
     n = len(data_batch)
     results: List[DecodeResult] = [None] * n  # type: ignore[list-item]
@@ -75,11 +201,16 @@ def decode_batch_tpu(data_batch, params: DecodeParams, fancy: bool = True) -> Li
     from . import _entropy_decode  # late import to avoid cycle
 
     try:
-        from .native import decode_coefficients_into
+        from .native import (
+            decode_coefficients_into,
+            decode_coefficients_packed_into,
+        )
 
-        have_native_into = True
+        have_native = True
     except Exception:
-        have_native_into = False
+        have_native = False
+
+    import jax
 
     # 1) host: parse headers, bucket by geometry
     frames = {}
@@ -98,9 +229,10 @@ def decode_batch_tpu(data_batch, params: DecodeParams, fancy: bool = True) -> Li
             )
 
     # 2) per bucket: preallocated batch arrays, threaded entropy decode into
-    #    slots, then one jitted device call
+    #    slots, chunked async H2D, then one jitted device call
     nthreads = min(32, os.cpu_count() or 2)
     pool = ThreadPoolExecutor(max_workers=nthreads) if n > 1 else None
+    xfer = ThreadPoolExecutor(max_workers=1)  # ordered transfer queue
     try:
         for key, idxs in groups.items():
             frame0 = frames[idxs[0]]
@@ -108,17 +240,100 @@ def decode_batch_tpu(data_batch, params: DecodeParams, fancy: bool = True) -> Li
             b = len(idxs)
             bpad = _next_pow2(b)
             _, _, dims = frame0.mcu_geometry()
-            coef_arrays = [
-                np.empty((bpad, bh, bw, 64), np.int16) for (bw, bh) in dims
-            ]
-            if bpad != b:
-                for a in coef_arrays:
-                    a[b:] = 0
+            # packed wire unless progressive (needs int16 refinement state)
+            can_pack = (have_native and not frame0.is_progressive
+                        and not os.environ.get("TIC_NO_PACKED_WIRE"))
+            with _LEVEL_LOCK:
+                level = _LEVEL_MEMO.get(key, 0)
+            if not can_pack:
+                level = len(_WIRE_LEVELS)  # wide
 
-            def _fill(j_i):
+            failed = set()
+
+            def _run_fills(todo, fill):
+                if pool is not None and len(todo) > 1:
+                    futs = {pool.submit(fill, ji): ji[1] for ji in todo}
+                    for f, i in futs.items():
+                        try:
+                            f.result()
+                        except Exception as e:
+                            failed.add(i)
+                            results[i] = DecodeResult(
+                                ProcessingStatus.FAIL
+                                | ProcessingStatus.IMAGE_CORRUPTED,
+                                error=str(e),
+                            )
+                else:
+                    for ji in todo:
+                        try:
+                            fill(ji)
+                        except Exception as e:
+                            failed.add(ji[1])
+                            results[ji[1]] = DecodeResult(
+                                ProcessingStatus.FAIL
+                                | ProcessingStatus.IMAGE_CORRUPTED,
+                                error=str(e),
+                            )
+
+            def _attempt_packed(level):
+                """Entropy-decode the bucket onto the packed wire at the
+                given truncation level, streaming chunks to the device.
+                Returns (xfer_futs, wire_buf, lo_lens) or None if a
+                coefficient did not fit (caller widens the wire)."""
+                lo_lens = _lo_lens(level, ncomp)
+                offsets, row_bytes = _wire_layout(dims, lo_lens)
+                pool_key = ("wire", key, bpad, lo_lens)
+                wire_buf = _POOL.acquire(pool_key, (bpad, row_bytes),
+                                         np.uint8)
+                if bpad != b:
+                    wire_buf[b:] = 0
+                overflow = [False]
+
+                def _fill(j_i):
+                    j, i = j_i
+                    row = wire_buf[j]
+                    lo_slots, hi_slots = [], []
+                    for c, (bw, bh) in enumerate(dims):
+                        lo_off, hi_off = offsets[c]
+                        ll = lo_lens[c]
+                        lo_slots.append(
+                            row[lo_off:lo_off + bh * bw * ll]
+                            .reshape(bh, bw, ll))
+                        hi_slots.append(
+                            row[hi_off:hi_off + bh * bw * _PACK_HEAD]
+                            .view(np.int8).reshape(bh, bw, _PACK_HEAD))
+                    rc = decode_coefficients_packed_into(
+                        frames[i], raws[i], lo_slots, hi_slots)
+                    if rc != 0:
+                        overflow[0] = True
+                    return i
+
+                nchunks = _chunk_plan(bpad)
+                chunk = bpad // nchunks
+                xfer_futs = []
+                for g in range(nchunks):
+                    lo_j, hi_j = g * chunk, (g + 1) * chunk
+                    _run_fills(
+                        [(j, i) for j, i in enumerate(idxs)
+                         if lo_j <= j < hi_j],
+                        _fill,
+                    )
+                    if overflow[0]:
+                        break
+                    # ship this chunk while the next one entropy-decodes
+                    xfer_futs.append(xfer.submit(
+                        jax.device_put, wire_buf[lo_j:hi_j]))
+                if overflow[0]:
+                    for f in xfer_futs:
+                        f.result()  # drain stale transfers
+                    _POOL.release(pool_key, wire_buf)
+                    return None
+                return xfer_futs, wire_buf, lo_lens, nchunks, pool_key
+
+            def _fill_wide(j_i):
                 j, i = j_i
                 slots = [coef_arrays[c][j] for c in range(ncomp)]
-                if have_native_into:
+                if have_native:
                     decode_coefficients_into(frames[i], raws[i], slots)
                 else:
                     coefs = _entropy_decode(frames[i], raws[i])
@@ -126,46 +341,59 @@ def decode_batch_tpu(data_batch, params: DecodeParams, fancy: bool = True) -> Li
                         slots[c][...] = coefs[c]
                 return i
 
-            ok_idxs = []
-            failed = set()
             host_span = span("imgcodec.jpeg.host_entropy")
             host_span.__enter__()
-            if pool is not None:
-                futs = {
-                    pool.submit(_fill, (j, i)): i for j, i in enumerate(idxs)
-                }
-                for f, i in futs.items():
-                    try:
-                        f.result()
-                    except Exception as e:
-                        failed.add(i)
-                        results[i] = DecodeResult(
-                            ProcessingStatus.FAIL
-                            | ProcessingStatus.IMAGE_CORRUPTED,
-                            error=str(e),
-                        )
-            else:
-                for j, i in enumerate(idxs):
-                    try:
-                        _fill((j, i))
-                    except Exception as e:
-                        failed.add(i)
-                        results[i] = DecodeResult(
-                            ProcessingStatus.FAIL
-                            | ProcessingStatus.IMAGE_CORRUPTED,
-                            error=str(e),
-                        )
-
+            attempt = None
+            while attempt is None and level < len(_WIRE_LEVELS):
+                failed.clear()
+                attempt = _attempt_packed(level)
+                if attempt is None:
+                    level += 1
+                    with _LEVEL_LOCK:
+                        _LEVEL_MEMO[key] = level
+            coef_arrays = None
+            if attempt is None:
+                # wide wire: progressive streams, packed overflow at every
+                # level, or the pure-python fallback
+                coef_arrays = [
+                    _POOL.acquire(("coef", key, bpad, c),
+                                  (bpad, bh, bw, 64), np.int16)
+                    for c, (bw, bh) in enumerate(dims)
+                ]
+                if bpad != b:
+                    for a in coef_arrays:
+                        a[b:] = 0
+                failed.clear()
+                _run_fills(list(enumerate(idxs)), _fill_wide)
             host_span.__exit__(None, None, None)
+
             try:
                 from ...core.types import ColorSpec as _CS
 
                 cs = getattr(params, "color_spec", None)
                 to_rgb = not (cs is not None and int(cs) == int(_CS.UNCHANGED))
-                call = _pixel_fn(key, bpad, fancy, to_rgb,
-                                 not params.allow_any_depth)
+                to_u8 = not params.allow_any_depth
                 with span("imgcodec.jpeg.device_pixel_stage"):
-                    imgs = call(frame0, tuple(coef_arrays))
+                    if attempt is not None:
+                        xfer_futs, wire_buf, lo_lens, nchunks, pool_key = attempt
+                        devs = tuple(f.result() for f in xfer_futs)
+                        # host buffer reusable only once the transfer landed
+                        jax.block_until_ready(devs)
+                        _POOL.release(pool_key, wire_buf)
+                        call = _pixel_fn(key, bpad, fancy, to_rgb, to_u8,
+                                         "packed", nchunks, lo_lens)
+                        imgs = call(frame0, devs)
+                    else:
+                        devs = tuple(
+                            xfer.submit(jax.device_put, a).result()
+                            for a in coef_arrays
+                        )
+                        jax.block_until_ready(devs)
+                        for c, a in enumerate(coef_arrays):
+                            _POOL.release(("coef", key, bpad, c), a)
+                        coef_arrays = None
+                        call = _pixel_fn(key, bpad, fancy, to_rgb, to_u8)
+                        imgs = call(frame0, devs)
                 for j, i in enumerate(idxs):
                     if i in failed:
                         continue
@@ -176,7 +404,12 @@ def decode_batch_tpu(data_batch, params: DecodeParams, fancy: bool = True) -> Li
                         results[i] = DecodeResult(
                             ProcessingStatus.FAIL, error=str(e)
                         )
+            finally:
+                if coef_arrays is not None:
+                    for c, a in enumerate(coef_arrays):
+                        _POOL.release(("coef", key, bpad, c), a)
     finally:
         if pool is not None:
             pool.shutdown(wait=False)
+        xfer.shutdown(wait=False)
     return results

@@ -42,14 +42,28 @@ def _planes_from_blocks(xp, blocks, bh: int, bw: int):
     return x.reshape(*lead, bh * 8, bw * 8)
 
 
+# zigzag index -> natural position (ITU-T T.81 figure A.6); used to fold the
+# packed wire's zigzag coefficient order into the IDCT matrix columns so the
+# device never pays a gather for the reordering
+ZIGZAG_NAT = np.array([
+    0,  1,  8,  16, 9,  2,  3,  10, 17, 24, 32, 25, 18, 11, 4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6,  7,  14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], np.int32)
+
+
 def idct_planes(
     frame: JpegFrame,
     coefs: List,
     use_jax: bool,
+    zigzag: bool = False,
 ):
     """Per-component dequant+IDCT to cropped int32 sample planes.
 
     coefs[c]: [..., bh, bw, 64] → plane [..., ch, cw] (true sample area).
+    With zigzag=True the 64-axis is in zigzag order and the reordering is
+    folded into the dequant·IDCT matrix (zero device cost).
     """
     if use_jax:
         import jax.numpy as xp
@@ -69,7 +83,12 @@ def idct_planes(
     planes = []
     for c, blocks in zip(frame.components, coefs):
         bh, bw = blocks.shape[-3], blocks.shape[-2]
+        K = blocks.shape[-1]  # zigzag wires may carry a truncated prefix
         M = dequant_idct_matrix(frame.quant[c.tq])  # [64(pix), 64(coef)]
+        if zigzag:
+            M = np.ascontiguousarray(M[:, ZIGZAG_NAT][:, :K])
+        elif K != 64:
+            raise ValueError("truncated coefficients require zigzag order")
         lead = blocks.shape[:-3]
         plane = None
         if use_pallas and len(lead) == 1:
@@ -83,7 +102,7 @@ def idct_planes(
             except Exception:
                 plane = None
         if plane is None:
-            flat = blocks.reshape(*lead, bh * bw, 64)
+            flat = blocks.reshape(*lead, bh * bw, K)
             if use_jax:
                 samp = (
                     xp.einsum(
@@ -146,9 +165,9 @@ def assemble_image(frame: JpegFrame, planes: List, use_jax: bool, fancy: bool = 
 
 
 def decode_pixels(frame: JpegFrame, coefs: List, use_jax: bool = False,
-                  fancy: bool = True):
+                  fancy: bool = True, zigzag: bool = False):
     """coefs[c]: [..., bh, bw, 64] int16 → uint8 image [..., H, W(, C)]."""
-    planes = idct_planes(frame, coefs, use_jax)
+    planes = idct_planes(frame, coefs, use_jax, zigzag=zigzag)
     return assemble_image(frame, planes, use_jax, fancy)
 
 

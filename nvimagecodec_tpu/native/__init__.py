@@ -72,6 +72,18 @@ def _declare(L: ctypes.CDLL) -> None:
     ]
     L.tic_jpeg_decode_coefficients_into.restype = ctypes.c_int
     c_i32p = ctypes.POINTER(ctypes.c_int32)
+    L.tic_jpeg_decode_coefficients_packed.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.POINTER(ctypes.c_uint8) * 4, ctypes.POINTER(ctypes.c_int8) * 4,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+    ]
+    L.tic_jpeg_decode_coefficients_packed.restype = ctypes.c_int
+    L.tic_jpeg_pack_coefficients.argtypes = [
+        c_i16p, ctypes.c_int64, ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int8),
+    ]
+    L.tic_jpeg_pack_coefficients.restype = ctypes.c_int
     L.tic_jpeg_count_symbols.argtypes = [
         ctypes.c_int, c_i32p, c_i32p, c_i32p, c_i32p, c_i32p, c_i32p,
         ctypes.c_int, ctypes.c_int, ctypes.POINTER(c_i16p),

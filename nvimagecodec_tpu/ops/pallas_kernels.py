@@ -20,17 +20,19 @@ import numpy as np
 
 
 @functools.lru_cache(maxsize=64)
-def _build_idct_blocks_fn(batch: int, bh: int, bw: int, maxval: int,
+def _build_idct_blocks_fn(batch: int, bh: int, bw: int, K: int, maxval: int,
                           center: float):
-    """pallas_call for fixed geometry: [B, bh, bw, 64] i16 → [B, bh, bw, 64]
-    i32 IDCT samples (block layout, clipped)."""
+    """pallas_call for fixed geometry: [B, bh, bw, K] i16 → [B, bh, bw, 64]
+    i32 IDCT samples (block layout, clipped). K may be a truncated zigzag
+    prefix (the wire drops always-zero tail coefficients; the matrix
+    contraction simply has fewer terms)."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     def kernel(coef_ref, m_ref, out_ref):
-        x = coef_ref[0, 0].astype(jnp.float32)  # [bw, 64] (VPU cast)
+        x = coef_ref[0, 0].astype(jnp.float32)  # [bw, K] (VPU cast)
         samp = (
             jnp.dot(x, m_ref[:], preferred_element_type=jnp.float32) + center
         )
@@ -41,12 +43,12 @@ def _build_idct_blocks_fn(batch: int, bh: int, bw: int, maxval: int,
         grid=(batch, bh),
         in_specs=[
             pl.BlockSpec(
-                (1, 1, bw, 64),
+                (1, 1, bw, K),
                 lambda b, r: (b, r, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (64, 64), lambda b, r: (0, 0), memory_space=pltpu.VMEM
+                (K, 64), lambda b, r: (0, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec(
@@ -59,15 +61,15 @@ def _build_idct_blocks_fn(batch: int, bh: int, bw: int, maxval: int,
 
 
 def dequant_idct_blocks(coefs, M: np.ndarray, precision: int = 8):
-    """[B, bh, bw, 64] int16 → [B, bh, bw, 64] int32 clipped samples.
+    """[B, bh, bw, K] int16 → [B, bh, bw, 64] int32 clipped samples.
 
-    M is dequant_idct_matrix(quant) ([64(pix), 64(coef)]); the kernel takes
-    M^T so the contraction is coefficient-major on the MXU.
+    M is dequant_idct_matrix(quant) sliced to [64(pix), K(coef)]; the kernel
+    takes M^T so the contraction is coefficient-major on the MXU.
     """
     import jax.numpy as jnp
 
-    batch, bh, bw, _ = coefs.shape
+    batch, bh, bw, K = coefs.shape
     maxval = (1 << precision) - 1
     center = float(1 << (precision - 1))
-    fn = _build_idct_blocks_fn(batch, bh, bw, maxval, center)
+    fn = _build_idct_blocks_fn(batch, bh, bw, K, maxval, center)
     return fn(coefs, jnp.asarray(np.ascontiguousarray(M.T), jnp.float32))
