@@ -143,6 +143,22 @@ def main() -> None:
             f"(all: {[round(p, 1) for p in base_passes]})")
         vs = ips / base_ips
 
+    # --- scaling audit (virtual 8-device CPU mesh, stderr only) -------------
+    try:
+        import subprocess
+
+        r = subprocess.run(
+            [sys.executable, os.path.join(os.path.dirname(
+                os.path.abspath(__file__)), "bench_scaling.py")],
+            capture_output=True, text=True, timeout=240,
+            env={k: v for k, v in os.environ.items()
+                 if k not in ("XLA_FLAGS", "JAX_PLATFORMS")},
+        )
+        for line in (r.stderr + r.stdout).splitlines():
+            log("scaling |", line)
+    except Exception as e:
+        log("scaling audit skipped:", e)
+
     print(
         json.dumps(
             {

@@ -56,13 +56,18 @@ class Decoder:
         max_num_cpu_threads: int = 0,
         registry: Optional[CodecRegistry] = None,
         executor=None,
+        mesh=None,
     ):
+        """`mesh`: optional jax.sharding.Mesh. Device decode stages shard
+        over it — image batches over the "dp" axis, J2K tiles/DWT rows over
+        "sp" — replacing the single-device dispatch (SURVEY.md §2.7)."""
         self._generic = GenericDecoder(
             registry=registry,
             backends=backends,
             options=options,
             max_num_cpu_threads=max_num_cpu_threads,
             executor=executor,
+            mesh=mesh,
         )
 
     # -- single/batch entry points (reference: decoder.cpp:147-253) ---------

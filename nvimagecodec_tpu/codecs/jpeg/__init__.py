@@ -143,6 +143,7 @@ class JpegHybridTpuDecoder(_JpegDecoderBase):
     priority = Priority.HIGH
     use_jax = True
     fancy_upsampling = True
+    mesh = None  # set by the scheduler for Decoder(mesh=...): DP sharding
 
     def set_options(self, opts) -> None:
         # reference knob: fancy_upsampling (include/nvimgcodec.h:1593-1594)
@@ -156,7 +157,8 @@ class JpegHybridTpuDecoder(_JpegDecoderBase):
         # (the XLA analog of the reference's batched nvjpegDecodeBatched).
         from .batch import decode_batch_tpu
 
-        return decode_batch_tpu(data_batch, params, fancy=self.fancy_upsampling)
+        return decode_batch_tpu(data_batch, params,
+                                fancy=self.fancy_upsampling, mesh=self.mesh)
 
 
 class JpegCpuDecoder(_JpegDecoderBase):

@@ -194,9 +194,22 @@ def _chunk_plan(bpad: int) -> int:
     return n
 
 
-def decode_batch_tpu(data_batch, params: DecodeParams, fancy: bool = True) -> List[DecodeResult]:
+def decode_batch_tpu(data_batch, params: DecodeParams, fancy: bool = True,
+                     mesh=None) -> List[DecodeResult]:
+    """mesh: optional jax.sharding.Mesh — wire buffers and the pixel stage
+    shard the batch axis over "dp" (data parallel over images, the
+    distributed analog of the reference's executor fan-out over samples,
+    src/default_executor.cpp:45-65). Bit-exact vs the single-device path."""
     n = len(data_batch)
     results: List[DecodeResult] = [None] * n  # type: ignore[list-item]
+
+    dp_sharding = None
+    dp = 1
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        dp = mesh.shape.get("dp", 1)
+        dp_sharding = NamedSharding(mesh, P("dp"))
 
     from . import _entropy_decode  # late import to avoid cycle
 
@@ -238,7 +251,7 @@ def decode_batch_tpu(data_batch, params: DecodeParams, fancy: bool = True) -> Li
             frame0 = frames[idxs[0]]
             ncomp = len(frame0.components)
             b = len(idxs)
-            bpad = _next_pow2(b)
+            bpad = max(_next_pow2(b), dp)  # dp shards need equal rows
             _, _, dims = frame0.mcu_geometry()
             # packed wire unless progressive (needs int16 refinement state)
             can_pack = (have_native and not frame0.is_progressive
@@ -308,7 +321,8 @@ def decode_batch_tpu(data_batch, params: DecodeParams, fancy: bool = True) -> Li
                         overflow[0] = True
                     return i
 
-                nchunks = _chunk_plan(bpad)
+                # sharded puts scatter the whole wire to the mesh in one go
+                nchunks = 1 if dp_sharding is not None else _chunk_plan(bpad)
                 chunk = bpad // nchunks
                 xfer_futs = []
                 for g in range(nchunks):
@@ -322,7 +336,8 @@ def decode_batch_tpu(data_batch, params: DecodeParams, fancy: bool = True) -> Li
                         break
                     # ship this chunk while the next one entropy-decodes
                     xfer_futs.append(xfer.submit(
-                        jax.device_put, wire_buf[lo_j:hi_j]))
+                        jax.device_put, wire_buf[lo_j:hi_j],
+                        dp_sharding))
                 if overflow[0]:
                     for f in xfer_futs:
                         f.result()  # drain stale transfers
@@ -385,7 +400,8 @@ def decode_batch_tpu(data_batch, params: DecodeParams, fancy: bool = True) -> Li
                         imgs = call(frame0, devs)
                     else:
                         devs = tuple(
-                            xfer.submit(jax.device_put, a).result()
+                            xfer.submit(jax.device_put, a,
+                                        dp_sharding).result()
                             for a in coef_arrays
                         )
                         jax.block_until_ready(devs)

@@ -41,6 +41,7 @@ class Jpeg2kHybridDecoder(DecoderPlugin):
     num_parallel_tiles = 0  # 0 → thread-pool default
     discard_levels = 0      # reduced-resolution decode
     device_pixel_stage = True
+    mesh = None  # set by the scheduler for Decoder(mesh=...): sp sharding
 
     def set_options(self, opts) -> None:
         # reference knob: num_parallel_tiles
@@ -79,7 +80,8 @@ class Jpeg2kHybridDecoder(DecoderPlugin):
         def one(data):
             img = decode_j2k(bytes(data), num_threads=self.num_parallel_tiles,
                              use_jax=use_jax,
-                             discard_levels=self.discard_levels)
+                             discard_levels=self.discard_levels,
+                             mesh=self.mesh)
             if not params.allow_any_depth and str(img.dtype) == "uint16":
                 img = (img >> 8).astype(
                     np.uint8 if isinstance(img, np.ndarray) else "uint8"

@@ -385,18 +385,56 @@ def _j2k_device_fn_tiles(levels: int, reversible: bool, mct: bool, C: int,
     return jax.jit(fn)
 
 
+def _decode_single_tile_sharded(LL, bands, shape, cp, C, depth, mesh):
+    """Single-tile pixel stage with the finest inverse-DWT level's rows
+    sharded over the mesh "sp" axis (ppermute halo exchange at the shard
+    boundaries — ops/dwt.idwt2d_rows_sharded); MCT + level shift follow as
+    sharded elementwise ops. Falls back to the replicated transform when
+    the rows do not divide evenly."""
+    import jax.numpy as jnp
+
+    th, tw = shape
+    plane = dwt_ops.idwt2d_rows_sharded(
+        LL, [tuple(b for b in lvl) for lvl in bands], (th, tw),
+        cp.reversible, mesh)
+    if cp.mct and C == 3:
+        y, cb_, cr = plane[0], plane[1], plane[2]
+        if cp.reversible:
+            g = y - ((cb_ + cr) >> 2)
+            plane = jnp.stack([cr + g, g, cb_ + g])
+        else:
+            plane = jnp.stack(
+                [y + 1.402 * cr,
+                 y - 0.344136 * cb_ - 0.714136 * cr,
+                 y + 1.772 * cb_])
+    shift = 1 << (depth - 1)
+    maxv = (1 << depth) - 1
+    dtype = jnp.uint16 if depth > 8 else jnp.uint8
+    if not cp.reversible:
+        plane = jnp.round(plane)
+    img = jnp.clip(plane + shift, 0, maxv).astype(dtype)
+    return jnp.transpose(img, (1, 2, 0))
+
+
 def decode_j2k(
     data: bytes,
     num_threads: int = 0,
     use_jax: bool = False,
     discard_levels: int = 0,
+    mesh=None,
 ) -> np.ndarray:
     """Decode JP2/J2K bytes → [H, W] or [H, W, C] u8/u16.
 
     discard_levels > 0 reconstructs at a reduced resolution (the classic
     JPEG2000 multi-resolution decode): the top `discard_levels` resolutions'
     code-blocks are never entropy-decoded and the inverse DWT stops early,
-    so a d-level discard costs roughly 4^-d of the full-pixel work."""
+    so a d-level discard costs roughly 4^-d of the full-pixel work.
+
+    mesh: optional jax.sharding.Mesh — a uniform tile grid shards its tile
+    axis over "sp" (the distributed analog of the reference's tile pool,
+    extensions/nvjpeg2k/cuda_decoder.cpp:601-640); a single-tile image
+    shards its finest inverse-DWT rows over "sp" with ppermute halo
+    exchange (ops/dwt.idwt2d_rows_sharded). Bit-exact for reversible."""
     cs = unwrap_jp2(bytes(data))
     siz, cp, pos = parse_main_header(cs, 0)
     if any(s != 1 for s in siz.sub_x + siz.sub_y):
@@ -429,7 +467,7 @@ def decode_j2k(
 
     ntiles_total = siz.tiles_x * siz.tiles_y
     uniform_grid = (
-        use_jax
+        (use_jax or mesh is not None)
         and discard_levels == 0
         and ntiles_total > 1
         and siz.x0 == 0 and siz.y0 == 0 and siz.tx0 == 0 and siz.ty0 == 0
@@ -509,7 +547,7 @@ def decode_j2k(
             continue
 
         ntiles = siz.tiles_x * siz.tiles_y
-        if use_jax and ntiles == 1 and discard_levels == 0:
+        if (use_jax or mesh is not None) and ntiles == 1 and discard_levels == 0:
             # device pixel stage: all components' subbands stacked and run
             # through one jitted IDWT+MCT+shift call; output stays on device
             cast = np.int32 if cp.reversible else np.float32
@@ -523,11 +561,17 @@ def decode_j2k(
                 )
                 for lev in range(1, cp.levels + 1)
             )
+            pool.shutdown(wait=False)
+            if mesh is not None and cp.levels > 0:
+                # one tile's inverse DWT rows sharded over "sp" with
+                # ppermute halo exchange (real spatial parallelism)
+                img = _decode_single_tile_sharded(
+                    LL, bands_t, (th, tw), cp, C, depth, mesh)
+                return img[:, :, 0] if C == 1 else img
             fn = _j2k_device_fn(
                 cp.levels, cp.reversible, cp.mct and C == 3, C, th, tw, depth
             )
             img = fn(LL, bands_t)
-            pool.shutdown(wait=False)
             return img[:, :, 0] if C == 1 else img
 
         for c in range(C):
@@ -576,6 +620,20 @@ def decode_j2k(
             )
             for lvl in range(cp.levels)
         )
+        if mesh is not None and ntiles_total % mesh.shape.get("sp", 1) == 0:
+            # tile axis sharded over "sp": each chip reconstructs its own
+            # tiles; XLA gathers the assembly from the output sharding
+            # (reference analog: the per-tile resource pool,
+            # extensions/nvjpeg2k/cuda_decoder.cpp:601-640)
+            import jax
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            shard = NamedSharding(mesh, P("sp"))
+            LL_all = jax.device_put(LL_all, shard)
+            bands_all = tuple(
+                tuple(jax.device_put(b, shard) for b in lvl)
+                for lvl in bands_all
+            )
         fn = _j2k_device_fn_tiles(
             cp.levels, cp.reversible, cp.mct and C == 3, C, th_, tw_, depth,
             siz.tiles_x, siz.tiles_y,

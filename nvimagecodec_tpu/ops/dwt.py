@@ -248,3 +248,143 @@ def idwt2d(LL, bands, out_shape: Tuple[int, int], reversible: bool):
         h, w = dims[lev]
         cur = idwt2d_level(cur, HL, LH, HH, h, w, reversible)
     return cur
+
+
+# -- row-sharded synthesis with halo exchange over the mesh -----------------
+#
+# The vertical lifting steps read one neighbor sample across the row-shard
+# boundary, so a row-sharded inverse DWT needs a real halo exchange: each
+# device sends its boundary row to its neighbor over ICI via lax.ppermute.
+# This is the TPU realization of the "spatial parallel" axis the reference
+# approximates with its J2K tile pool (extensions/nvjpeg2k/
+# cuda_decoder.cpp:601-640) — here one tile's own transform is sharded.
+
+def _shift_right_halo(x, axis_name: str):
+    """y[k] = x[k-1] globally across row shards (whole-sample symmetric at
+    the global top edge): pulls the previous device's last row."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    n = lax.axis_size(axis_name)
+    idx = lax.axis_index(axis_name)
+    prev_last = lax.ppermute(
+        x[..., -1:, :], axis_name, [(i, (i + 1) % n) for i in range(n)]
+    )
+    # global first shard clamps to its own first row (symmetric extension)
+    head = jnp.where(idx > 0, prev_last, x[..., :1, :])
+    return jnp.concatenate([head, x[..., :-1, :]], axis=-2)
+
+
+def _shift_left_halo(x, axis_name: str):
+    """y[k] = x[k+1] globally across row shards (clamped at the global
+    bottom edge): pulls the next device's first row."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    n = lax.axis_size(axis_name)
+    idx = lax.axis_index(axis_name)
+    next_first = lax.ppermute(
+        x[..., :1, :], axis_name, [(i, (i - 1) % n) for i in range(n)]
+    )
+    tail = jnp.where(idx < n - 1, next_first, x[..., -1:, :])
+    return jnp.concatenate([x[..., 1:, :], tail], axis=-2)
+
+
+def _inv_lift_53_rows_sharded(L, H, axis_name: str):
+    """Vertical 5/3 synthesis on row shards: L/H hold this device's even/odd
+    rows (equal counts — the global row count must be even and divisible by
+    2x the shard count). Returns the interleaved local rows."""
+    import jax.numpy as jnp
+
+    H_l = _shift_right_halo(H, axis_name)
+    even = L - ((H_l + H + 2) >> 2)
+    even_r = _shift_left_halo(even, axis_name)
+    odd = H + ((even + even_r) >> 1)
+    ne = L.shape[-2]
+    return _interleave(jnp, even, odd, -2, 2 * ne)
+
+
+def _inv_lift_97_rows_sharded(L, H, axis_name: str):
+    import jax.numpy as jnp
+
+    even = L * K
+    odd = H * (1.0 / K)
+    even = even - DELTA * (_shift_right_halo(odd, axis_name) + odd)
+    odd = odd - GAMMA * (even + _shift_left_halo(even, axis_name))
+    even = even - BETA * (_shift_right_halo(odd, axis_name) + odd)
+    odd = odd - ALPHA * (even + _shift_left_halo(even, axis_name))
+    ne = L.shape[-2]
+    return _interleave(jnp, even, odd, -2, 2 * ne)
+
+
+def idwt2d_level_rows_sharded(LL, HL, LH, HH, reversible: bool,
+                              axis_name: str):
+    """One synthesis level inside shard_map with rows sharded over
+    `axis_name`. Inputs are the LOCAL row shards of each subband; the
+    horizontal pass is device-local, the vertical pass exchanges halo rows.
+    Global subband heights must be equal (even image height) and divisible
+    by the shard count."""
+    g = _inv_lift_53 if reversible else _inv_lift_97
+    out_w = HL.shape[-1] * 2
+    Ly = g(LL, HL, -1, out_w)
+    Hy = g(LH, HH, -1, out_w)
+    if reversible:
+        return _inv_lift_53_rows_sharded(Ly, Hy, axis_name)
+    return _inv_lift_97_rows_sharded(Ly, Hy, axis_name)
+
+
+def idwt2d_rows_sharded(LL, bands, out_shape: Tuple[int, int],
+                        reversible: bool, mesh, axis_name: str = "sp"):
+    """Multi-level synthesis with the FINEST level's rows sharded over the
+    mesh. Coarse levels are tiny (≤ 25% of the work) and run replicated;
+    the finest level — 75% of the FLOPs and bytes — runs row-sharded with
+    ppermute halo exchange. Requires out_shape and the finest subbands to
+    divide evenly (2 x shard count); callers fall back to the replicated
+    path otherwise.
+
+    Bit-exact vs idwt2d for the reversible (5/3) path."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    try:
+        from jax import shard_map
+        kw = {"mesh": mesh}
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+        kw = {"mesh": mesh}
+
+    levels = len(bands)
+    H, W = out_shape
+    dims = subband_dims(H, W, levels)
+    sp = mesh.shape[axis_name]
+    fh, fw = dims[1]  # finest-level subband dims
+    if levels == 0 or fh % sp or (H % 2) or dims[0][0] != 2 * fh:
+        # uneven split: replicated fallback
+        return idwt2d(LL, bands, out_shape, reversible)
+
+    # coarse levels replicated
+    cur = LL
+    for lev in range(levels - 1, 0, -1):
+        HL_, LH_, HH_ = bands[lev]
+        h, w = dims[lev]
+        cur = idwt2d_level(cur, HL_, LH_, HH_, h, w, reversible)
+    HLf, LHf, HHf = bands[0]
+
+    nd = LL.ndim
+    row_spec = P(*([None] * (nd - 2)), axis_name, None)
+    shard = NamedSharding(mesh, row_spec)
+
+    def step(ll, hl, lh, hh):
+        return idwt2d_level_rows_sharded(ll, hl, lh, hh, reversible,
+                                         axis_name)
+
+    fn = shard_map(
+        step,
+        in_specs=(row_spec,) * 4,
+        out_specs=row_spec,
+        **kw,
+    )
+    args = [jax.device_put(jnp.asarray(a), shard)
+            for a in (cur, HLf, LHf, HHf)]
+    return fn(*args)

@@ -37,8 +37,10 @@ def initialize(coordinator_address: Optional[str] = None,
             num_processes=num_processes,
             process_id=process_id,
         )
-    except RuntimeError:
-        pass  # already initialized
+    except RuntimeError as e:
+        # tolerate only double-initialization; real failures must surface
+        if "already initialized" not in str(e).lower():
+            raise
 
 
 def shard_streams(streams: Sequence[bytes], num_shards: int,

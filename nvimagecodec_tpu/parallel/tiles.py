@@ -1,16 +1,23 @@
-"""Tile-parallel JPEG2000 device stage: tiles sharded over the mesh.
+"""Spatial ("sp") parallelism for JPEG2000: tiles and rows over the mesh.
 
-The distributed analog of the reference's per-tile resource pool
-(extensions/nvjpeg2k/cuda_decoder.cpp:601-640 fans tiles of one image over
-executor threads): here the tile axis shards over the mesh's "sp" axis (or
-"dp" for whole images), each chip runs the batched inverse DWT on its tile
-shard, and tile-boundary halo exchange rides ICI via lax.ppermute for the
-cross-tile smoothing filter (J2K tiles are transformed independently, so
-boundary continuity work is the only inter-tile communication).
+Two real shardings, both wired into the product decode path
+(codecs/jpeg2000/core.decode_j2k(mesh=...)):
+
+- **tile-parallel**: a uniform tile grid's tile axis shards over "sp" — the
+  distributed analog of the reference's per-tile resource pool
+  (extensions/nvjpeg2k/cuda_decoder.cpp:601-640 fans tiles of one image
+  over executor threads). J2K tiles reconstruct independently, so this
+  path needs no collectives until the final image assembly (XLA inserts
+  the gather from the output sharding).
+- **row-parallel**: a single tile's inverse DWT shards its ROWS over "sp".
+  The vertical lifting steps read one neighbor row across the shard
+  boundary, so this is a genuine halo exchange: lax.ppermute moves the
+  boundary rows over ICI (ops/dwt.idwt2d_rows_sharded). Bit-exact vs the
+  unsharded transform for the reversible 5/3 path.
 """
 from __future__ import annotations
 
-from typing import List, Tuple
+from typing import Tuple
 
 import numpy as np
 
@@ -25,105 +32,50 @@ def idwt_tiles_batched(LL, bands, tile_shape: Tuple[int, int], reversible: bool)
     return dwt_ops.idwt2d(LL, bands, tile_shape, reversible)
 
 
-def smooth_tile_seams(tiles, mesh=None, axis_name: str = "sp"):
-    """Tile-boundary smoothing across a [T, th, tw] tile stack laid out as a
-    horizontal strip: each tile averages its first column with the previous
-    tile's last column (and symmetrically), using ppermute when the tile
-    axis is sharded over `axis_name`.
-
-    Inside shard_map: `tiles` is the local shard [t_local, th, tw]; the
-    halo (last column of the previous device's shard) moves over ICI.
-    """
+def idwt_tiles_sharded(LL, bands, tile_shape: Tuple[int, int],
+                       reversible: bool, mesh, axis_name: str = "sp"):
+    """Tile-axis-sharded batched synthesis: LL [T, ...] and each band shard
+    their leading tile axis over `axis_name`; every device reconstructs its
+    own tiles with zero cross-device traffic (tiles are independent)."""
     import jax
-    import jax.numpy as jnp
-    from jax import lax
-
-    def local_smooth(t):
-        # within-shard neighbor exchange (vectorized shift)
-        left_edge = t[:, :, :1]     # first col of each tile
-        right_edge = t[:, :, -1:]   # last col
-        prev_right = jnp.concatenate([right_edge[:1] * 0, right_edge[:-1]], 0)
-        next_left = jnp.concatenate([left_edge[1:], left_edge[-1:] * 0], 0)
-        has_prev = jnp.arange(t.shape[0])[:, None, None] > 0
-        has_next = jnp.arange(t.shape[0])[:, None, None] < t.shape[0] - 1
-        first = jnp.where(has_prev, (t[:, :, :1] + prev_right) // 2, t[:, :, :1])
-        last = jnp.where(has_next, (t[:, :, -1:] + next_left) // 2, t[:, :, -1:])
-        return jnp.concatenate([first, t[:, :, 1:-1], last], axis=2)
-
-    if mesh is None:
-        return local_smooth(tiles)
-
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    try:
-        from jax import shard_map  # jax >= 0.4.35
-    except ImportError:  # pragma: no cover
-        from jax.experimental.shard_map import shard_map
+    shard = NamedSharding(mesh, P(axis_name))
 
-    n = mesh.shape[axis_name]
-
-    def shard_fn(t):
-        # exchange shard-boundary halos over ICI: device d sends its last
-        # tile's right edge to d+1 and its first tile's left edge to d-1
-        my_last_right = t[-1, :, -1:]
-        my_first_left = t[0, :, :1]
-        idx = lax.axis_index(axis_name)
-        prev_right = lax.ppermute(
-            my_last_right, axis_name, [(i, (i + 1) % n) for i in range(n)]
-        )
-        next_left = lax.ppermute(
-            my_first_left, axis_name, [(i, (i - 1) % n) for i in range(n)]
-        )
-        t = local_smooth(t)
-        # blend shard-boundary columns (skip at global ends)
-        first = jnp.where(
-            idx > 0, (t[0, :, :1] + prev_right) // 2, t[0, :, :1]
-        )
-        last = jnp.where(
-            idx < n - 1, (t[-1, :, -1:] + next_left) // 2, t[-1, :, -1:]
-        )
-        t = t.at[0, :, :1].set(first)
-        t = t.at[-1, :, -1:].set(last)
-        return t
-
-    import jax
-
-    spec = P(axis_name)
-    fn = shard_map(shard_fn, mesh=mesh, in_specs=(spec,), out_specs=spec)
-    return fn(tiles)
+    fn = jax.jit(
+        lambda ll, bs: dwt_ops.idwt2d(ll, list(bs), tile_shape, reversible),
+        in_shardings=(shard, tuple(tuple(shard for _ in lvl) for lvl in bands)),
+        out_shardings=shard,
+    )
+    LL_s = jax.device_put(LL, shard)
+    bands_s = tuple(tuple(jax.device_put(b, shard) for b in lvl)
+                    for lvl in bands)
+    return fn(LL_s, bands_s)
 
 
 def dryrun_tile_exchange(mesh) -> None:
-    """Driver validation: jit the sharded tile pipeline (batched IDWT on a
-    tile shard + cross-device halo exchange) over the mesh's 'sp' axis and
-    run one step on tiny shapes."""
-    import jax
-    import jax.numpy as jnp
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    """Driver validation of both sp shardings on tiny shapes:
 
+    1. tile-parallel batched IDWT with the tile axis sharded over 'sp';
+    2. row-parallel IDWT of ONE tile with ppermute halo exchange at the
+       row-shard boundaries.
+
+    Both must reconstruct the forward transform bit-exactly (5/3)."""
     sp = mesh.shape["sp"]
-    T = max(2 * sp, sp)  # tiles, divisible by sp
-    th = tw = 16
-    levels = 2
     rng = np.random.default_rng(0)
 
-    # synthesize stacked tile subbands for a [T, th, tw] strip
+    # 1) tile axis sharded, independent reconstruction
+    T = max(2 * sp, sp)
+    th = tw = 16
     x = rng.integers(-128, 128, (T, th, tw)).astype(np.int32)
-    LL, bands = dwt_ops.dwt2d(x, levels, reversible=True)
-
-    shard = NamedSharding(mesh, P("sp"))
-
-    def step(LL, bands):
-        tiles = idwt_tiles_batched(LL, list(bands), (th, tw), True)
-        return smooth_tile_seams(tiles, mesh=mesh, axis_name="sp")
-
-    jit_step = jax.jit(step)
-    LL_s = jax.device_put(LL, shard)
-    bands_s = tuple(
-        tuple(jax.device_put(b, shard) for b in lvl) for lvl in bands
-    )
-    out = jit_step(LL_s, bands_s)
+    LL, bands = dwt_ops.dwt2d(x, 2, reversible=True)
+    out = idwt_tiles_sharded(LL, bands, (th, tw), True, mesh)
     out.block_until_ready()
-    assert out.shape == (T, th, tw), out.shape
-    # interior pixels (away from seams) must reconstruct exactly
-    np.testing.assert_array_equal(np.asarray(out)[:, :, 1:-1], x[:, :, 1:-1])
+    np.testing.assert_array_equal(np.asarray(out), x)
+
+    # 2) one tile's rows sharded with halo exchange
+    H = W = 16 * sp
+    y = rng.integers(-128, 128, (H, W)).astype(np.int32)
+    LL1, bands1 = dwt_ops.dwt2d(y, 2, reversible=True)
+    out1 = dwt_ops.idwt2d_rows_sharded(LL1, bands1, (H, W), True, mesh)
+    np.testing.assert_array_equal(np.asarray(out1), y)

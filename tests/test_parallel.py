@@ -50,18 +50,64 @@ def test_sp_tile_pipeline_with_halo_exchange():
     dryrun_tile_exchange(make_mesh(dp=2, sp=4))
 
 
-def test_sharded_matches_local_seam_smoothing():
-    import jax.numpy as jnp
-
+def test_idwt_rows_sharded_bit_exact():
+    """Row-sharded inverse DWT with ppermute halo exchange reconstructs the
+    forward transform bit-exactly (the vertical lifting reads one neighbor
+    row across each shard boundary — a real halo)."""
+    from nvimagecodec_tpu.ops import dwt as dwt_ops
     from nvimagecodec_tpu.parallel.mesh import make_mesh
-    from nvimagecodec_tpu.parallel.tiles import smooth_tile_seams
 
-    rng = np.random.default_rng(1)
-    tiles = rng.integers(0, 255, (8, 8, 12)).astype(np.int32)
-    local = np.asarray(smooth_tile_seams(jnp.asarray(tiles)))
     mesh = make_mesh(dp=1, sp=8)
-    sharded = np.asarray(smooth_tile_seams(jnp.asarray(tiles), mesh=mesh))
-    np.testing.assert_array_equal(local, sharded)
+    rng = np.random.default_rng(1)
+    for shape in ((64, 48), (3, 64, 48)):
+        x = rng.integers(-4000, 4000, shape).astype(np.int32)
+        LL, bands = dwt_ops.dwt2d(x, 3, reversible=True)
+        out = dwt_ops.idwt2d_rows_sharded(LL, bands, shape[-2:], True, mesh)
+        np.testing.assert_array_equal(np.asarray(out), x)
+    # irreversible 9/7: matches the unsharded float path closely
+    x = rng.integers(0, 255, (64, 48)).astype(np.float32)
+    LL, bands = dwt_ops.dwt2d(x, 2, reversible=False)
+    out = dwt_ops.idwt2d_rows_sharded(LL, bands, (64, 48), False, mesh)
+    ref = dwt_ops.idwt2d(LL, bands, (64, 48), False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-3)
+
+
+def test_decoder_mesh_jpeg_dp_bit_exact():
+    """Decoder(mesh=...): the JPEG hybrid decode shards its batch over 'dp'
+    in the PRODUCT path and matches the single-device decode bit-exactly."""
+    import oracle
+
+    import nvimagecodec_tpu as nic
+    from nvimagecodec_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(dp=8, sp=1)
+    photos = [make_photo(40, 56, seed=s) for s in range(8)]
+    jpgs = [oracle.jpeg_encode(p, 88, "420") for p in photos] * 2
+    ref = [np.asarray(o) for o in nic.Decoder().decode(jpgs)]
+    got = nic.Decoder(mesh=mesh).decode(jpgs)
+    for r, g in zip(ref, got):
+        np.testing.assert_array_equal(r, np.asarray(g))
+
+
+def test_decode_j2k_mesh_tiles_and_rows_bit_exact():
+    """decode_j2k(mesh=...): a uniform multi-tile image shards tiles over
+    'sp'; a single-tile image shards DWT rows over 'sp' with halos. Both
+    must be bit-exact vs the unsharded decode (reversible path)."""
+    from nvimagecodec_tpu.codecs.jpeg2000.core import decode_j2k, encode_j2k
+    from nvimagecodec_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(dp=1, sp=8)
+    img = make_photo(64, 64, seed=3)
+    # multi-tile uniform grid (4x4 tiles of 16x16)
+    tiled = encode_j2k(img, reversible=True, levels=2, tile_size=16)
+    ref = decode_j2k(tiled)
+    got = decode_j2k(tiled, mesh=mesh)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+    # single tile: rows sharded with ppermute halo exchange
+    single = encode_j2k(img, reversible=True, levels=2)
+    ref1 = decode_j2k(single)
+    got1 = decode_j2k(single, mesh=mesh)
+    np.testing.assert_array_equal(np.asarray(ref1), np.asarray(got1))
 
 
 def test_pipeline_decode_batches_sharded():
