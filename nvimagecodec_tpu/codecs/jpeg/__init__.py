@@ -168,6 +168,38 @@ class JpegCpuDecoder(_JpegDecoderBase):
     use_jax = False
 
 
+class JpegHybridTpuEncoder(EncoderPlugin):
+    """Batched TPU encoder: bucketed device fDCT/quant + native host Huffman
+    (the reference's HYBRID_CPU_GPU nvjpeg encoder ladder slot,
+    extensions/nvjpeg/cuda_encoder.cpp:284-436). First in the priority
+    chain; per-sample failures re-route to cpu_jpeg_encoder at runtime."""
+
+    codec = "jpeg"
+    plugin_id = "tpu_jpeg_hybrid_encoder"
+    backend_kind = BackendKind.HYBRID_CPU_TPU
+    priority = Priority.HIGH
+    mesh = None  # set by the scheduler for Encoder(mesh=...)
+
+    def can_encode(self, image_batch, info_batch, params) -> List[ProcessingStatus]:
+        out = []
+        for img in image_batch:
+            a = np.asarray(img)
+            ok = a.dtype in (np.uint8, np.uint16) and (
+                a.ndim == 2 or a.shape[-1] in (1, 3)
+            )
+            out.append(
+                ProcessingStatus.SUCCESS
+                if ok
+                else ProcessingStatus.FAIL | ProcessingStatus.SAMPLE_TYPE_UNSUPPORTED
+            )
+        return out
+
+    def encode_batch(self, image_batch, info_batch, params) -> List[EncodeResult]:
+        from .batch_encode import encode_batch_tpu
+
+        return encode_batch_tpu(image_batch, params, mesh=self.mesh)
+
+
 class JpegCpuEncoder(EncoderPlugin):
     codec = "jpeg"
     plugin_id = "cpu_jpeg_encoder"
@@ -252,6 +284,7 @@ def register(registry) -> None:
     try:
         from .encode import encode_jpeg  # noqa: F401
 
+        codec.register_encoder(JpegHybridTpuEncoder())
         codec.register_encoder(JpegCpuEncoder())
     except ImportError:
         pass

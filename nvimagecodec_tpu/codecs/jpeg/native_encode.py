@@ -42,6 +42,42 @@ def _table_blob(dc: Dict[int, HuffTable], ac: Dict[int, HuffTable]) -> bytes:
     return bytes(blob)
 
 
+def encode_pixels_native(img: np.ndarray, frame: JpegFrame):
+    """Full native pixel stage: u8 [H,W(,C)] → per-component [bh, bw, 64]
+    int16 quantized coefficient blocks (natural order). Raises ValueError
+    for layouts the native stage does not cover (caller falls back to the
+    array path). GIL-released."""
+    L = lib()
+    if img.dtype != np.uint8:
+        raise ValueError("native encode pixels: uint8 only")
+    img = np.ascontiguousarray(img)
+    nchan = 1 if img.ndim == 2 else img.shape[-1]
+    H, W = img.shape[:2]
+    ncomp = len(frame.components)
+    _, _, dims = frame.mcu_geometry()
+    h = (_i32 * ncomp)(*[c.h for c in frame.components])
+    v = (_i32 * ncomp)(*[c.v for c in frame.components])
+    bw = (_i32 * ncomp)(*[d[0] for d in dims])
+    bh = (_i32 * ncomp)(*[d[1] for d in dims])
+    qinv = np.concatenate([
+        (1.0 / frame.quant[c.tq].astype(np.float64)).astype(np.float32)
+        for c in frame.components
+    ])
+    outs = [np.empty((d[1], d[0], 64), np.int16) for d in dims]
+    PtrT = ctypes.POINTER(ctypes.c_int16) * 4
+    ptrs = PtrT(*([o.ctypes.data_as(ctypes.POINTER(ctypes.c_int16))
+                   for o in outs] + [None] * (4 - ncomp)))
+    rc = L.tic_jpeg_encode_pixels(
+        img.ctypes.data_as(ctypes.c_char_p), H, W, nchan, ncomp, h, v,
+        np.ascontiguousarray(qinv).ctypes.data_as(
+            ctypes.POINTER(ctypes.c_float)),
+        ptrs, bw, bh,
+    )
+    if rc != 0:
+        raise ValueError(f"native encode pixels unsupported (rc={rc})")
+    return outs
+
+
 def count_symbols_native(frame: JpegFrame, coefs: Sequence[np.ndarray]):
     """({table_id: dc_counts[256]}, {table_id: ac_counts[256]})."""
     L = lib()

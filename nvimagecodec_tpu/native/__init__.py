@@ -84,6 +84,14 @@ def _declare(L: ctypes.CDLL) -> None:
         ctypes.POINTER(ctypes.c_int8),
     ]
     L.tic_jpeg_pack_coefficients.restype = ctypes.c_int
+    L.tic_jpeg_encode_pixels.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+        ctypes.c_int32, ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
+        c_i16p * 4, ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    L.tic_jpeg_encode_pixels.restype = ctypes.c_int
     L.tic_jpeg_count_symbols.argtypes = [
         ctypes.c_int, c_i32p, c_i32p, c_i32p, c_i32p, c_i32p, c_i32p,
         ctypes.c_int, ctypes.c_int, ctypes.POINTER(c_i16p),

@@ -46,33 +46,46 @@ void derive(const uint8_t* blob, EncTable& t) {
 }
 
 struct BitWriter {
-  std::vector<uint8_t> out;
+  // raw preallocated buffer (worst case computed by caller) — the hot loop
+  // must not pay vector growth/bounds checks per byte
+  uint8_t* buf = nullptr;
+  size_t len = 0;
   uint64_t acc = 0;
   int nbits = 0;
 
+  inline void emit(uint8_t b) {
+    buf[len++] = b;
+    if (b == 0xFF) buf[len++] = 0x00;  // byte stuffing
+  }
   inline void put(uint32_t code, int size) {
-    acc = (acc << size) | (code & ((1u << size) - 1));
+    // size <= 31; callers pass values already masked to `size` bits
+    acc = (acc << size) | code;
     nbits += size;
-    while (nbits >= 8) {
-      nbits -= 8;
-      uint8_t b = (uint8_t)((acc >> nbits) & 0xFF);
-      out.push_back(b);
-      if (b == 0xFF) out.push_back(0x00);
+    if (nbits >= 32) {
+      nbits -= 32;
+      uint32_t w32 = (uint32_t)(acc >> nbits);
+      emit((uint8_t)(w32 >> 24));
+      emit((uint8_t)(w32 >> 16));
+      emit((uint8_t)(w32 >> 8));
+      emit((uint8_t)w32);
     }
   }
   inline void flush() {
-    while (nbits % 8) put(1, 1);
+    while (nbits >= 8) {
+      nbits -= 8;
+      emit((uint8_t)((acc >> nbits) & 0xFF));
+    }
+    if (nbits) {  // pad with 1-bits to a byte boundary
+      emit((uint8_t)(((acc << (8 - nbits)) | ((1u << (8 - nbits)) - 1)) &
+                     0xFF));
+      nbits = 0;
+    }
   }
 };
 
 inline int csize(int v) {
   unsigned a = (unsigned)(v < 0 ? -v : v);
-  int n = 0;
-  while (a) {
-    ++n;
-    a >>= 1;
-  }
-  return n;
+  return a ? 32 - __builtin_clz(a) : 0;
 }
 
 struct Geom {
@@ -158,8 +171,15 @@ int tic_jpeg_encode_scan(int ncomp, const int32_t* comp_h,
   Geom g{ncomp,   mcus_x,  mcus_y,      restart_interval, comp_h, comp_v,
          comp_bw, comp_bh, comp_dc_tbl, comp_ac_tbl,      coefs};
 
+  // worst case: every coefficient emits <=31 bits, everything stuffed (x2),
+  // plus restarts and the final flush
+  size_t total_blocks = 0;
+  for (int c = 0; c < ncomp; ++c)
+    total_blocks += (size_t)comp_bw[c] * comp_bh[c];
+  size_t cap = total_blocks * 64 * 8 + (size_t)mcus_x * mcus_y * 2 + 64;
   BitWriter w;
-  w.out.reserve((size_t)mcus_x * mcus_y * ncomp * 8);
+  w.buf = (uint8_t*)std::malloc(cap);
+  if (!w.buf) return 2;
   int pred[4] = {0, 0, 0, 0};
   int blocks_per_mcu = 0;
   for (int c = 0; c < ncomp; ++c) blocks_per_mcu += comp_h[c] * comp_v[c];
@@ -171,8 +191,8 @@ int tic_jpeg_encode_scan(int ncomp, const int32_t* comp_h,
       if (mcu && block_i % blocks_per_mcu == 0 &&
           mcu % restart_interval == 0) {
         w.flush();
-        w.out.push_back(0xFF);
-        w.out.push_back((uint8_t)(0xD0 + (rst & 7)));
+        w.buf[w.len++] = 0xFF;
+        w.buf[w.len++] = (uint8_t)(0xD0 + (rst & 7));
         ++rst;
         pred[0] = pred[1] = pred[2] = pred[3] = 0;
       }
@@ -184,8 +204,10 @@ int tic_jpeg_encode_scan(int ncomp, const int32_t* comp_h,
     int diff = dc - pred[c];
     pred[c] = dc;
     int s = csize(diff);
-    w.put(dt.code[s], dt.size[s]);
-    if (s) w.put((uint32_t)(diff >= 0 ? diff : diff + (1 << s) - 1), s);
+    // fused symbol+magnitude put (one acc update per coefficient)
+    uint32_t mag = (uint32_t)(diff >= 0 ? diff : diff + (1 << s) - 1) &
+                   ((1u << s) - 1);
+    w.put((dt.code[s] << s) | mag, dt.size[s] + s);
     int run = 0;
     for (int k = 1; k < 64; ++k) {
       int v = blk[kZigzag[k]];
@@ -198,18 +220,17 @@ int tic_jpeg_encode_scan(int ncomp, const int32_t* comp_h,
         run -= 16;
       }
       s = csize(v);
-      w.put(at.code[(run << 4) | s], at.size[(run << 4) | s]);
-      w.put((uint32_t)(v >= 0 ? v : v + (1 << s) - 1), s);
+      mag = (uint32_t)(v >= 0 ? v : v + (1 << s) - 1) & ((1u << s) - 1);
+      int sym = (run << 4) | s;
+      w.put((at.code[sym] << s) | mag, at.size[sym] + s);
       run = 0;
     }
     if (run) w.put(at.code[0x00], at.size[0x00]);
   });
   w.flush();
 
-  *out_len = w.out.size();
-  *out = (uint8_t*)std::malloc(w.out.size());
-  if (!*out) return 2;
-  std::memcpy(*out, w.out.data(), w.out.size());
+  *out_len = w.len;
+  *out = w.buf;  // caller frees with tic_free
   return 0;
 }
 
