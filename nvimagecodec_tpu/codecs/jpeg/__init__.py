@@ -60,6 +60,7 @@ _SUPPORTED_ENCODINGS = {0xC0, 0xC1, 0xC2}  # baseline/extended/progressive Huffm
 class _JpegDecoderBase(DecoderPlugin):
     codec = "jpeg"
     use_jax = False
+    bitexact = False  # integer islow IDCT: byte-exact vs libjpeg-turbo
 
     def can_decode(self, data_batch, info_batch, params) -> List[ProcessingStatus]:
         # Judge from the already-parsed ImageInfo (cached by CodeStream) —
@@ -98,7 +99,8 @@ class _JpegDecoderBase(DecoderPlugin):
     def _decode_one(self, data: bytes, params: DecodeParams):
         frame = parse_jpeg_structure(data)
         coefs = _entropy_decode(frame, data)
-        img = decode_pixels(frame, coefs, use_jax=self.use_jax)
+        img = decode_pixels(frame, coefs, use_jax=self.use_jax,
+                            bitexact=self.bitexact)
         if frame.precision > 8 and not params.allow_any_depth:
             # default u8 output (reference python default,
             # python/decoder.cpp:156-225; allow_any_depth keeps u16)
@@ -150,6 +152,7 @@ class JpegHybridTpuDecoder(_JpegDecoderBase):
         from ...core.options import get_bool
 
         self.fancy_upsampling = get_bool(opts, "fancy_upsampling", True)
+        self.bitexact = get_bool(opts, "bitexact", False)
 
     def decode_batch(self, data_batch, info_batch, params) -> List[DecodeResult]:
         # Batched TPU path: entropy-decode all samples on host, then run the
@@ -158,7 +161,8 @@ class JpegHybridTpuDecoder(_JpegDecoderBase):
         from .batch import decode_batch_tpu
 
         return decode_batch_tpu(data_batch, params,
-                                fancy=self.fancy_upsampling, mesh=self.mesh)
+                                fancy=self.fancy_upsampling, mesh=self.mesh,
+                                bitexact=self.bitexact)
 
 
 class JpegCpuDecoder(_JpegDecoderBase):
@@ -166,6 +170,13 @@ class JpegCpuDecoder(_JpegDecoderBase):
     backend_kind = BackendKind.CPU_ONLY
     priority = Priority.NORMAL
     use_jax = False
+
+    def set_options(self, opts) -> None:
+        # bitexact=true: integer islow IDCT — decodes match libjpeg-turbo
+        # byte-exactly (BASELINE configs[1] "bit-exact spec decode")
+        from ...core.options import get_bool
+
+        self.bitexact = get_bool(opts, "bitexact", False)
 
 
 class JpegHybridTpuEncoder(EncoderPlugin):

@@ -130,7 +130,8 @@ def _unpack_component(xp, wire, lo_off, hi_off, bh, bw, lo_len):
 
 @functools.lru_cache(maxsize=256)
 def _pixel_fn(geom_key, batch: int, fancy: bool, to_rgb: bool, to_u8: bool,
-              wire: str = "wide", nchunks: int = 1, lo_lens: tuple = ()):
+              wire: str = "wide", nchunks: int = 1, lo_lens: tuple = (),
+              bitexact: bool = False):
     """Build + jit the pixel stage for one geometry bucket. Returns a tuple
     of `batch` per-sample images from a single dispatch.
 
@@ -160,7 +161,8 @@ def _pixel_fn(geom_key, batch: int, fancy: bool, to_rgb: bool, to_u8: bool,
                 else:
                     coefs = list(flat)
                 imgs = decode_pixels(frame, coefs, use_jax=True, fancy=fancy,
-                                     zigzag=(wire == "packed"))
+                                     zigzag=(wire == "packed"),
+                                     bitexact=bitexact)
                 if to_rgb and imgs.ndim == 4 and imgs.shape[-1] == 4:
                     imgs = cmyk_to_rgb(imgs, jnp)
                 if to_u8 and frame.precision > 8:
@@ -195,7 +197,7 @@ def _chunk_plan(bpad: int) -> int:
 
 
 def decode_batch_tpu(data_batch, params: DecodeParams, fancy: bool = True,
-                     mesh=None) -> List[DecodeResult]:
+                     mesh=None, bitexact: bool = False) -> List[DecodeResult]:
     """mesh: optional jax.sharding.Mesh — wire buffers and the pixel stage
     shard the batch axis over "dp" (data parallel over images, the
     distributed analog of the reference's executor fan-out over samples,
@@ -396,7 +398,8 @@ def decode_batch_tpu(data_batch, params: DecodeParams, fancy: bool = True,
                         jax.block_until_ready(devs)
                         _POOL.release(pool_key, wire_buf)
                         call = _pixel_fn(key, bpad, fancy, to_rgb, to_u8,
-                                         "packed", nchunks, lo_lens)
+                                         "packed", nchunks, lo_lens,
+                                         bitexact)
                         imgs = call(frame0, devs)
                     else:
                         devs = tuple(
@@ -408,7 +411,8 @@ def decode_batch_tpu(data_batch, params: DecodeParams, fancy: bool = True,
                         for c, a in enumerate(coef_arrays):
                             _POOL.release(("coef", key, bpad, c), a)
                         coef_arrays = None
-                        call = _pixel_fn(key, bpad, fancy, to_rgb, to_u8)
+                        call = _pixel_fn(key, bpad, fancy, to_rgb, to_u8,
+                                         bitexact=bitexact)
                         imgs = call(frame0, devs)
                 for j, i in enumerate(idxs):
                     if i in failed:

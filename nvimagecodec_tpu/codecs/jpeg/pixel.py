@@ -58,12 +58,16 @@ def idct_planes(
     coefs: List,
     use_jax: bool,
     zigzag: bool = False,
+    bitexact: bool = False,
 ):
     """Per-component dequant+IDCT to cropped int32 sample planes.
 
     coefs[c]: [..., bh, bw, 64] → plane [..., ch, cw] (true sample area).
     With zigzag=True the 64-axis is in zigzag order and the reordering is
     folded into the dequant·IDCT matrix (zero device cost).
+    With bitexact=True the float matmul is replaced by the integer-exact
+    fixed-point IDCT (ops/dct.idct_islow_blocks) so the decode matches
+    libjpeg-turbo byte-exactly (BASELINE configs[1]).
     """
     if use_jax:
         import jax.numpy as xp
@@ -74,12 +78,40 @@ def idct_planes(
     maxval = (1 << frame.precision) - 1
     center = float(1 << (frame.precision - 1))
     use_pallas = False
-    if use_jax and not os.environ.get("TIC_NO_PALLAS"):
+    if use_jax and not os.environ.get("TIC_NO_PALLAS") and not bitexact:
         import jax
 
         # Pallas path only on real device backends (interpret mode would be
         # needed on CPU); identical output either way — see tests
         use_pallas = jax.default_backend() != "cpu"
+    if bitexact:
+        from ...ops.dct import idct_islow_blocks
+
+        planes = []
+        for c, blocks in zip(frame.components, coefs):
+            bh, bw = blocks.shape[-3], blocks.shape[-2]
+            K = blocks.shape[-1]
+            lead = blocks.shape[:-3]
+            blocks = xp.asarray(blocks).astype(xp.int32)
+            if zigzag:
+                # restore natural order (the integer butterfly is not a
+                # matrix, so the permutation cannot fold into it): wire
+                # index k holds natural position ZIGZAG_NAT[k], so the
+                # natural array is wire[inv] with inv the inverse permutation
+                pad = xp.concatenate(
+                    [blocks,
+                     xp.zeros(lead + (bh, bw, 64 - K), xp.int32)], axis=-1
+                ) if K != 64 else blocks
+                inv = np.argsort(ZIGZAG_NAT).astype(np.int32)
+                blocks = xp.take(pad, xp.asarray(inv), axis=-1)
+            samp = idct_islow_blocks(
+                blocks.reshape(lead + (bh * bw, 64)),
+                frame.quant[c.tq], frame.precision, xp)
+            plane = _planes_from_blocks(xp, samp, bh, bw)
+            cw = (W * c.h + hmax - 1) // hmax
+            ch = (H * c.v + vmax - 1) // vmax
+            planes.append(plane[..., :ch, :cw])
+        return planes
     planes = []
     for c, blocks in zip(frame.components, coefs):
         bh, bw = blocks.shape[-3], blocks.shape[-2]
@@ -165,9 +197,11 @@ def assemble_image(frame: JpegFrame, planes: List, use_jax: bool, fancy: bool = 
 
 
 def decode_pixels(frame: JpegFrame, coefs: List, use_jax: bool = False,
-                  fancy: bool = True, zigzag: bool = False):
+                  fancy: bool = True, zigzag: bool = False,
+                  bitexact: bool = False):
     """coefs[c]: [..., bh, bw, 64] int16 → uint8 image [..., H, W(, C)]."""
-    planes = idct_planes(frame, coefs, use_jax, zigzag=zigzag)
+    planes = idct_planes(frame, coefs, use_jax, zigzag=zigzag,
+                         bitexact=bitexact)
     return assemble_image(frame, planes, use_jax, fancy)
 
 

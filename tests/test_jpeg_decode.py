@@ -140,3 +140,42 @@ def test_12bit_extended_sequential_roundtrip():
     err = np.abs(u16.astype(int) - img12.astype(int))
     mse = (err.astype(float) ** 2).mean()
     assert 10 * np.log10(4095**2 / mse) > 40
+
+
+# --------------------------------------------------------------------------
+# bit-exact mode: integer islow IDCT, TOL = 0 vs libjpeg-turbo
+# (BASELINE configs[1]: "bit-exact spec decode vs libjpeg-turbo refs")
+# --------------------------------------------------------------------------
+
+@pytest.mark.parametrize("plugin", [
+    "cpu_jpeg_decoder", "tpu_jpeg_hybrid_decoder",
+])
+@pytest.mark.parametrize("q,ss", [
+    (50, "420"), (85, "420"), (85, "422"), (85, "444"), (95, "444"),
+    (100, "420"), (85, "gray"), (85, "440"), (85, "411"),
+])
+def test_bitexact_decode_tol0(photo_s, plugin, q, ss):
+    backends = (
+        [Backend(BackendKind.CPU_ONLY)]
+        if plugin == "cpu_jpeg_decoder" else None
+    )
+    dec = Decoder(options=f"{plugin}:bitexact=true", backends=backends)
+    img = photo_s[:, :, 0] if ss == "gray" else photo_s
+    data = oracle.jpeg_encode(img, q, "420" if ss == "gray" else ss)
+    ours = np.asarray(dec.decode(data))
+    ref = oracle.jpeg_decode(data)
+    if ours.ndim == 3 and ref.ndim == 2:
+        ours = ours[..., 0]
+    assert np.array_equal(ours, ref), max_abs_diff(ours, ref)
+
+
+def test_bitexact_progressive_and_restart(photo_s):
+    dec = Decoder(options="tpu_jpeg_hybrid_decoder:bitexact=true")
+    for kw in ({"progressive": True}, {"restart_interval": 4}):
+        try:
+            data = oracle.jpeg_encode(photo_s, 85, "420", **kw)
+        except TypeError:
+            pytest.skip("oracle encoder lacks option")
+        ours = np.asarray(dec.decode(data))
+        ref = oracle.jpeg_decode(data)
+        assert np.array_equal(ours, ref), max_abs_diff(ours, ref)
