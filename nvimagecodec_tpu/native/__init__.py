@@ -84,6 +84,11 @@ def _declare(L: ctypes.CDLL) -> None:
         ctypes.POINTER(ctypes.c_int8),
     ]
     L.tic_jpeg_pack_coefficients.restype = ctypes.c_int
+    L.tic_jpeg_split_segments.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.POINTER(ctypes.c_uint32),
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+    ]
+    L.tic_jpeg_split_segments.restype = ctypes.c_int
     L.tic_jpeg_encode_pixels.argtypes = [
         ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
         ctypes.c_int32, ctypes.POINTER(ctypes.c_int32),

@@ -709,6 +709,67 @@ int tic_jpeg_decode_coefficients_into(const uint8_t* data, size_t len,
 
 void tic_free(void* p) { free(p); }
 
+// Split one image's entropy-coded scan into restart segments, destuff
+// (0xFF00 -> 0xFF) and pack each segment into big-endian uint32 words laid
+// out COLUMN-major for the device entropy kernel: words[w * stride + col0 +
+// seg] = word w of segment seg. Feeds the restart-interval-parallel Pallas
+// Huffman decoder (SURVEY.md §7: "host-side index scan for restart markers,
+// then data-parallel per-segment decode").
+// Returns the number of segments written, or -1 if a segment exceeds
+// max_words capacity / -2 if there are more segments than max_segs.
+int tic_jpeg_split_segments(const uint8_t* scan, int64_t scan_len,
+                            uint32_t* words, int64_t stride, int64_t col0,
+                            int32_t max_segs, int32_t max_words) {
+  int seg = 0;
+  const uint8_t* p = scan;
+  const uint8_t* end = scan + scan_len;
+  while (p < end) {
+    if (seg >= max_segs) return -2;
+    uint32_t acc = 0;
+    int nb = 0;
+    int64_t w = 0;
+    uint32_t* col = words + col0 + seg;
+    while (p < end) {
+      uint8_t b = *p;
+      if (b == 0xFF) {
+        if (p + 1 < end && p[1] == 0x00) {
+          p += 2;  // stuffed data byte
+        } else {
+          break;  // marker terminates the segment
+        }
+      } else {
+        p++;
+      }
+      acc = (acc << 8) | b;
+      if (++nb == 4) {
+        if (w >= max_words) return -1;
+        col[w * stride] = acc;
+        w++;
+        acc = 0;
+        nb = 0;
+      }
+    }
+    if (nb) {  // flush the partial word, left-aligned, zero-padded
+      acc <<= 8 * (4 - nb);
+      if (w >= max_words) return -1;
+      col[w * stride] = acc;
+      w++;
+    }
+    // zero-fill the remainder so the bit reader sees padding zeros
+    for (; w < max_words; w++) col[w * stride] = 0;
+    seg++;
+    // skip the restart marker (or EOI and trailing bytes)
+    if (p < end && p[0] == 0xFF) {
+      if (p + 1 < end && p[1] >= 0xD0 && p[1] <= 0xD7) {
+        p += 2;
+        continue;
+      }
+      break;  // EOI or other marker: done
+    }
+  }
+  return seg;
+}
+
 // Packed-wire batch variant: entropy-decode directly into the caller's
 // zigzag lo/hi wire buffers (72 B/block vs 128 — see
 // tic_jpeg_pack_coefficients) with no int16 intermediate. Returns 0 on

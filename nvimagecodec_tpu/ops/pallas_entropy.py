@@ -1,0 +1,397 @@
+"""Restart-interval-parallel JPEG Huffman decode on the TPU.
+
+The reference's hybrid decoder keeps entropy decode on the host CPU
+(extensions/nvjpeg/cuda_decoder.cpp:425-427 nvjpegDecodeJpegHost); its HW
+engine moves it into silicon. Here the TPU itself decodes: the host only
+splits the scan at restart markers (one native pass), ships the raw
+destuffed bits (~8 KB/segment — 6-40x less wire than coefficient planes),
+and a Pallas kernel runs one restart segment per VECTOR LANE:
+
+- each lane owns a branchless bit reader: a 64-bit window in two uint32
+  registers plus a 6-deep word FIFO, refilled by a "conveyor" that
+  broadcasts one row of the [W, S] word matrix per iteration to the lanes
+  whose next-word index matches (min-indexed, so no lane misses its row);
+- Huffman decoding is a 16-step canonical compare chain (per-length
+  maxcode/valptr/mincode baked as constants per bucket, luma/chroma picked
+  by a scalar select) followed by one vectorized compare-sum through the
+  values[] table;
+- the grid iterates block supersteps: every lane decodes block j of ITS
+  segment, so the component, tables and output index are static per step;
+  an inner while_loop runs until every active lane hits its EOB. Writes go
+  to a (64, S) register file via an iota mask — zigzag order, which the
+  pixel stage folds into the IDCT matrix for free;
+- per-lane error flags surface malformed segments; the host re-decodes
+  those samples on the CPU path (the scheduler's usual runtime fallback).
+
+All per-lane state lives in VMEM scratch which persists across grid steps.
+Requires: baseline sequential, one interleaved scan, 8-bit, restart
+interval set, h/v factors <= 2, <= 2 table classes — everything else routes
+to the host entropy stage.
+"""
+from __future__ import annotations
+
+import functools
+from typing import List, Tuple
+
+import numpy as np
+
+_FIFO = 6  # per-lane buffered words beyond cur/nxt
+
+
+def _build_tables(frame):
+    """Per table class: (maxcode[17], base[17], values[nvals]) with
+    base[l] = valptr[l] - mincode[l] so sym_idx = code + base[len]."""
+    classes = []
+    for tc in (0, 1):  # 0 = DC, 1 = AC
+        per_id = {}
+        tabs = frame.dc_huff if tc == 0 else frame.ac_huff
+        for tid, t in tabs.items():
+            code = 0
+            k = 0
+            maxcode = [-1] * 17
+            base = [0] * 17
+            for l in range(1, 17):
+                n = t.bits[l - 1]
+                base[l] = k - code
+                code += n
+                k += n
+                maxcode[l] = code - 1 if n else -1
+                code <<= 1
+            per_id[tid] = (tuple(maxcode), tuple(base),
+                           tuple(int(v) for v in t.values))
+        classes.append(per_id)
+    return classes  # [dc_tables, ac_tables]
+
+
+def entropy_kernel_spec(frame) -> Tuple:
+    """Static bucket description: (R, bpm, comp_map, table ids, tables).
+    Raises ValueError when the stream shape is outside kernel support."""
+    if frame.is_progressive or frame.is_lossless or frame.precision != 8:
+        raise ValueError("device entropy: baseline 8-bit only")
+    if frame.restart_interval <= 0:
+        raise ValueError("device entropy: needs restart intervals")
+    if (len(frame.scans) != 1
+            or len(frame.scans[0].comp_indices) != len(frame.components)):
+        raise ValueError("device entropy: one interleaved scan only")
+    comp_map = []
+    for ci, c in enumerate(frame.components):
+        if c.h > 2 or c.v > 2:
+            raise ValueError("device entropy: h/v factors <= 2")
+        comp_map.extend([ci] * (c.h * c.v))
+    scan = frame.scans[0]
+    dc_tabs, ac_tabs = _build_tables(frame)
+    tables = tuple(
+        (dc_tabs[scan.dc_tables[ci]], ac_tabs[scan.ac_tables[ci]])
+        for ci in range(len(frame.components))
+    )
+    mcus_x = -(-frame.width // (8 * frame.hmax))
+    mcus_y = -(-frame.height // (8 * frame.vmax))
+    return (frame.restart_interval, tuple(comp_map), tables,
+            mcus_x * mcus_y)
+
+
+@functools.lru_cache(maxsize=32)
+def _build_kernel(R: int, bpm: int, comp_map: tuple, tables_key: tuple,
+                  W: int, S: int, interpret: bool):
+    """pallas_call for one bucket geometry. Inputs: words [W, S] uint32,
+    seg_mcus [1, S] int32. Outputs: coefficients [R*bpm, 64, S] int16
+    (zigzag order) + err [1, S] int32."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    tables = tables_key  # ((dc(maxc,base,vals), ac(maxc,base,vals)), ...)
+    NBLK = R * bpm
+    ncomp = len(tables)
+
+    # Huffman values[] tables ride in as [nv, ncomp] inputs (sym_idx indexes
+    # the sublane axis; the component picks the lane column) — maxcode/base
+    # stay baked as scalar constants in the compare chain.
+    def _vals_mat(tc):
+        nv = max(len(tables[c][tc][2]) for c in range(ncomp))
+        m = np.zeros((nv, ncomp), np.int32)
+        for c in range(ncomp):
+            v = tables[c][tc][2]
+            m[: len(v), c] = v
+        return m
+
+    dc_vals_np, ac_vals_np = _vals_mat(0), _vals_mat(1)
+
+    def kernel(words_ref, segm_ref, dcv_ref, acv_ref, out_ref, err_ref,
+               cur_ref, nxt_ref, p_ref, wfill_ref, fifo_ref, fcnt_ref,
+               pred_ref, errs_ref):
+        j = pl.program_id(0)
+        u32 = jnp.uint32
+        i32 = jnp.int32
+
+        @pl.when(j == 0)
+        def _init():
+            cur_ref[:] = words_ref[0, :][None, :]
+            nxt_ref[:] = words_ref[1, :][None, :]
+            p_ref[:] = jnp.zeros((1, S), i32)
+            wfill_ref[:] = jnp.full((1, S), 2, i32)
+            fifo_ref[:] = jnp.zeros((_FIFO, S), u32)
+            fcnt_ref[:] = jnp.zeros((1, S), i32)
+            pred_ref[:] = jnp.zeros((4, S), i32)
+            errs_ref[:] = jnp.zeros((1, S), i32)
+
+        mcu_in_seg = j // bpm
+        b_in_mcu = j % bpm
+        active0 = (segm_ref[0, :][None, :] > mcu_in_seg)
+
+        # ---- conveyor: broadcast the LOWEST word index any live lane with
+        # FIFO space still wants (demand-driven min, never skips a row, no
+        # persistent pointer that a stalled lane could wedge) --------------
+        def conveyor_step(state):
+            cur, nxt, p, wfill, fifo, fcnt = state
+            space = active0 & (fcnt < _FIFO) & (wfill < W)
+            r = jnp.min(jnp.where(space, wfill, W))
+            row = words_ref[pl.ds(jnp.minimum(r, W - 1), 1), :]
+            want = space & (wfill == r)
+            # push into per-lane FIFO at position fcnt
+            slot = jax.lax.broadcasted_iota(i32, (_FIFO, S), 0)
+            push = want & (slot == fcnt)
+            fifo = jnp.where(push, row, fifo)
+            fcnt = fcnt + want.astype(i32)
+            wfill = wfill + want.astype(i32)
+            return cur, nxt, p, wfill, fifo, fcnt
+
+        # ---- branchless bit ops ----------------------------------------
+        def funnel(cur, nxt, p):
+            pu = p.astype(u32)
+            hi = cur << pu
+            lo = (nxt >> (u32(31) - pu)) >> u32(1)
+            return hi | lo
+
+        def consume(state, nbits, mask):
+            """Advance mask'd lanes by nbits (vector; nbits <= 16)."""
+            cur, nxt, p, wfill, fifo, fcnt = state
+            p2 = p + jnp.where(mask, nbits, 0)
+            need = p2 >= 32
+            cur = jnp.where(need, nxt, cur)
+            nxt = jnp.where(need, fifo[0:1, :], nxt)
+            shifted = jnp.concatenate(
+                [fifo[1:, :], jnp.zeros((1, S), u32)], axis=0)
+            fifo = jnp.where(need, shifted, fifo)
+            fcnt = jnp.maximum(fcnt - need.astype(i32), 0)
+            p = p2 - 32 * need.astype(i32)
+            return (cur, nxt, p, wfill, fifo, fcnt)
+
+        def ready(state):
+            _, _, _, wfill, _, fcnt = state
+            return (fcnt >= 1) | (wfill >= W)
+
+        # ---- canonical Huffman decode (len, sym_idx) --------------------
+        def decode_code(state, tc, comp_sel):
+            """Returns (length, values-index) for the active table. The
+            table constants are selected per-component by comp_sel (traced
+            scalar), unrolled over the <=4 components."""
+            cur, nxt, p, _, _, _ = state
+            f = funnel(cur, nxt, p)
+            peek16 = (f >> u32(16)).astype(i32)
+            ln = jnp.zeros((1, S), i32)
+            idx = jnp.zeros((1, S), i32)
+            found = jnp.zeros((1, S), jnp.bool_)
+            for l in range(1, 17):
+                code_l = peek16 >> (16 - l)
+                # per-component constant select (scalar tree)
+                mc = _sel_const(comp_sel, [tables[c][tc][0][l]
+                                           for c in range(ncomp)])
+                ba = _sel_const(comp_sel, [tables[c][tc][1][l]
+                                           for c in range(ncomp)])
+                ok = (code_l <= mc) & (mc >= 0) & ~found
+                ln = jnp.where(ok, l, ln)
+                idx = jnp.where(ok, code_l + ba, idx)
+                found = found | ok
+            return ln, idx, found
+
+        def _sel_const(sel, consts):
+            v = jnp.asarray(consts[0], i32)
+            for c in range(1, len(consts)):
+                v = jnp.where(sel == c, jnp.asarray(consts[c], i32), v)
+            return v
+
+        def lookup_values(idx, tc, comp_sel):
+            vref = dcv_ref if tc == 0 else acv_ref
+            nv = vref.shape[0]
+            tab = vref[:, 0:1]
+            for c in range(1, ncomp):
+                tab = jnp.where(comp_sel == c, vref[:, c:c + 1], tab)
+            rows = jax.lax.broadcasted_iota(i32, (nv, S), 0)
+            eq = rows == idx  # idx (1,S) broadcasts
+            return jnp.sum(jnp.where(eq, tab, 0), axis=0, keepdims=True)
+
+        def extend(bits, t):
+            # T.81 F.2.2.1 EXTEND
+            half = jnp.left_shift(jnp.ones((1, S), i32),
+                                  jnp.maximum(t - 1, 0))
+            full = jnp.left_shift(jnp.ones((1, S), i32), t)
+            neg = bits < half
+            v = jnp.where(neg, bits - full + 1, bits)
+            return jnp.where(t == 0, 0, v)
+
+        def get_bits(state, t, mask):
+            cur, nxt, p, *_ = state
+            f = funnel(cur, nxt, p)
+            tu = jnp.where(t > 0, t, 1).astype(u32)
+            bits = (f >> (u32(32) - tu)).astype(i32)
+            bits = jnp.where(t > 0, bits, 0)
+            return bits, consume(state, t, mask)
+
+        comp_sel = jnp.asarray(comp_map[0], i32)
+        # b_in_mcu is traced; build comp selection from the static map
+        for b in range(1, bpm):
+            comp_sel = jnp.where(b_in_mcu == b,
+                                 jnp.asarray(comp_map[b], i32), comp_sel)
+
+        state = (cur_ref[:], nxt_ref[:], p_ref[:], wfill_ref[:],
+                 fifo_ref[:], fcnt_ref[:])
+        errs = errs_ref[:]
+        regs = jnp.zeros((64, S), jnp.int16)
+
+        # ---- DC coefficient (one symbol, stall-looped) -------------------
+        pred0 = pred_ref[:]
+
+        def dc_cond(carry):
+            state, _, _, _, pend = carry
+            return jnp.any(pend)
+
+        def dc_body(carry):
+            state, regs, errs, pred, pend = carry
+            state = conveyor_step(state)
+            go = pend & ready(state)
+            ln, idx, found = decode_code(state, 0, comp_sel)
+            t = lookup_values(idx, 0, comp_sel)
+            bad = go & (~found | (t > 15))
+            errs = errs + bad.astype(i32)
+            ok = go & ~bad
+            state = consume(state, jnp.where(ok, ln, 0), ok)
+            bits, state = get_bits(state, jnp.where(ok, t, 0), ok)
+            diff = extend(bits, t)
+            # predictors: one row per component
+            rowsel = jax.lax.broadcasted_iota(i32, (4, S), 0) == comp_sel
+            pred = jnp.where(rowsel & ok, pred + diff, pred)
+            dcval = jnp.sum(jnp.where(rowsel, pred, 0), axis=0,
+                            keepdims=True)
+            k0 = jax.lax.broadcasted_iota(i32, (64, S), 0) == 0
+            regs = jnp.where(k0 & ok, dcval.astype(jnp.int16), regs)
+            pend = pend & ~ok & ~bad
+            return state, regs, errs, pred, pend
+
+        state, regs, errs, pred0, _ = jax.lax.while_loop(
+            dc_cond, dc_body, (state, regs, errs, pred0, active0))
+        pred_ref[:] = pred0
+
+        # ---- AC coefficients: run-length loop until EOB ------------------
+        def ac_cond(carry):
+            state, _, _, _, pend = carry
+            return jnp.any(pend)
+
+        def ac_body(carry):
+            state, regs, errs, k, pend = carry
+            state = conveyor_step(state)
+            go = pend & ready(state)
+            ln, idx, found = decode_code(state, 1, comp_sel)
+            sym = lookup_values(idx, 1, comp_sel)
+            bad = go & ~found
+            run = sym >> 4
+            ssz = sym & 15
+            state = consume(state, jnp.where(go & ~bad, ln, 0), go & ~bad)
+            is_eob = (ssz == 0) & (run != 15)
+            is_zrl = (ssz == 0) & (run == 15)
+            do_val = go & ~bad & ~is_eob & ~is_zrl
+            kk = jnp.where(do_val, k + run, k)
+            overflow = do_val & (kk > 63)
+            bad = bad | overflow
+            bits, state = get_bits(
+                state, jnp.where(do_val & ~overflow, ssz, 0),
+                do_val & ~overflow)
+            val = extend(bits, ssz)
+            kw = jnp.clip(kk, 0, 63)
+            wsel = (jax.lax.broadcasted_iota(i32, (64, S), 0) == kw)
+            regs = jnp.where(wsel & do_val & ~overflow,
+                             val.astype(jnp.int16), regs)
+            k = jnp.where(go & ~bad,
+                          jnp.where(is_zrl, k + 16,
+                                    jnp.where(is_eob, k, kk + 1)), k)
+            errs = errs + bad.astype(i32)
+            done_now = (go & (bad | is_eob)) | (go & (k > 63))
+            pend = pend & ~done_now
+            return state, regs, errs, k, pend
+
+        k_init = jnp.where(active0, 1, 64)
+        state, regs, errs, _, _ = jax.lax.while_loop(
+            ac_cond, ac_body, (state, regs, errs, k_init, active0))
+
+        # ---- persist state, emit block -----------------------------------
+        cur, nxt, p, wfill, fifo, fcnt = state
+        cur_ref[:] = cur
+        nxt_ref[:] = nxt
+        p_ref[:] = p
+        wfill_ref[:] = wfill
+        fifo_ref[:] = fifo
+        fcnt_ref[:] = fcnt
+        errs_ref[:] = errs
+        out_ref[:] = regs[None]
+        err_ref[:] = (errs > 0).astype(i32)
+
+        # restart boundary: predictors reset between segments is implicit —
+        # each lane IS one segment, so predictors never cross a restart
+
+    import jax
+
+    grid = (NBLK,)
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((W, S), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(dc_vals_np.shape, lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(ac_vals_np.shape, lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 64, S), lambda j: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((NBLK, 64, S), jnp.int16),
+            jax.ShapeDtypeStruct((1, S), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, S), jnp.uint32),   # cur
+            pltpu.VMEM((1, S), jnp.uint32),   # nxt
+            pltpu.VMEM((1, S), jnp.int32),    # p
+            pltpu.VMEM((1, S), jnp.int32),    # wfill
+            pltpu.VMEM((_FIFO, S), jnp.uint32),  # fifo
+            pltpu.VMEM((1, S), jnp.int32),    # fcnt
+            pltpu.VMEM((4, S), jnp.int32),    # pred
+            pltpu.VMEM((1, S), jnp.int32),    # errs
+        ],
+        interpret=interpret,
+    )
+
+    def fn(words, seg_mcus):
+        return call(words, seg_mcus, dc_vals_np, ac_vals_np)
+
+    return fn
+
+
+def decode_segments_device(frame, words: np.ndarray, seg_mcus: np.ndarray,
+                           interpret: bool = False):
+    """words: [W, S] uint32 column-packed destuffed segments; seg_mcus:
+    [S] int32 MCUs per segment (0 = padding lane). Returns (coefs [NBLK,
+    64, S] int16 zigzag, err [S] int32) as device arrays."""
+    R, comp_map, tables, _total = entropy_kernel_spec(frame)
+    bpm = len(comp_map)
+    W, S = words.shape
+    fn = _build_kernel(R, bpm, comp_map, tables, W, S, interpret)
+    out, err = fn(words, seg_mcus.reshape(1, S))
+    return out, err[0]

@@ -1,0 +1,108 @@
+"""On-device (Pallas) restart-parallel JPEG entropy decode — interpret-mode
+bit-exactness vs the host entropy decoder (the same anchor the host stage is
+held to in test_jpeg_entropy.py; reference analog: the nvjpeg HW engine's
+in-silicon entropy decode, extensions/nvjpeg/hw_decoder.cpp:349-404)."""
+import numpy as np
+import pytest
+
+import oracle
+from nvimagecodec_tpu.codecs.jpeg.device_entropy import (
+    device_entropy_key,
+    reassemble_components,
+    split_batch_segments,
+)
+from nvimagecodec_tpu.codecs.jpeg.entropy_py import decode_coefficients
+from nvimagecodec_tpu.codecs.jpeg.headers import parse_jpeg_structure
+from nvimagecodec_tpu.codecs.jpeg.tables import ZIGZAG
+from nvimagecodec_tpu.ops.pallas_entropy import decode_segments_device
+from util import make_photo
+
+
+def mcus_per_row(frame):
+    return -(-frame.width // (8 * frame.hmax))
+
+
+def run_device_decode(datas):
+    """Decode a bucket of identical-geometry JPEGs with the Pallas kernel in
+    interpret mode; return per-sample per-component natural-order blocks."""
+    frames = [parse_jpeg_structure(d) for d in datas]
+    f0 = frames[0]
+    assert device_entropy_key(f0) is not None
+    max_words = max(
+        (fr.scans[0].data_end - fr.scans[0].data_start) for fr in frames
+    ) // 4 + 8
+    packed = split_batch_segments(frames, datas, max_words)
+    assert packed is not None
+    words, seg_mcus, nsegs = packed
+    out, err = decode_segments_device(f0, words, seg_mcus, interpret=True)
+    assert int(np.sum(np.asarray(err))) == 0, "kernel flagged segments"
+    comps = reassemble_components(np, np.asarray(out), f0, len(frames), nsegs)
+    # zigzag -> natural order for comparison with the host decoder
+    inv = np.zeros(64, np.int64)
+    inv[ZIGZAG] = np.arange(64)
+    return [np.asarray(c)[..., inv] for c in comps], frames
+
+
+def check_against_host(datas):
+    comps, frames = run_device_decode(datas)
+    for i, (data, frame) in enumerate(zip(datas, frames)):
+        ref = decode_coefficients(frame, data)
+        for c, r in enumerate(ref):
+            mine = comps[c][i]
+            bh, bw, _ = r.shape
+            assert mine.shape[0] >= bh and mine.shape[1] >= bw
+            np.testing.assert_array_equal(
+                mine[:bh, :bw], r,
+                err_msg=f"sample {i} component {c} differs",
+            )
+
+
+@pytest.fixture(scope="module")
+def photo():
+    return make_photo(96, 144, seed=23)
+
+
+@pytest.mark.parametrize("ss", ["420", "422", "444"])
+def test_chroma_matrix(photo, ss):
+    data = oracle.jpeg_encode(photo, 88, ss)
+    frame = parse_jpeg_structure(data)
+    ri = mcus_per_row(frame)
+    check_against_host([oracle.jpeg_encode(photo, 88, ss, restart_interval=ri)])
+
+
+def test_gray(photo):
+    data = oracle.jpeg_encode(photo[:, :, 0], 90, restart_interval=1)
+    frame = parse_jpeg_structure(data)
+    ri = mcus_per_row(frame)
+    check_against_host(
+        [oracle.jpeg_encode(photo[:, :, 0], 90, restart_interval=ri)]
+    )
+
+
+def test_multi_row_segments(photo):
+    # restart interval spanning two MCU rows
+    data = oracle.jpeg_encode(photo, 85, "420")
+    frame = parse_jpeg_structure(data)
+    ri = 2 * mcus_per_row(frame)
+    check_against_host([oracle.jpeg_encode(photo, 85, "420", restart_interval=ri)])
+
+
+def test_batch_of_different_content(photo):
+    imgs = [make_photo(96, 144, seed=s) for s in (1, 2, 3)]
+    data = oracle.jpeg_encode(imgs[0], 85, "420")
+    frame = parse_jpeg_structure(data)
+    ri = mcus_per_row(frame)
+    check_against_host(
+        [oracle.jpeg_encode(im, 85, "420", restart_interval=ri) for im in imgs]
+    )
+
+
+def test_unsupported_streams_rejected(photo):
+    # no restart interval -> host path
+    f = parse_jpeg_structure(oracle.jpeg_encode(photo, 85, "420"))
+    assert device_entropy_key(f) is None
+    # progressive -> host path
+    f = parse_jpeg_structure(
+        oracle.jpeg_encode(photo, 85, "420", progressive=True, restart_interval=9)
+    )
+    assert device_entropy_key(f) is None
