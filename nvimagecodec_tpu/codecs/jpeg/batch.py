@@ -182,6 +182,198 @@ def _next_pow2(n: int) -> int:
     return p
 
 
+# ---------------------------------------------------------------------------
+# On-device entropy decode route (restart-interval streams): the host's only
+# work is the native segment split; Huffman decode itself runs in the Pallas
+# kernel feeding the same pixel stage inside one jit. The TPU analog of the
+# reference's dedicated HW entropy engine (extensions/nvjpeg/hw_decoder.cpp:
+# 349-404) rather than its host-side nvjpegDecodeJpegHost stage.
+# ---------------------------------------------------------------------------
+
+_VMEM_WORD_BUDGET = 6 << 20  # bytes of VMEM the [W, S] words block may take
+# env knobs read per call (tests flip them): lanes per kernel call (bounded
+# by the words-block VMEM budget; measured best wide — 1536 lanes beats 384
+# by ~1.8x once dispatch is async) and the minimum bucket size below which
+# the host path wins (the per-bucket error-flag fetch is a fixed device
+# roundtrip that small batches cannot amortize).
+def _lane_cap() -> int:
+    return int(os.environ.get("TIC_DEVICE_ENTROPY_LANES", "1536"))
+
+
+def _min_batch() -> int:
+    return int(os.environ.get("TIC_DEVICE_ENTROPY_MIN_BATCH", "16"))
+_W_MEMO: Dict[tuple, int] = {}  # dek -> compiled words height (grows only)
+
+
+@functools.lru_cache(maxsize=128)
+def _device_entropy_fn(dek, batch: int, W: int, S: int, nsegs: int,
+                       fancy: bool, to_rgb: bool, to_u8: bool,
+                       bitexact: bool):
+    """Jitted kernel+reassemble+pixel stage for one (tables, geometry)
+    bucket: words [W, S] uint32 + seg_mcus [1, S] int32 -> `batch` images
+    + per-lane error flags, one dispatch."""
+    import jax
+
+    jitted = {}
+
+    def call(frame, words_dev, segm_dev):
+        if "f" not in jitted:
+            from ...ops.pallas_entropy import (
+                _build_kernel,
+                entropy_kernel_spec,
+            )
+            from .device_entropy import reassemble_components
+
+            R, comp_map, tables, _ = entropy_kernel_spec(frame)
+            interp = jax.devices()[0].platform == "cpu"
+            kfn = _build_kernel(R, len(comp_map), comp_map, tables, W, S,
+                                interp)
+
+            def fn(words, segm):
+                import jax.numpy as jnp
+
+                out, err = kfn(words, segm)
+                coefs = reassemble_components(jnp, out, frame, batch, nsegs)
+                imgs = decode_pixels(frame, coefs, use_jax=True, fancy=fancy,
+                                     zigzag=True, bitexact=bitexact)
+                if to_rgb and imgs.ndim == 4 and imgs.shape[-1] == 4:
+                    imgs = cmyk_to_rgb(imgs, jnp)
+                if to_u8 and frame.precision > 8:
+                    imgs = (imgs >> (frame.precision - 8)).astype(jnp.uint8)
+                return tuple(imgs[j] for j in range(batch)) + (err,)
+
+            jitted["f"] = jax.jit(fn)
+        return jitted["f"](words_dev, segm_dev)
+
+    return call
+
+
+@functools.lru_cache(maxsize=1)
+def _stack_jit():
+    import jax
+    import jax.numpy as jnp
+
+    return jax.jit(lambda es: jnp.concatenate(es))
+
+
+def _try_device_entropy(idxs, frames, raws, results, fancy, to_rgb, to_u8,
+                        bitexact, xfer, pool=None):
+    """Decode a geometry bucket through the on-device entropy kernel.
+    Returns the list of sample indices it could NOT handle (mixed tables,
+    malformed restart structure, or kernel-flagged lanes) — those continue
+    down the host entropy path. Returns None to decline the whole bucket."""
+    from .device_entropy import (
+        device_entropy_key,
+        frame_segments,
+        split_batch_segments,
+    )
+
+    f0 = frames[idxs[0]]
+    dek = device_entropy_key(f0)
+    if dek is None:
+        return None
+    good = [i for i in idxs if i == idxs[0]
+            or device_entropy_key(frames[i]) == dek]
+    if len(good) < _min_batch():
+        return None  # small batch: fixed sync cost beats the kernel win
+    if len(good) * 2 < len(idxs):
+        return None  # mostly mixed tables: bucket as one host batch instead
+    leftover = [i for i in idxs if i not in set(good)]
+
+    import jax
+
+    nsegs, _total = frame_segments(f0)
+    scan_words = [
+        (frames[i].scans[0].data_end - frames[i].scans[0].data_start) // 4
+        for i in good
+    ]
+    est = max(scan_words) // nsegs * 2 + 16
+    W = max(_W_MEMO.get(dek, 0), -(-est // 256) * 256)
+
+    with span("imgcodec.jpeg.device_entropy_split"):
+        while True:  # retry whole bucket when a segment exceeds W capacity
+            # lane budget keeps the words block inside scoped VMEM
+            s_max = max(128, min(
+                _lane_cap(), _VMEM_WORD_BUDGET // (4 * W) // 128 * 128))
+            ch = max(1, min(_next_pow2(len(good)), s_max // nsegs))
+            ch = 1 << (ch.bit_length() - 1)  # floor pow2: shape reuse
+            S = -((-ch * nsegs) // 128) * 128
+            pool_key = ("segwords", W, S)
+            subs = [good[pos:pos + ch] for pos in range(0, len(good), ch)]
+
+            def _split_one(sub):
+                buf = _POOL.acquire(pool_key, (W, S), np.uint32)
+                packed = split_batch_segments(
+                    [frames[i] for i in sub], [raws[i] for i in sub],
+                    W, lanes=S, words=buf)
+                if packed is None:
+                    _POOL.release(pool_key, buf)
+                    return None
+                return packed
+
+            if pool is not None and len(subs) > 1:
+                packs = list(pool.map(_split_one, subs))
+            else:
+                packs = [_split_one(s) for s in subs]
+
+            pending = []  # (chunk_idxs, bad_positions, words_buf, futs)
+            grow = any(p is None for p in packs)
+            for sub, packed in zip(subs, packs):
+                if packed is None:
+                    continue
+                words, seg_mcus, _n, bad = packed
+                if grow:
+                    _POOL.release(pool_key, words)
+                    continue
+                wfut = xfer.submit(jax.device_put, words)
+                sfut = xfer.submit(jax.device_put, seg_mcus.reshape(1, S))
+                pending.append((sub, bad, pool_key, words, wfut, sfut))
+            if not grow:
+                _W_MEMO[dek] = W
+                break
+            W = -(-(W * 2) // 256) * 256
+            if -(-nsegs // 128) * 128 * W * 4 > 4 * _VMEM_WORD_BUDGET:
+                return None  # pathological segment: host path
+
+    call = _device_entropy_fn(dek, ch, W, S, nsegs, fancy, to_rgb, to_u8,
+                              bitexact)
+    outs = []
+    with span("imgcodec.jpeg.device_entropy_kernel"):
+        # no mid-loop blocking: device_put and the jit calls are async and
+        # XLA orders them by data dependency; a block_until_ready here costs
+        # a ~40 ms stream flush per chunk on the tunneled device. Host words
+        # buffers return to the pool only after the err fetch proves the
+        # whole chain (transfers included) executed.
+        for sub, bad, pool_key, words, wfut, sfut in pending:
+            res = call(f0, wfut.result(), sfut.result())
+            outs.append((sub, bad, res[:-1], res[-1]))
+
+    # single sync point per bucket: stack every chunk's error flags into ONE
+    # tiny D2H fetch (~29 ms fixed each over the tunnel). Samples with a
+    # flagged segment re-route to the host path.
+    with span("imgcodec.jpeg.device_entropy_errcheck"):
+        if len(outs) == 1:
+            errs_np = np.asarray(outs[0][3]).reshape(1, -1)
+        else:
+            import jax.numpy as jnp
+
+            errs_np = np.asarray(_stack_jit()(
+                [e for _, _, _, e in outs])).reshape(len(outs), -1)
+    for _sub, _bad, pk, wbuf, _wf, _sf in pending:
+        _POOL.release(pk, wbuf)
+    for (sub, bad, imgs, _err), err_np in zip(outs, errs_np):
+        for j, i in enumerate(sub):
+            if j in bad:
+                leftover.append(i)
+                continue
+            lanes = err_np[j * nsegs:(j + 1) * nsegs]
+            if lanes.any():
+                leftover.append(i)
+                continue
+            results[i] = DecodeResult(ProcessingStatus.SUCCESS, imgs[j])
+    return leftover
+
+
 def _chunk_plan(bpad: int) -> int:
     """Number of transfer chunks for a bucket of bpad samples. Each
     device_put over the tunnel has a fixed cost, so only split buckets big
@@ -249,8 +441,29 @@ def decode_batch_tpu(data_batch, params: DecodeParams, fancy: bool = True,
     pool = ThreadPoolExecutor(max_workers=nthreads) if n > 1 else None
     xfer = ThreadPoolExecutor(max_workers=1)  # ordered transfer queue
     try:
+        from ...core.types import ColorSpec as _CS
+
+        cs = getattr(params, "color_spec", None)
+        to_rgb = not (cs is not None and int(cs) == int(_CS.UNCHANGED))
+        to_u8 = not params.allow_any_depth
+
         for key, idxs in groups.items():
             frame0 = frames[idxs[0]]
+
+            # restart-interval streams: entropy decode ON the chip
+            if (dp_sharding is None and have_native
+                    and not os.environ.get("TIC_NO_DEVICE_ENTROPY")):
+                try:
+                    left = _try_device_entropy(
+                        idxs, frames, raws, results, fancy, to_rgb, to_u8,
+                        bitexact, xfer, pool)
+                except Exception:
+                    left = None  # any kernel/compile trouble: host path
+                if left is not None:
+                    if not left:
+                        continue
+                    idxs = left  # stragglers continue on the host path
+
             ncomp = len(frame0.components)
             b = len(idxs)
             bpad = max(_next_pow2(b), dp)  # dp shards need equal rows
@@ -385,11 +598,6 @@ def decode_batch_tpu(data_batch, params: DecodeParams, fancy: bool = True,
             host_span.__exit__(None, None, None)
 
             try:
-                from ...core.types import ColorSpec as _CS
-
-                cs = getattr(params, "color_spec", None)
-                to_rgb = not (cs is not None and int(cs) == int(_CS.UNCHANGED))
-                to_u8 = not params.allow_any_depth
                 with span("imgcodec.jpeg.device_pixel_stage"):
                     if attempt is not None:
                         xfer_futs, wire_buf, lo_lens, nchunks, pool_key = attempt

@@ -38,24 +38,36 @@ def device_entropy_key(frame: JpegFrame):
     return (geometry_key(frame), R, comp_map, tables)
 
 
+def frame_segments(frame: JpegFrame) -> Tuple[int, int]:
+    """(nsegs, total_mcus) for one frame."""
+    R = frame.restart_interval
+    mcus_x = -(-frame.width // (8 * frame.hmax))
+    mcus_y = -(-frame.height // (8 * frame.vmax))
+    total = mcus_x * mcus_y
+    return -(-total // R), total
+
+
 def split_batch_segments(frames: List[JpegFrame], raws: List[bytes],
-                         max_words: int) -> Optional[Tuple]:
+                         max_words: int, lanes: Optional[int] = None,
+                         words: Optional[np.ndarray] = None):
     """Pack every sample's restart segments into one [W, S] uint32 column
-    matrix. Returns (words, seg_mcus, nsegs) or None if a segment exceeds
-    max_words (caller grows and retries)."""
+    matrix (S = `lanes`, or B*nsegs rounded up to 128). Returns (words,
+    seg_mcus, nsegs, bad) — bad is the list of sample positions whose scan
+    did not split into the expected segment count (host-path fallback) —
+    or None if a segment exceeds max_words (caller grows and retries).
+    `words` may be a recycled buffer (stale pad columns are dead lanes)."""
     from ...native import lib
 
     L = lib()
     f0 = frames[0]
     R = f0.restart_interval
-    mcus_x = -(-f0.width // (8 * f0.hmax))
-    mcus_y = -(-f0.height // (8 * f0.vmax))
-    total = mcus_x * mcus_y
-    nsegs = -(-total // R)
+    nsegs, total = frame_segments(f0)
     B = len(frames)
-    S = -((-B * nsegs) // 128) * 128  # pad lanes to the vector width
-    words = np.zeros((max_words, S), np.uint32)
+    S = lanes if lanes is not None else -((-B * nsegs) // 128) * 128
+    if words is None:
+        words = np.zeros((max_words, S), np.uint32)
     seg_mcus = np.zeros(S, np.int32)
+    bad: List[int] = []
     for i, (fr, raw) in enumerate(zip(frames, raws)):
         scan = fr.scans[0]
         data = raw[scan.data_start:scan.data_end]
@@ -67,12 +79,13 @@ def split_batch_segments(frames: List[JpegFrame], raws: List[bytes],
         if n == -1:
             return None  # capacity: caller retries with a larger max_words
         if n != nsegs:
-            raise ValueError(
-                f"device entropy: expected {nsegs} segments, got {n}")
+            bad.append(i)  # malformed restart structure: host path
+            seg_mcus[i * nsegs:(i + 1) * nsegs] = 0
+            continue
         col = i * nsegs
         seg_mcus[col:col + nsegs] = R
         seg_mcus[col + nsegs - 1] = total - (nsegs - 1) * R
-    return words, seg_mcus, nsegs
+    return words, seg_mcus, nsegs, bad
 
 
 def reassemble_components(xp, out, frame: JpegFrame, B: int, nsegs: int):

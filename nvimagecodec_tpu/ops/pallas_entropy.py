@@ -140,6 +140,11 @@ def _build_kernel(R: int, bpm: int, comp_map: tuple, tables_key: tuple,
         b_in_mcu = j % bpm
         active0 = (segm_ref[0, :][None, :] > mcu_in_seg)
 
+        def _bcast(cond, rows):
+            """(1, S) bool -> (rows, S) bool. Mosaic can't relayout an i1
+            vector with a replicated non-singleton dim; go through i32."""
+            return jnp.broadcast_to(cond.astype(i32), (rows, S)) != 0
+
         # ---- conveyor: broadcast the LOWEST word index any live lane with
         # FIFO space still wants (demand-driven min, never skips a row, no
         # persistent pointer that a stalled lane could wedge) --------------
@@ -151,7 +156,7 @@ def _build_kernel(R: int, bpm: int, comp_map: tuple, tables_key: tuple,
             want = space & (wfill == r)
             # push into per-lane FIFO at position fcnt
             slot = jax.lax.broadcasted_iota(i32, (_FIFO, S), 0)
-            push = want & (slot == fcnt)
+            push = _bcast(want, _FIFO) & (slot == fcnt)
             fifo = jnp.where(push, row, fifo)
             fcnt = fcnt + want.astype(i32)
             wfill = wfill + want.astype(i32)
@@ -173,7 +178,7 @@ def _build_kernel(R: int, bpm: int, comp_map: tuple, tables_key: tuple,
             nxt = jnp.where(need, fifo[0:1, :], nxt)
             shifted = jnp.concatenate(
                 [fifo[1:, :], jnp.zeros((1, S), u32)], axis=0)
-            fifo = jnp.where(need, shifted, fifo)
+            fifo = jnp.where(_bcast(need, _FIFO), shifted, fifo)
             fcnt = jnp.maximum(fcnt - need.astype(i32), 0)
             p = p2 - 32 * need.astype(i32)
             return (cur, nxt, p, wfill, fifo, fcnt)
@@ -248,17 +253,20 @@ def _build_kernel(R: int, bpm: int, comp_map: tuple, tables_key: tuple,
         state = (cur_ref[:], nxt_ref[:], p_ref[:], wfill_ref[:],
                  fifo_ref[:], fcnt_ref[:])
         errs = errs_ref[:]
-        regs = jnp.zeros((64, S), jnp.int16)
+        regs = jnp.zeros((64, S), i32)
 
         # ---- DC coefficient (one symbol, stall-looped) -------------------
         pred0 = pred_ref[:]
 
+        # pend rides the while carries as i32 — Mosaic can't legalize i1
+        # vector loop carries (scf.yield legalization failure)
         def dc_cond(carry):
-            state, _, _, _, pend = carry
-            return jnp.any(pend)
+            state, _, _, _, pend_i = carry
+            return jnp.any(pend_i != 0)
 
         def dc_body(carry):
-            state, regs, errs, pred, pend = carry
+            state, regs, errs, pred, pend_i = carry
+            pend = pend_i != 0
             state = conveyor_step(state)
             go = pend & ready(state)
             ln, idx, found = decode_code(state, 0, comp_sel)
@@ -271,25 +279,28 @@ def _build_kernel(R: int, bpm: int, comp_map: tuple, tables_key: tuple,
             diff = extend(bits, t)
             # predictors: one row per component
             rowsel = jax.lax.broadcasted_iota(i32, (4, S), 0) == comp_sel
-            pred = jnp.where(rowsel & ok, pred + diff, pred)
+            pred = jnp.where(rowsel & _bcast(ok, 4), pred + diff, pred)
             dcval = jnp.sum(jnp.where(rowsel, pred, 0), axis=0,
                             keepdims=True)
             k0 = jax.lax.broadcasted_iota(i32, (64, S), 0) == 0
-            regs = jnp.where(k0 & ok, dcval.astype(jnp.int16), regs)
+            regs = jnp.where(k0 & _bcast(ok, 64),
+                             jnp.broadcast_to(dcval, (64, S)), regs)
             pend = pend & ~ok & ~bad
-            return state, regs, errs, pred, pend
+            return state, regs, errs, pred, pend.astype(i32)
 
         state, regs, errs, pred0, _ = jax.lax.while_loop(
-            dc_cond, dc_body, (state, regs, errs, pred0, active0))
+            dc_cond, dc_body,
+            (state, regs, errs, pred0, active0.astype(i32)))
         pred_ref[:] = pred0
 
         # ---- AC coefficients: run-length loop until EOB ------------------
         def ac_cond(carry):
-            state, _, _, _, pend = carry
-            return jnp.any(pend)
+            state, _, _, _, pend_i = carry
+            return jnp.any(pend_i != 0)
 
         def ac_body(carry):
-            state, regs, errs, k, pend = carry
+            state, regs, errs, k, pend_i = carry
+            pend = pend_i != 0
             state = conveyor_step(state)
             go = pend & ready(state)
             ln, idx, found = decode_code(state, 1, comp_sel)
@@ -309,20 +320,22 @@ def _build_kernel(R: int, bpm: int, comp_map: tuple, tables_key: tuple,
                 do_val & ~overflow)
             val = extend(bits, ssz)
             kw = jnp.clip(kk, 0, 63)
-            wsel = (jax.lax.broadcasted_iota(i32, (64, S), 0) == kw)
-            regs = jnp.where(wsel & do_val & ~overflow,
-                             val.astype(jnp.int16), regs)
+            wsel = (jax.lax.broadcasted_iota(i32, (64, S), 0)
+                    == jnp.broadcast_to(kw, (64, S)))
+            regs = jnp.where(wsel & _bcast(do_val & ~overflow, 64),
+                             jnp.broadcast_to(val, (64, S)), regs)
             k = jnp.where(go & ~bad,
                           jnp.where(is_zrl, k + 16,
                                     jnp.where(is_eob, k, kk + 1)), k)
             errs = errs + bad.astype(i32)
             done_now = (go & (bad | is_eob)) | (go & (k > 63))
             pend = pend & ~done_now
-            return state, regs, errs, k, pend
+            return state, regs, errs, k, pend.astype(i32)
 
         k_init = jnp.where(active0, 1, 64)
         state, regs, errs, _, _ = jax.lax.while_loop(
-            ac_cond, ac_body, (state, regs, errs, k_init, active0))
+            ac_cond, ac_body,
+            (state, regs, errs, k_init, active0.astype(i32)))
 
         # ---- persist state, emit block -----------------------------------
         cur, nxt, p, wfill, fifo, fcnt = state
@@ -333,7 +346,7 @@ def _build_kernel(R: int, bpm: int, comp_map: tuple, tables_key: tuple,
         fifo_ref[:] = fifo
         fcnt_ref[:] = fcnt
         errs_ref[:] = errs
-        out_ref[:] = regs[None]
+        out_ref[:] = regs.astype(jnp.int16)[None]
         err_ref[:] = (errs > 0).astype(i32)
 
         # restart boundary: predictors reset between segments is implicit —

@@ -33,7 +33,8 @@ def run_device_decode(datas):
     ) // 4 + 8
     packed = split_batch_segments(frames, datas, max_words)
     assert packed is not None
-    words, seg_mcus, nsegs = packed
+    words, seg_mcus, nsegs, bad = packed
+    assert not bad
     out, err = decode_segments_device(f0, words, seg_mcus, interpret=True)
     assert int(np.sum(np.asarray(err))) == 0, "kernel flagged segments"
     comps = reassemble_components(np, np.asarray(out), f0, len(frames), nsegs)
@@ -106,3 +107,47 @@ def test_unsupported_streams_rejected(photo):
         oracle.jpeg_encode(photo, 85, "420", progressive=True, restart_interval=9)
     )
     assert device_entropy_key(f) is None
+
+
+# --- product-path integration (Decoder routes DRI buckets to the kernel) ---
+
+
+def test_decoder_route_and_fallback(photo, monkeypatch):
+    """The Decoder takes the device route for a restart-interval bucket,
+    falls back per-sample for mixed/corrupt streams, and matches the host
+    path bit-exactly on the same streams."""
+    import nvimagecodec_tpu as nic
+    from nvimagecodec_tpu.codecs.jpeg import batch as B
+
+    monkeypatch.setenv("TIC_DEVICE_ENTROPY_MIN_BATCH", "1")
+    f = parse_jpeg_structure(oracle.jpeg_encode(photo, 85, "420"))
+    ri = mcus_per_row(f)
+    imgs = [make_photo(96, 144, seed=s) for s in range(4)]
+    datas = [oracle.jpeg_encode(im, 85, "420", restart_interval=ri)
+             for im in imgs]
+    # one corrupt sample: valid markers, mangled entropy payload
+    bad = bytearray(datas[2])
+    frame2 = parse_jpeg_structure(datas[2])
+    s0 = frame2.scans[0].data_start
+    bad[s0 + 40:s0 + 48] = b"\xff\xd1" * 4  # stray RSTs break segment count
+    datas[2] = bytes(bad)
+
+    dec = nic.Decoder()
+    before = B._device_entropy_fn.cache_info().misses
+    out = dec.decode(datas)
+    assert B._device_entropy_fn.cache_info().misses > before, (
+        "device entropy route was not taken")
+    for i, (im, d) in enumerate(zip(out, datas)):
+        if i == 2:
+            continue  # corrupt: any of None/garbage-free fallback is fine
+        ref = oracle.jpeg_decode(d)
+        diff = np.abs(np.asarray(im.array).astype(int) - ref.astype(int)).max()
+        assert diff <= 4
+
+    # device route disabled -> host path gives identical pixels
+    monkeypatch.setenv("TIC_NO_DEVICE_ENTROPY", "1")
+    out_host = nic.Decoder().decode([datas[0], datas[1], datas[3]])
+    np.testing.assert_array_equal(
+        np.asarray(out[0].array), np.asarray(out_host[0].array))
+    np.testing.assert_array_equal(
+        np.asarray(out[3].array), np.asarray(out_host[2].array))
