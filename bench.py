@@ -109,6 +109,33 @@ def main() -> None:
     log(f"tpu decode: best of 3 passes -> {ips:.1f} img/s "
         f"(all: {[round(p, 1) for p in tpu_passes]})")
 
+    # --- informational: on-device entropy decode (stderr only) -------------
+    # restart-interval corpus routes through the Pallas entropy kernel (the
+    # host only splits segments); same pixels, different entropy engine
+    try:
+        from nvimagecodec_tpu.codecs.jpeg.headers import parse_jpeg_structure
+
+        f0 = parse_jpeg_structure(jpgs[0])
+        ri = -(-f0.width // (8 * f0.hmax))
+        dri_jpgs = [
+            oracle.jpeg_encode(base[i % 8], QUALITY, "420", restart_interval=ri)
+            for i in range(N_IMAGES)
+        ] if have_oracle else []
+        if dri_jpgs:
+            out = dec.decode(dri_jpgs[:BATCH])
+            force(out[-1])
+
+            def dri_pass():
+                t0 = time.perf_counter()
+                outs = dec.decode(dri_jpgs)
+                force(outs[-1])
+                return N_IMAGES / (time.perf_counter() - t0)
+
+            dri = max(dri_pass() for _ in range(3))
+            log(f"device-entropy decode (DRI corpus): {dri:.1f} img/s")
+    except Exception as e:
+        log("device-entropy bench skipped:", e)
+
     # --- informational: encode throughput (stderr only) --------------------
     try:
         from nvimagecodec_tpu import Encoder
