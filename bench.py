@@ -87,21 +87,17 @@ def main() -> None:
     # batch N-1 (jax dispatch is async; force is completion-only). Two
     # passes, best reported: the shared device tunnel adds large run-to-run
     # interference that is not part of the codec's cost.
+    from nvimagecodec_tpu import pipeline
+
     def one_pass():
         t0 = time.perf_counter()
         decoded = 0
-        prev = None
-        for i in range(0, N_IMAGES, BATCH):
-            batch = jpgs[i : i + BATCH]
-            outs = dec.decode(batch)
+        batches = (jpgs[i:i + BATCH] for i in range(0, N_IMAGES, BATCH))
+        for outs in pipeline.decode_batches(batches, decoder=dec,
+                                            drop_failed=False):
             for o in outs:
                 assert o is not None
-            if prev is not None:
-                force(prev[-1])
-                decoded += len(prev)
-            prev = outs
-        force(prev[-1])
-        decoded += len(prev)
+            decoded += len(outs)
         return decoded / (time.perf_counter() - t0)
 
     tpu_passes = [one_pass() for _ in range(3)]

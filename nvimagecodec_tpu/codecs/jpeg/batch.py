@@ -74,27 +74,51 @@ class _HostBufferPool:
     reference's pinned-buffer recycling in Work::ensure_expected_buffer
     (src/work.h:144-169)."""
 
+    # distinct live buffers per key: every fresh host allocation that hits
+    # the transport degrades transfer latency for the rest of the process
+    # (host-registration churn), so once this many buffers exist for a key,
+    # acquire WAITS for one to come back from the reclaim thread instead of
+    # allocating another.
+    PER_KEY_CAP = 4
+
     def __init__(self, max_bytes: int):
         self._free: Dict[tuple, list] = {}
-        self._lock = threading.Lock()
+        self._live: Dict[tuple, int] = {}
+        self._cond = threading.Condition()
         self._bytes = 0
         self._max = max_bytes
 
     def acquire(self, key, shape, dtype) -> np.ndarray:
-        with self._lock:
-            lst = self._free.get(key)
-            if lst:
-                arr = lst.pop()
-                self._bytes -= arr.nbytes
-                return arr
+        with self._cond:
+            deadline = None
+            while True:
+                lst = self._free.get(key)
+                if lst:
+                    arr = lst.pop()
+                    self._bytes -= arr.nbytes
+                    return arr
+                if self._live.get(key, 0) < self.PER_KEY_CAP:
+                    self._live[key] = self._live.get(key, 0) + 1
+                    break
+                import time as _t
+
+                if deadline is None:
+                    deadline = _t.monotonic() + 30.0
+                if not self._cond.wait(timeout=max(0.0, deadline
+                                                   - _t.monotonic())):
+                    # reclaim stalled (dead device?) — allocate anyway
+                    self._live[key] = self._live.get(key, 0) + 1
+                    break
         return np.empty(shape, dtype)
 
     def release(self, key, arr: np.ndarray) -> None:
-        with self._lock:
+        with self._cond:
             if self._bytes + arr.nbytes <= self._max:
                 self._free.setdefault(key, []).append(arr)
                 self._bytes += arr.nbytes
-            # else: drop — pool is full
+            else:  # drop — pool is full
+                self._live[key] = max(0, self._live.get(key, 1) - 1)
+            self._cond.notify_all()
 
 
 _POOL = _HostBufferPool(
@@ -180,6 +204,40 @@ def _next_pow2(n: int) -> int:
     while p < n:
         p <<= 1
     return p
+
+
+# persistent executors: entropy fan-out, the ordered transfer queue, and the
+# deferred-reclaim thread (waits for in-flight H2D copies and returns wire
+# buffers to the pool WITHOUT blocking the decode caller — the analog of the
+# reference's per-device stream completion callbacks recycling pinned
+# buffers, src/work.h:144-169). Created lazily so importing the package
+# never spins up threads.
+_EXEC_LOCK = threading.Lock()
+_EXECS: Dict[str, ThreadPoolExecutor] = {}
+
+
+def _shared_pool(name: str, workers: int) -> ThreadPoolExecutor:
+    with _EXEC_LOCK:
+        p = _EXECS.get(name)
+        if p is None:
+            p = ThreadPoolExecutor(
+                max_workers=workers, thread_name_prefix=f"tic-{name}")
+            _EXECS[name] = p
+        return p
+
+
+def _reclaim_async(devs, pool_key, buf) -> None:
+    """Return a host staging buffer to the pool once the device owns the
+    bytes. Runs on the reclaim thread so decode() never waits on H2D."""
+    import jax
+
+    def _job():
+        try:
+            jax.block_until_ready(devs)
+        finally:
+            _POOL.release(pool_key, buf)
+
+    _shared_pool("reclaim", 1).submit(_job)
 
 
 # ---------------------------------------------------------------------------
@@ -438,8 +496,8 @@ def decode_batch_tpu(data_batch, params: DecodeParams, fancy: bool = True,
     # 2) per bucket: preallocated batch arrays, threaded entropy decode into
     #    slots, chunked async H2D, then one jitted device call
     nthreads = min(32, os.cpu_count() or 2)
-    pool = ThreadPoolExecutor(max_workers=nthreads) if n > 1 else None
-    xfer = ThreadPoolExecutor(max_workers=1)  # ordered transfer queue
+    pool = _shared_pool("entropy", nthreads) if n > 1 else None
+    xfer = _shared_pool("xfer", 1)  # ordered transfer queue
     try:
         from ...core.types import ColorSpec as _CS
 
@@ -554,9 +612,8 @@ def decode_batch_tpu(data_batch, params: DecodeParams, fancy: bool = True,
                         jax.device_put, wire_buf[lo_j:hi_j],
                         dp_sharding))
                 if overflow[0]:
-                    for f in xfer_futs:
-                        f.result()  # drain stale transfers
-                    _POOL.release(pool_key, wire_buf)
+                    stale = tuple(f.result() for f in xfer_futs)
+                    _reclaim_async(stale, pool_key, wire_buf)
                     return None
                 return xfer_futs, wire_buf, lo_lens, nchunks, pool_key
 
@@ -602,9 +659,9 @@ def decode_batch_tpu(data_batch, params: DecodeParams, fancy: bool = True,
                     if attempt is not None:
                         xfer_futs, wire_buf, lo_lens, nchunks, pool_key = attempt
                         devs = tuple(f.result() for f in xfer_futs)
-                        # host buffer reusable only once the transfer landed
-                        jax.block_until_ready(devs)
-                        _POOL.release(pool_key, wire_buf)
+                        # buffer goes back to the pool once the device owns
+                        # the bytes — on the reclaim thread, not here
+                        _reclaim_async(devs, pool_key, wire_buf)
                         call = _pixel_fn(key, bpad, fancy, to_rgb, to_u8,
                                          "packed", nchunks, lo_lens,
                                          bitexact)
@@ -615,9 +672,8 @@ def decode_batch_tpu(data_batch, params: DecodeParams, fancy: bool = True,
                                         dp_sharding).result()
                             for a in coef_arrays
                         )
-                        jax.block_until_ready(devs)
                         for c, a in enumerate(coef_arrays):
-                            _POOL.release(("coef", key, bpad, c), a)
+                            _reclaim_async(devs, ("coef", key, bpad, c), a)
                         coef_arrays = None
                         call = _pixel_fn(key, bpad, fancy, to_rgb, to_u8,
                                          bitexact=bitexact)
@@ -637,7 +693,5 @@ def decode_batch_tpu(data_batch, params: DecodeParams, fancy: bool = True,
                     for c, a in enumerate(coef_arrays):
                         _POOL.release(("coef", key, bpad, c), a)
     finally:
-        if pool is not None:
-            pool.shutdown(wait=False)
-        xfer.shutdown(wait=False)
+        pass  # shared executors persist across calls
     return results

@@ -7,6 +7,8 @@ N+1 overlapping the device compute of batch N (the 2-page pipeline analog,
 extensions/nvjpeg/cuda_decoder.cpp:425-427)."""
 from __future__ import annotations
 
+from collections import deque
+from concurrent.futures import ThreadPoolExecutor
 from typing import Iterable, Iterator, Optional, Sequence
 
 from .api import Decoder
@@ -19,11 +21,14 @@ def decode_batches(
     decoder: Optional[Decoder] = None,
     mesh=None,
     drop_failed: bool = True,
+    depth: int = 2,
 ) -> Iterator[list]:
     """Yield lists of decoded images (device arrays) per input batch of
-    encoded byte strings, pipelined: the host stage of the next batch runs
-    while the previous batch's device work completes (jax dispatch is
-    async — we only force completion one batch late).
+    encoded byte strings, pipelined `depth` batches deep: decode() calls for
+    upcoming batches run on prefetch threads, so batch N's transfer/dispatch
+    tail (which blocks off-GIL on the device link) overlaps batch N+1's host
+    entropy stage. Completion is forced one batch late, like the reference's
+    2-page host/GPU pipeline (extensions/nvjpeg/cuda_decoder.cpp:425-427).
 
     With `mesh`, same-shape batches are additionally stacked and sharded
     over the mesh's "dp" axis.
@@ -32,8 +37,8 @@ def decode_batches(
 
     dec = decoder or Decoder()
     params = params or DecodeParams()
-    prev = None
-    for batch in stream_batches:
+
+    def _one(batch):
         outs = dec.decode(list(batch), params)
         if drop_failed:
             outs = [o for o in outs if o is not None]
@@ -46,16 +51,35 @@ def decode_batches(
 
                 stacked = jnp.stack([jnp.asarray(a) for a in arrs])
                 outs = jax.device_put(stacked, NamedSharding(mesh, P("dp")))
-        if prev is not None:
-            jax.block_until_ready(
-                prev if not isinstance(prev, list) else
-                [p.array if hasattr(p, "array") else p for p in prev]
-            )
-            yield prev
-        prev = outs
-    if prev is not None:
+        return outs
+
+    def _force(outs):
         jax.block_until_ready(
-            prev if not isinstance(prev, list) else
-            [p.array if hasattr(p, "array") else p for p in prev]
+            outs if not isinstance(outs, list) else
+            [o.array if hasattr(o, "array") else o for o in outs]
         )
-        yield prev
+        return outs
+
+    depth = max(1, depth)
+    if depth == 1:
+        for batch in stream_batches:
+            yield _force(_one(batch))
+        return
+
+    ex = ThreadPoolExecutor(max_workers=depth,
+                            thread_name_prefix="tic-pipeline")
+    try:
+        futs: deque = deque()
+        it = iter(stream_batches)
+        done = False
+        while True:
+            while not done and len(futs) < depth:
+                try:
+                    futs.append(ex.submit(_one, next(it)))
+                except StopIteration:
+                    done = True
+            if not futs:
+                break
+            yield _force(futs.popleft().result())
+    finally:
+        ex.shutdown(wait=False)
