@@ -25,10 +25,10 @@ os.environ.setdefault(
     os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
 )
 
-N_IMAGES = 256
+N_IMAGES = 512
 H, W = 375, 500  # ImageNet-ish
 QUALITY = 85
-BATCH = 64
+BATCH = 256
 
 
 def log(*a):
@@ -156,9 +156,9 @@ def main() -> None:
 
         def base_pass():
             t0 = time.perf_counter()
-            for j in jpgs[:64]:
+            for j in jpgs[:256]:
                 oracle.jpeg_decode(j)
-            return 64 / (time.perf_counter() - t0)
+            return 256 / (time.perf_counter() - t0)
 
         base_passes = [base_pass() for _ in range(3)]
         base_ips = max(base_passes)

@@ -255,7 +255,7 @@ _VMEM_WORD_BUDGET = 6 << 20  # bytes of VMEM the [W, S] words block may take
 # the host path wins (the per-bucket error-flag fetch is a fixed device
 # roundtrip that small batches cannot amortize).
 def _lane_cap() -> int:
-    return int(os.environ.get("TIC_DEVICE_ENTROPY_LANES", "1536"))
+    return int(os.environ.get("TIC_DEVICE_ENTROPY_LANES", "3072"))
 
 
 def _min_batch() -> int:
@@ -264,17 +264,17 @@ _W_MEMO: Dict[tuple, int] = {}  # dek -> compiled words height (grows only)
 
 
 @functools.lru_cache(maxsize=128)
-def _device_entropy_fn(dek, batch: int, W: int, S: int, nsegs: int,
+def _device_entropy_fn(dek, batch: int, W: int, S: int, nsegs: int, R: int,
                        fancy: bool, to_rgb: bool, to_u8: bool,
                        bitexact: bool):
     """Jitted kernel+reassemble+pixel stage for one (tables, geometry)
-    bucket: words [W, S] uint32 + seg_mcus [1, S] int32 -> `batch` images
+    bucket: words [W, S] uint32 + side [6, S] int32 -> `batch` images
     + per-lane error flags, one dispatch."""
     import jax
 
     jitted = {}
 
-    def call(frame, words_dev, segm_dev):
+    def call(frame, words_dev, side_dev):
         if "f" not in jitted:
             from ...ops.pallas_entropy import (
                 _build_kernel,
@@ -282,16 +282,17 @@ def _device_entropy_fn(dek, batch: int, W: int, S: int, nsegs: int,
             )
             from .device_entropy import reassemble_components
 
-            R, comp_map, tables, _ = entropy_kernel_spec(frame)
+            R2, comp_map, tables, _ = entropy_kernel_spec(frame, R)
             interp = jax.devices()[0].platform == "cpu"
-            kfn = _build_kernel(R, len(comp_map), comp_map, tables, W, S,
+            kfn = _build_kernel(R2, len(comp_map), comp_map, tables, W, S,
                                 interp)
 
-            def fn(words, segm):
+            def fn(words, side):
                 import jax.numpy as jnp
 
-                out, err = kfn(words, segm)
-                coefs = reassemble_components(jnp, out, frame, batch, nsegs)
+                out, err = kfn(words, side)
+                coefs = reassemble_components(jnp, out, frame, batch, nsegs,
+                                              R2)
                 imgs = decode_pixels(frame, coefs, use_jax=True, fancy=fancy,
                                      zigzag=True, bitexact=bitexact)
                 if to_rgb and imgs.ndim == 4 and imgs.shape[-1] == 4:
@@ -301,7 +302,7 @@ def _device_entropy_fn(dek, batch: int, W: int, S: int, nsegs: int,
                 return tuple(imgs[j] for j in range(batch)) + (err,)
 
             jitted["f"] = jax.jit(fn)
-        return jitted["f"](words_dev, segm_dev)
+        return jitted["f"](words_dev, side_dev)
 
     return call
 
@@ -314,33 +315,26 @@ def _stack_jit():
     return jax.jit(lambda es: jnp.concatenate(es))
 
 
-def _try_device_entropy(idxs, frames, raws, results, fancy, to_rgb, to_u8,
-                        bitexact, xfer, pool=None):
-    """Decode a geometry bucket through the on-device entropy kernel.
-    Returns the list of sample indices it could NOT handle (mixed tables,
-    malformed restart structure, or kernel-flagged lanes) — those continue
-    down the host entropy path. Returns None to decline the whole bucket."""
-    from .device_entropy import (
-        device_entropy_key,
-        frame_segments,
-        split_batch_segments,
-    )
+def _lane_plan(nsegs: int, W: int, ngood: int):
+    """(ch, S): images per kernel call and padded lane count, bounded by
+    the words-block VMEM budget."""
+    s_max = max(128, min(
+        _lane_cap(), _VMEM_WORD_BUDGET // (4 * W) // 128 * 128))
+    ch = max(1, min(_next_pow2(ngood), s_max // nsegs))
+    ch = 1 << (ch.bit_length() - 1)  # floor pow2: shape reuse
+    S = -((-ch * nsegs) // 128) * 128
+    return ch, S
 
-    f0 = frames[idxs[0]]
-    dek = device_entropy_key(f0)
-    if dek is None:
-        return None
-    good = [i for i in idxs if i == idxs[0]
-            or device_entropy_key(frames[i]) == dek]
-    if len(good) < _min_batch():
-        return None  # small batch: fixed sync cost beats the kernel win
-    if len(good) * 2 < len(idxs):
-        return None  # mostly mixed tables: bucket as one host batch instead
-    leftover = [i for i in idxs if i not in set(good)]
+
+def _split_dri(good, frames, raws, dek, nsegs, xfer, pool):
+    """Restart-marker split (byte-aligned segments, zero DC seeds).
+    Returns (ch, W, S, pending) or None; pending rows are
+    (sub, bad, wkey, words, skey, side, wfut, sfut)."""
+    from ...ops.pallas_entropy import make_side
+    from .device_entropy import split_batch_segments
 
     import jax
 
-    nsegs, _total = frame_segments(f0)
     scan_words = [
         (frames[i].scans[0].data_end - frames[i].scans[0].data_start) // 4
         for i in good
@@ -348,52 +342,170 @@ def _try_device_entropy(idxs, frames, raws, results, fancy, to_rgb, to_u8,
     est = max(scan_words) // nsegs * 2 + 16
     W = max(_W_MEMO.get(dek, 0), -(-est // 256) * 256)
 
+    while True:  # retry whole bucket when a segment exceeds W capacity
+        ch, S = _lane_plan(nsegs, W, len(good))
+        wkey = ("segwords", W, S)
+        skey = ("side", S)
+        subs = [good[pos:pos + ch] for pos in range(0, len(good), ch)]
+
+        def _split_one(sub):
+            buf = _POOL.acquire(wkey, (W, S), np.uint32)
+            packed = split_batch_segments(
+                [frames[i] for i in sub], [raws[i] for i in sub],
+                W, lanes=S, words=buf)
+            if packed is None:
+                _POOL.release(wkey, buf)
+                return None
+            return packed
+
+        if pool is not None and len(subs) > 1:
+            packs = list(pool.map(_split_one, subs))
+        else:
+            packs = [_split_one(s) for s in subs]
+
+        pending = []
+        grow = any(p is None for p in packs)
+        for sub, packed in zip(subs, packs):
+            if packed is None:
+                continue
+            words, seg_mcus, _n, bad = packed
+            if grow:
+                _POOL.release(wkey, words)
+                continue
+            side = _POOL.acquire(skey, (6, S), np.int32)
+            side[:] = make_side(seg_mcus)
+            wfut = xfer.submit(jax.device_put, words)
+            sfut = xfer.submit(jax.device_put, side)
+            pending.append((sub, bad, wkey, words, skey, side, wfut, sfut))
+        if not grow:
+            _W_MEMO[dek] = W
+            return ch, W, S, pending
+        W = -(-(W * 2) // 256) * 256
+        if -(-nsegs // 128) * 128 * W * 4 > 4 * _VMEM_WORD_BUDGET:
+            return None  # pathological segment: host path
+
+
+def _split_indexed(good, frames, raws, dek, R, nsegs, xfer, pool):
+    """Index-scan split for streams WITHOUT restart markers: the host's
+    light Huffman pass finds MCU-row bit offsets + DC predictor seeds and
+    the destuffed bitstream ships as-is (~the compressed size — the whole
+    point: the device link budget, not host compute, bounds sustained
+    decode). Same pending shape as _split_dri."""
+    from ...ops.pallas_entropy import make_side
+    from .device_entropy import (
+        index_scan_image,
+        indexed_words_needed,
+        pack_indexed_image,
+    )
+
+    import jax
+
+    def _scan_one(i):
+        return i, index_scan_image(frames[i], raws[i], R // max(
+            1, -(-frames[i].width // (8 * frames[i].hmax))), nsegs)
+
+    # rows_per_seg = R / mcus_x (R was chosen as mcus_x * rows)
+    if pool is not None and len(good) > 1:
+        scans = dict(pool.map(_scan_one, good))
+    else:
+        scans = dict(_scan_one(i) for i in good)
+
+    ok = [i for i in good if scans[i] is not None]
+    bad_scan = [i for i in good if scans[i] is None]
+    if len(ok) < max(2, _min_batch() // 2):
+        return None
+
+    Wneed = max(indexed_words_needed(scans[i][1], scans[i][2]) for i in ok)
+    W = max(_W_MEMO.get(dek, 0), -(-Wneed // 128) * 128)
+    _W_MEMO[dek] = W
+    if -(-nsegs // 128) * 128 * W * 4 > 4 * _VMEM_WORD_BUDGET:
+        return None
+    ch, S = _lane_plan(nsegs, W, len(ok))
+    wkey = ("segwords", W, S)
+    skey = ("side", S)
+    subs = [ok[pos:pos + ch] for pos in range(0, len(ok), ch)]
+
+    pending = []
+    for sub in subs:
+        words = _POOL.acquire(wkey, (W, S), np.uint32)
+        side = _POOL.acquire(skey, (6, S), np.int32)
+        side[:] = 0
+        start_bits = np.zeros(S, np.int32)
+        seg_mcus = np.zeros(S, np.int32)
+        bad = []
+
+        def _pack_one(args):
+            j, i = args
+            dst, dlen, bits, preds = scans[i]
+            col0 = j * nsegs
+            if not pack_indexed_image(dst, dlen, bits, words, col0, W,
+                                      start_bits):
+                return j
+            seg_mcus[col0:col0 + nsegs] = R
+            # short last row group: total - (nsegs-1)*R MCUs
+            f = frames[i]
+            mx = -(-f.width // (8 * f.hmax))
+            my = -(-f.height // (8 * f.vmax))
+            seg_mcus[col0 + nsegs - 1] = mx * my - (nsegs - 1) * R
+            side[2:6, col0:col0 + nsegs] = preds.T
+            return None
+
+        items = list(enumerate(sub))
+        if pool is not None and len(items) > 1:
+            for r in pool.map(_pack_one, items):
+                if r is not None:
+                    bad.append(r)
+        else:
+            for it in items:
+                r = _pack_one(it)
+                if r is not None:
+                    bad.append(r)
+        for j in bad:
+            seg_mcus[j * nsegs:(j + 1) * nsegs] = 0
+        side[0] = seg_mcus
+        side[1] = start_bits
+        wfut = xfer.submit(jax.device_put, words)
+        sfut = xfer.submit(jax.device_put, side)
+        pending.append((sub, set(bad), wkey, words, skey, side, wfut, sfut))
+    return ch, W, S, pending, bad_scan
+
+
+def _try_device_entropy(idxs, frames, raws, results, fancy, to_rgb, to_u8,
+                        bitexact, xfer, pool=None):
+    """Decode a geometry bucket through the on-device entropy kernel.
+    Returns the list of sample indices it could NOT handle (mixed tables,
+    malformed restart structure, or kernel-flagged lanes) — those continue
+    down the host entropy path. Returns None to decline the whole bucket."""
+    from .device_entropy import device_entropy_plan
+
+    f0 = frames[idxs[0]]
+    plan = device_entropy_plan(f0)
+    if plan is None:
+        return None
+    good = [i for i in idxs if i == idxs[0]
+            or device_entropy_plan(frames[i]) == plan]
+    if len(good) < _min_batch():
+        return None  # small batch: fixed sync cost beats the kernel win
+    if len(good) * 2 < len(idxs):
+        return None  # mostly mixed tables: bucket as one host batch instead
+    leftover = [i for i in idxs if i not in set(good)]
+    kind, dek, R, nsegs = plan
+
     with span("imgcodec.jpeg.device_entropy_split"):
-        while True:  # retry whole bucket when a segment exceeds W capacity
-            # lane budget keeps the words block inside scoped VMEM
-            s_max = max(128, min(
-                _lane_cap(), _VMEM_WORD_BUDGET // (4 * W) // 128 * 128))
-            ch = max(1, min(_next_pow2(len(good)), s_max // nsegs))
-            ch = 1 << (ch.bit_length() - 1)  # floor pow2: shape reuse
-            S = -((-ch * nsegs) // 128) * 128
-            pool_key = ("segwords", W, S)
-            subs = [good[pos:pos + ch] for pos in range(0, len(good), ch)]
+        if kind == "dri":
+            split = _split_dri(good, frames, raws, dek, nsegs, xfer, pool)
+        else:
+            split = _split_indexed(good, frames, raws, dek, R, nsegs, xfer,
+                                   pool)
+    if split is None:
+        return None
+    if len(split) == 5:
+        ch, W, S, pending, bad_scan = split
+        leftover.extend(bad_scan)
+    else:
+        ch, W, S, pending = split
 
-            def _split_one(sub):
-                buf = _POOL.acquire(pool_key, (W, S), np.uint32)
-                packed = split_batch_segments(
-                    [frames[i] for i in sub], [raws[i] for i in sub],
-                    W, lanes=S, words=buf)
-                if packed is None:
-                    _POOL.release(pool_key, buf)
-                    return None
-                return packed
-
-            if pool is not None and len(subs) > 1:
-                packs = list(pool.map(_split_one, subs))
-            else:
-                packs = [_split_one(s) for s in subs]
-
-            pending = []  # (chunk_idxs, bad_positions, words_buf, futs)
-            grow = any(p is None for p in packs)
-            for sub, packed in zip(subs, packs):
-                if packed is None:
-                    continue
-                words, seg_mcus, _n, bad = packed
-                if grow:
-                    _POOL.release(pool_key, words)
-                    continue
-                wfut = xfer.submit(jax.device_put, words)
-                sfut = xfer.submit(jax.device_put, seg_mcus.reshape(1, S))
-                pending.append((sub, bad, pool_key, words, wfut, sfut))
-            if not grow:
-                _W_MEMO[dek] = W
-                break
-            W = -(-(W * 2) // 256) * 256
-            if -(-nsegs // 128) * 128 * W * 4 > 4 * _VMEM_WORD_BUDGET:
-                return None  # pathological segment: host path
-
-    call = _device_entropy_fn(dek, ch, W, S, nsegs, fancy, to_rgb, to_u8,
+    call = _device_entropy_fn(dek, ch, W, S, nsegs, R, fancy, to_rgb, to_u8,
                               bitexact)
     outs = []
     with span("imgcodec.jpeg.device_entropy_kernel"):
@@ -402,23 +514,42 @@ def _try_device_entropy(idxs, frames, raws, results, fancy, to_rgb, to_u8,
         # a ~40 ms stream flush per chunk on the tunneled device. Host words
         # buffers return to the pool only after the err fetch proves the
         # whole chain (transfers included) executed.
-        for sub, bad, pool_key, words, wfut, sfut in pending:
+        for sub, bad, wkey, words, skey, side, wfut, sfut in pending:
             res = call(f0, wfut.result(), sfut.result())
             outs.append((sub, bad, res[:-1], res[-1]))
 
-    # single sync point per bucket: stack every chunk's error flags into ONE
-    # tiny D2H fetch (~29 ms fixed each over the tunnel). Samples with a
-    # flagged segment re-route to the host path.
+    if kind == "idx":
+        # the host index scan already walked every Huffman symbol of every
+        # sample — the kernel decodes the same symbols, so its error flags
+        # are redundant here. Skipping the flag fetch removes the ONLY
+        # blocking device roundtrip from this path (~70 ms/bucket over the
+        # tunnel); staging buffers return to the pool via the reclaim
+        # thread once the device owns the bytes.
+        for (sub, bad, imgs, err), (s_, b_, wkey, words, skey, side,
+                                    wfut, sfut) in zip(outs, pending):
+            devs = (wfut.result(), sfut.result())
+            _reclaim_async(devs, wkey, words)
+            _reclaim_async(devs, skey, side)
+            for j, i in enumerate(sub):
+                if j in bad:
+                    leftover.append(i)
+                    continue
+                results[i] = DecodeResult(ProcessingStatus.SUCCESS, imgs[j])
+        return leftover
+
+    # DRI path: the host only split at restart markers without decoding, so
+    # the kernel's per-lane error flags are the validation. One sync point
+    # per bucket: stack every chunk's flags into ONE tiny D2H fetch.
+    # Samples with a flagged segment re-route to the host path.
     with span("imgcodec.jpeg.device_entropy_errcheck"):
         if len(outs) == 1:
             errs_np = np.asarray(outs[0][3]).reshape(1, -1)
         else:
-            import jax.numpy as jnp
-
             errs_np = np.asarray(_stack_jit()(
                 [e for _, _, _, e in outs])).reshape(len(outs), -1)
-    for _sub, _bad, pk, wbuf, _wf, _sf in pending:
-        _POOL.release(pk, wbuf)
+    for _sub, _bad, wkey, words, skey, side, _wf, _sf in pending:
+        _POOL.release(wkey, words)
+        _POOL.release(skey, side)
     for (sub, bad, imgs, _err), err_np in zip(outs, errs_np):
         for j, i in enumerate(sub):
             if j in bad:

@@ -38,6 +38,48 @@ def device_entropy_key(frame: JpegFrame):
     return (geometry_key(frame), R, comp_map, tables)
 
 
+def device_entropy_plan(frame: JpegFrame):
+    """Route description for the on-device entropy decoder, or None when
+    the stream must take the host path. Returns (kind, key, R, nsegs):
+
+    - kind "dri": the stream has restart markers — segments are the restart
+      intervals, byte-aligned, DC predictors reset (T.81 §F.2.1.3).
+    - kind "idx": baseline stream WITHOUT restart markers — the host index
+      scan (tic_jpeg_index_scan) finds MCU-row split bits + DC predictor
+      seeds, so the kernel still decodes one MCU row per lane. This is the
+      TPU answer to the reference needing its HW engine for entropy
+      (extensions/nvjpeg/hw_decoder.cpp:349-404): no special bitstream
+      required.
+
+    Memoized on the frame object — the batch router calls this per sample.
+    """
+    p = getattr(frame, "_de_plan", False)
+    if p is not False:
+        return p
+    p = _device_entropy_plan_uncached(frame)
+    frame._de_plan = p
+    return p
+
+
+def _device_entropy_plan_uncached(frame: JpegFrame):
+    mcus_x = -(-frame.width // (8 * frame.hmax))
+    mcus_y = -(-frame.height // (8 * frame.vmax))
+    if frame.restart_interval > 0:
+        key = device_entropy_key(frame)
+        if key is None:
+            return None
+        nsegs, _ = frame_segments(frame)
+        return ("dri", key, frame.restart_interval, nsegs)
+    R = mcus_x  # one MCU row per segment: max lane parallelism, min W
+    try:
+        spec = entropy_kernel_spec(frame, R)
+    except ValueError:
+        return None
+    from .pixel import geometry_key
+
+    return ("idx", (geometry_key(frame), R, spec[1], spec[2]), R, mcus_y)
+
+
 def frame_segments(frame: JpegFrame) -> Tuple[int, int]:
     """(nsegs, total_mcus) for one frame."""
     R = frame.restart_interval
@@ -88,10 +130,69 @@ def split_batch_segments(frames: List[JpegFrame], raws: List[bytes],
     return words, seg_mcus, nsegs, bad
 
 
-def reassemble_components(xp, out, frame: JpegFrame, B: int, nsegs: int):
+def index_scan_image(frame: JpegFrame, raw: bytes, rows_per_seg: int,
+                     nsegs: int):
+    """Host index scan for one image: destuffed scan bytes + per-segment
+    (bit offset, DC predictor seeds). Returns (destuffed, dlen, bits[nsegs]
+    int64, preds[nsegs, 4] int32) or None (host path)."""
+    from ...native import lib
+
+    L = lib()
+    scan = frame.scans[0]
+    cap = int(scan.data_end - scan.data_start) + 8
+    dst = np.empty(cap, np.uint8)
+    bits = np.empty(nsegs + 1, np.int64)
+    preds = np.empty((nsegs + 1) * 4, np.int32)
+    dlen = ctypes.c_int64(0)
+    n = L.tic_jpeg_index_scan(
+        raw, len(raw), rows_per_seg,
+        dst.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap,
+        ctypes.byref(dlen),
+        bits.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        preds.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        nsegs + 1,
+    )
+    if n != nsegs:
+        return None
+    return dst, int(dlen.value), bits[:n], preds[:n * 4].reshape(n, 4)
+
+
+def indexed_words_needed(dlen: int, bits: np.ndarray) -> int:
+    """Max words any segment of this image needs in the [W, S] matrix."""
+    end_bits = np.empty_like(bits)
+    end_bits[:-1] = bits[1:]
+    end_bits[-1] = dlen * 8
+    w0 = bits // 32
+    w1 = np.minimum((end_bits + 96 + 31) // 32, (dlen + 3) // 4)
+    return int(np.maximum(w1 - w0, 1).max())
+
+
+def pack_indexed_image(destuffed: np.ndarray, dlen: int, bits: np.ndarray,
+                       words: np.ndarray, col0: int, max_words: int,
+                       start_bits: np.ndarray) -> bool:
+    """Pack one index-scanned image's segments into columns col0.. of the
+    [W, S] matrix; start_bits[col0:col0+nsegs] receives the bit offsets."""
+    from ...native import lib
+
+    L = lib()
+    S = words.shape[1]
+    sb = start_bits[col0:]
+    rc = L.tic_jpeg_pack_indexed(
+        destuffed.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), dlen,
+        bits.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), len(bits),
+        words.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), S, col0,
+        max_words,
+        sb.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return rc == 0
+
+
+def reassemble_components(xp, out, frame: JpegFrame, B: int, nsegs: int,
+                          R: int = 0):
     """[NBLK, 64, S] kernel output → per-component [B, bh, bw, 64] zigzag
     stacks via static reshapes (runs inside the pixel jit)."""
-    R = frame.restart_interval
+    if R <= 0:
+        R = frame.restart_interval
     mcus_x = -(-frame.width // (8 * frame.hmax))
     mcus_y = -(-frame.height // (8 * frame.vmax))
     rows_per_seg = R // mcus_x

@@ -25,11 +25,18 @@ GeomKey = Tuple
 
 
 def geometry_key(frame: JpegFrame) -> GeomKey:
-    """Everything the jitted pixel function specializes on."""
-    comps = tuple(
-        (c.h, c.v, tuple(int(q) for q in frame.quant[c.tq])) for c in frame.components
-    )
-    return (frame.width, frame.height, frame.precision, comps, frame.adobe_transform)
+    """Everything the jitted pixel function specializes on. Memoized on the
+    frame object — batch bucketing and routing call this per sample."""
+    k = getattr(frame, "_geom_key", None)
+    if k is None:
+        comps = tuple(
+            (c.h, c.v, tuple(int(q) for q in frame.quant[c.tq]))
+            for c in frame.components
+        )
+        k = (frame.width, frame.height, frame.precision, comps,
+             frame.adobe_transform)
+        frame._geom_key = k
+    return k
 
 
 def _planes_from_blocks(xp, blocks, bh: int, bw: int):

@@ -89,6 +89,20 @@ def _declare(L: ctypes.CDLL) -> None:
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
     ]
     L.tic_jpeg_split_segments.restype = ctypes.c_int
+    L.tic_jpeg_index_scan.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+    ]
+    L.tic_jpeg_index_scan.restype = ctypes.c_int
+    L.tic_jpeg_pack_indexed.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int32, ctypes.POINTER(ctypes.c_int32),
+    ]
+    L.tic_jpeg_pack_indexed.restype = ctypes.c_int
     L.tic_jpeg_encode_pixels.argtypes = [
         ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
         ctypes.c_int32, ctypes.POINTER(ctypes.c_int32),

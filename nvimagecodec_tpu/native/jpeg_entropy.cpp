@@ -154,7 +154,93 @@ struct BitReader {
   }
 };
 
-inline int decode_huff(BitReader& br, const HuffTable& t) {
+// Destuffed-stream bit reader for the index scan: the scan bytes were
+// already destuffed, so refills are pure loads (no 0xFF checks) and the
+// absolute bit position is exact (consumed counts synthetic zero padding
+// past the physical end, keeping positions consistent with the device
+// kernel's own zero padding).
+struct DBitReader {
+  const uint8_t* p;
+  const uint8_t* end;
+  int64_t consumed = 0;  // bytes shifted into acc (incl. zero padding)
+  uint64_t acc = 0;
+  int nbits = 0;
+
+  void init(const uint8_t* start, const uint8_t* stop) {
+    p = start;
+    end = stop;
+    consumed = 0;
+    acc = 0;
+    nbits = 0;
+  }
+
+  inline int64_t bitpos() const { return consumed * 8 - nbits; }
+
+  inline void refill() {
+    if (p + 8 <= end) {
+      uint64_t v;
+      memcpy(&v, p, 8);
+      int k = (64 - nbits) >> 3;
+      uint64_t be = __builtin_bswap64(v);
+      acc = (k == 8) ? be : ((acc << (8 * k)) | (be >> (64 - 8 * k)));
+      p += k;
+      consumed += k;
+      nbits += 8 * k;
+      return;
+    }
+    while (nbits <= 56) {
+      uint8_t b = p < end ? *p++ : 0;
+      acc = (acc << 8) | b;
+      consumed++;
+      nbits += 8;
+    }
+  }
+
+  inline int peek9() {
+    if (nbits < 16) refill();
+    return (int)((acc >> (nbits - 9)) & 0x1FF);
+  }
+
+  inline int peek16() {
+    if (nbits < 16) refill();
+    return (int)((acc >> (nbits - 16)) & 0xFFFF);
+  }
+
+  inline void skip(int k) { nbits -= k; }
+
+  inline int get_bits(int k) {
+    if (k == 0) return 0;
+    if (nbits < k) refill();
+    int v = (int)((acc >> (nbits - k)) & ((1u << k) - 1));
+    nbits -= k;
+    return v;
+  }
+
+  inline void skip_bits(int k) {
+    if (k == 0) return;
+    if (nbits < k) refill();
+    nbits -= k;
+  }
+
+  // one refill covers a whole Huffman symbol + its value bits (<= 16 + 15)
+  inline void ensure31() {
+    if (nbits < 31) refill();
+  }
+  inline int peek9_nc() const {
+    return (int)((acc >> (nbits - 9)) & 0x1FF);
+  }
+  inline int peek16_nc() const {
+    return (int)((acc >> (nbits - 16)) & 0xFFFF);
+  }
+  inline int take_nc(int k) {  // k <= current nbits, no refill
+    int v = (int)((acc >> (nbits - k)) & ((1u << k) - 1));
+    nbits -= k;
+    return v;
+  }
+};
+
+template <class BR>
+inline int decode_huff(BR& br, const HuffTable& t) {
   int idx = br.peek9();
   int len = t.lut_len[idx];
   if (len) {
@@ -227,10 +313,25 @@ struct Decoder {
   bool progressive = false;
   int error = 0;
 
+  // index-scan mode (on-device entropy path): instead of decoding
+  // coefficients, destuff the scan and record, every index_rows MCU rows,
+  // the destuffed bit offset + running DC predictors — the per-lane seeds
+  // that let the Pallas kernel decode MCU-row segments in parallel on
+  // streams WITHOUT restart markers.
+  int index_rows = 0;
+  uint8_t* index_dst = nullptr;
+  int64_t index_cap = 0;
+  int64_t index_dlen = 0;
+  int64_t* index_bits = nullptr;
+  int32_t* index_preds = nullptr;
+  int32_t index_max_segs = 0;
+  int index_nsegs = -1;
+
   bool parse_and_decode();
   void decode_scan(Scan& s);
   void sequential_scan(Scan& s);
   void progressive_scan(Scan& s);
+  void index_scan(Scan& s);
 };
 
 static inline uint16_t be16(const uint8_t* p) { return (p[0] << 8) | p[1]; }
@@ -416,10 +517,124 @@ bool Decoder::parse_and_decode() {
 }
 
 void Decoder::decode_scan(Scan& s) {
+  if (index_rows > 0) {
+    index_scan(s);
+    return;
+  }
   if (progressive)
     progressive_scan(s);
   else
     sequential_scan(s);
+}
+
+// Destuff + light Huffman pass: no coefficient writes, value bits skipped,
+// only DC predictors tracked. Sets index_nsegs / index_dlen, or error:
+// 1 = malformed entropy data, -2 = max_segs capacity, -3 = stream shape
+// outside the on-device kernel's support (caller routes to host decode).
+void Decoder::index_scan(Scan& s) {
+  if (progressive || s.restart_interval > 0 || index_nsegs >= 0 ||
+      s.ncomp != ncomp) {
+    error = -3;  // multi-scan / progressive / DRI (DRI has its own split)
+    return;
+  }
+  // destuff the scan (memcpy runs between 0xFF bytes)
+  const uint8_t* p = s.data_start;
+  const uint8_t* end = s.data_end;
+  int64_t n = 0;
+  while (p < end) {
+    const uint8_t* ff =
+        (const uint8_t*)memchr(p, 0xFF, (size_t)(end - p));
+    const uint8_t* run_end = ff ? ff : end;
+    int64_t run = run_end - p;
+    if (n + run > index_cap) { error = -2; return; }
+    memcpy(index_dst + n, p, (size_t)run);
+    n += run;
+    if (!ff) break;
+    if (ff + 1 < end && ff[1] == 0x00) {
+      if (n + 1 > index_cap) { error = -2; return; }
+      index_dst[n++] = 0xFF;
+      p = ff + 2;
+    } else {
+      break;  // marker terminates the scan
+    }
+  }
+  index_dlen = n;
+
+  DBitReader br;
+  br.init(index_dst, index_dst + n);
+  int pred[4] = {0, 0, 0, 0};
+  int nseg = 0;
+  for (long my = 0; my < mcus_y; my++) {
+    if (my % index_rows == 0) {
+      if (nseg >= index_max_segs) { error = -2; return; }
+      index_bits[nseg] = br.bitpos();
+      for (int j = 0; j < 4; j++) index_preds[nseg * 4 + j] = pred[j];
+      nseg++;
+    }
+    for (long mx = 0; mx < mcus_x; mx++) {
+      for (int j = 0; j < s.ncomp; j++) {
+        Component& c = comps[s.comp_idx[j]];
+        const HuffTable& dct = s.dc[j];
+        const HuffTable& act = s.ac[j];
+        int nb = c.h * c.v;
+        for (int b = 0; b < nb; b++) {
+          // ensure31 covers code (<=16) + value bits (<=15) in one check
+          br.ensure31();
+          int idx = br.peek9_nc();
+          int t, len = dct.lut_len[idx];
+          if (len) {
+            t = dct.lut_sym[idx];
+            br.nbits -= len;
+          } else {
+            int code = br.peek16_nc();
+            t = -1;
+            for (int l = 10; l <= 16; l++) {
+              int cd = code >> (16 - l);
+              if (cd <= dct.maxcode[l]) {
+                br.nbits -= l;
+                t = dct.values[dct.valptr[l] + (cd - dct.mincode[l])];
+                break;
+              }
+            }
+          }
+          if (t < 0 || t > 15) { error = 1; return; }
+          pred[j] += extend(br.take_nc(t), t);
+          int k = 1;
+          while (k < 64) {
+            br.ensure31();
+            int ai = br.peek9_nc();
+            int sym, alen = act.lut_len[ai];
+            if (alen) {
+              sym = act.lut_sym[ai];
+              br.nbits -= alen;
+            } else {
+              int code = br.peek16_nc();
+              sym = -1;
+              for (int l = 10; l <= 16; l++) {
+                int cd = code >> (16 - l);
+                if (cd <= act.maxcode[l]) {
+                  br.nbits -= l;
+                  sym = act.values[act.valptr[l] + (cd - act.mincode[l])];
+                  break;
+                }
+              }
+              if (sym < 0) { error = 1; return; }
+            }
+            int r = sym >> 4, sz = sym & 15;
+            if (sz == 0) {
+              if (r == 15) { k += 16; continue; }
+              break;
+            }
+            k += r;
+            if (k > 63) { error = 1; return; }
+            br.nbits -= sz;  // value bits: covered by ensure31
+            k++;
+          }
+        }
+      }
+    }
+  }
+  index_nsegs = nseg;
 }
 
 // Advance past an RST marker between restart segments.
@@ -708,6 +923,79 @@ int tic_jpeg_decode_coefficients_into(const uint8_t* data, size_t len,
 }
 
 void tic_free(void* p) { free(p); }
+
+// Index scan for the on-device entropy path (baseline sequential scans
+// WITHOUT restart markers): destuffs the scan into `dst` and records, at
+// every rows_per_seg MCU-row boundary, the destuffed-stream bit offset and
+// the running DC predictors (the per-lane seeds for the Pallas kernel).
+// Returns nsegs > 0 on success; -1 malformed stream; -2 capacity;
+// -3 unsupported stream shape (progressive / DRI / multi-scan).
+int tic_jpeg_index_scan(const uint8_t* data, size_t len,
+                        int32_t rows_per_seg, uint8_t* dst, int64_t dst_cap,
+                        int64_t* out_dlen, int64_t* split_bits,
+                        int32_t* split_preds, int32_t max_segs) {
+  Decoder d;
+  d.base = data;
+  d.len = len;
+  d.index_rows = rows_per_seg;
+  d.index_dst = dst;
+  d.index_cap = dst_cap;
+  d.index_bits = split_bits;
+  d.index_preds = split_preds;
+  d.index_max_segs = max_segs;
+  bool ok = d.parse_and_decode();
+  if (!ok || d.index_nsegs <= 0) {
+    if (d.error == -3) return -3;
+    if (d.error == -2) return -2;
+    return -1;
+  }
+  *out_dlen = d.index_dlen;
+  return d.index_nsegs;
+}
+
+// Pack index-scanned segments into the kernel's [W, S] column matrix:
+// segment i's words start at the 32-bit word containing split_bits[i]
+// (start_bits_out[i] = the bit offset within that word); words run to the
+// next segment's start (plus the bit reader's 64-bit lookahead slack),
+// zero-padded to max_words. Words are big-endian byte groups, matching the
+// kernel's funnel shifter. Returns 0, or -1 if a segment needs more than
+// max_words.
+int tic_jpeg_pack_indexed(const uint8_t* destuffed, int64_t dlen,
+                          const int64_t* split_bits, int32_t nsegs,
+                          uint32_t* words, int64_t stride, int64_t col0,
+                          int32_t max_words, int32_t* start_bits_out) {
+  int64_t total_words = (dlen + 3) / 4;
+  for (int i = 0; i < nsegs; i++) {
+    int64_t w0 = split_bits[i] / 32;
+    int64_t end_bit = (i + 1 < nsegs) ? split_bits[i + 1] : dlen * 8;
+    // +96 bits: the funnel holds cur+nxt (64) and peeks 16 ahead
+    int64_t w1 = (end_bit + 96 + 31) / 32;
+    if (w1 > total_words) w1 = total_words;
+    int64_t nw = w1 - w0;
+    if (nw > max_words) return -1;
+    uint32_t* col = words + col0 + i;
+    const uint8_t* src = destuffed + w0 * 4;
+    int64_t full = (dlen - w0 * 4) / 4;  // whole 4-byte groups available
+    if (full > nw) full = nw;
+    int64_t w = 0;
+    for (; w < full; w++) {
+      uint32_t v;
+      memcpy(&v, src + w * 4, 4);
+      col[w * stride] = __builtin_bswap32(v);
+    }
+    if (w < nw) {  // partial tail word, left-aligned
+      uint32_t acc = 0;
+      const uint8_t* q = src + w * 4;
+      for (int b = 0; b < 4; b++)
+        acc = (acc << 8) | (q + b < destuffed + dlen ? q[b] : 0);
+      col[w * stride] = acc;
+      w++;
+    }
+    for (; w < max_words; w++) col[w * stride] = 0;
+    start_bits_out[i] = (int32_t)(split_bits[i] - w0 * 32);
+  }
+  return 0;
+}
 
 // Split one image's entropy-coded scan into restart segments, destuff
 // (0xFF00 -> 0xFF) and pack each segment into big-endian uint32 words laid

@@ -38,9 +38,22 @@ import numpy as np
 _FIFO = 6  # per-lane buffered words beyond cur/nxt
 
 
+_TABLES_CACHE: dict = {}
+
+
 def _build_tables(frame):
     """Per table class: (maxcode[17], base[17], values[nvals]) with
-    base[l] = valptr[l] - mincode[l] so sym_idx = code + base[len]."""
+    base[l] = valptr[l] - mincode[l] so sym_idx = code + base[len].
+    Content-cached: corpora typically share Huffman tables across frames,
+    and this runs per sample on the routing path."""
+    fp = tuple(
+        (tc, tid, bytes(t.bits), bytes(t.values))
+        for tc, tabs in enumerate((frame.dc_huff, frame.ac_huff))
+        for tid, t in sorted(tabs.items())
+    )
+    hit = _TABLES_CACHE.get(fp)
+    if hit is not None:
+        return hit
     classes = []
     for tc in (0, 1):  # 0 = DC, 1 = AC
         per_id = {}
@@ -60,19 +73,33 @@ def _build_tables(frame):
             per_id[tid] = (tuple(maxcode), tuple(base),
                            tuple(int(v) for v in t.values))
         classes.append(per_id)
+    if len(_TABLES_CACHE) > 4096:
+        _TABLES_CACHE.clear()
+    _TABLES_CACHE[fp] = classes
     return classes  # [dc_tables, ac_tables]
 
 
-def entropy_kernel_spec(frame) -> Tuple:
+def entropy_kernel_spec(frame, R: int = 0) -> Tuple:
     """Static bucket description: (R, bpm, comp_map, table ids, tables).
-    Raises ValueError when the stream shape is outside kernel support."""
+    `R` = MCUs per segment; 0 means use the frame's restart interval (DRI
+    streams) — for streams without restart markers the caller picks R from
+    the host index scan's split stride. Raises ValueError when the stream
+    shape is outside kernel support."""
     if frame.is_progressive or frame.is_lossless or frame.precision != 8:
         raise ValueError("device entropy: baseline 8-bit only")
-    if frame.restart_interval <= 0:
-        raise ValueError("device entropy: needs restart intervals")
+    if R <= 0:
+        R = frame.restart_interval
+    if R <= 0:
+        raise ValueError("device entropy: needs a segment stride")
     if (len(frame.scans) != 1
             or len(frame.scans[0].comp_indices) != len(frame.components)):
         raise ValueError("device entropy: one interleaved scan only")
+    if len(frame.components) == 1:
+        c = frame.components[0]
+        if c.h != 1 or c.v != 1:
+            # T.81: single-component scans are non-interleaved (sampling
+            # factors don't group blocks into MCUs)
+            raise ValueError("device entropy: 1-comp scans need h=v=1")
     comp_map = []
     for ci, c in enumerate(frame.components):
         if c.h > 2 or c.v > 2:
@@ -86,8 +113,7 @@ def entropy_kernel_spec(frame) -> Tuple:
     )
     mcus_x = -(-frame.width // (8 * frame.hmax))
     mcus_y = -(-frame.height // (8 * frame.vmax))
-    return (frame.restart_interval, tuple(comp_map), tables,
-            mcus_x * mcus_y)
+    return (R, tuple(comp_map), tables, mcus_x * mcus_y)
 
 
 @functools.lru_cache(maxsize=32)
@@ -118,9 +144,13 @@ def _build_kernel(R: int, bpm: int, comp_map: tuple, tables_key: tuple,
 
     dc_vals_np, ac_vals_np = _vals_mat(0), _vals_mat(1)
 
-    def kernel(words_ref, segm_ref, dcv_ref, acv_ref, out_ref, err_ref,
+    def kernel(words_ref, side_ref, dcv_ref, acv_ref, out_ref, err_ref,
                cur_ref, nxt_ref, p_ref, wfill_ref, fifo_ref, fcnt_ref,
                pred_ref, errs_ref):
+        # side rows: 0 = MCUs per segment, 1 = start bit within words[0]
+        # (0 for byte-aligned restart segments), 2..5 = initial DC
+        # predictor per component (0 after a restart marker; the running
+        # value at the split point for index-scanned segments)
         j = pl.program_id(0)
         u32 = jnp.uint32
         i32 = jnp.int32
@@ -129,16 +159,16 @@ def _build_kernel(R: int, bpm: int, comp_map: tuple, tables_key: tuple,
         def _init():
             cur_ref[:] = words_ref[0, :][None, :]
             nxt_ref[:] = words_ref[1, :][None, :]
-            p_ref[:] = jnp.zeros((1, S), i32)
+            p_ref[:] = side_ref[1:2, :]
             wfill_ref[:] = jnp.full((1, S), 2, i32)
             fifo_ref[:] = jnp.zeros((_FIFO, S), u32)
             fcnt_ref[:] = jnp.zeros((1, S), i32)
-            pred_ref[:] = jnp.zeros((4, S), i32)
+            pred_ref[:] = side_ref[2:6, :]
             errs_ref[:] = jnp.zeros((1, S), i32)
 
         mcu_in_seg = j // bpm
         b_in_mcu = j % bpm
-        active0 = (segm_ref[0, :][None, :] > mcu_in_seg)
+        active0 = (side_ref[0, :][None, :] > mcu_in_seg)
 
         def _bcast(cond, rows):
             """(1, S) bool -> (rows, S) bool. Mosaic can't relayout an i1
@@ -361,7 +391,7 @@ def _build_kernel(R: int, bpm: int, comp_map: tuple, tables_key: tuple,
         in_specs=[
             pl.BlockSpec((W, S), lambda j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, S), lambda j: (0, 0),
+            pl.BlockSpec((6, S), lambda j: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(dc_vals_np.shape, lambda j: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -391,20 +421,36 @@ def _build_kernel(R: int, bpm: int, comp_map: tuple, tables_key: tuple,
         interpret=interpret,
     )
 
-    def fn(words, seg_mcus):
-        return call(words, seg_mcus, dc_vals_np, ac_vals_np)
+    def fn(words, side):
+        return call(words, side, dc_vals_np, ac_vals_np)
 
     return fn
 
 
+def make_side(seg_mcus: np.ndarray, start_bits=None,
+              dc0=None) -> np.ndarray:
+    """Assemble the kernel's [6, S] int32 sideband from per-lane MCU
+    counts, optional start bits, and optional [4, S] DC predictor seeds
+    (both zero for restart-marker segments)."""
+    S = seg_mcus.shape[-1]
+    side = np.zeros((6, S), np.int32)
+    side[0] = seg_mcus.reshape(-1)
+    if start_bits is not None:
+        side[1] = start_bits.reshape(-1)
+    if dc0 is not None:
+        side[2:6] = dc0
+    return side
+
+
 def decode_segments_device(frame, words: np.ndarray, seg_mcus: np.ndarray,
-                           interpret: bool = False):
+                           interpret: bool = False, R: int = 0,
+                           start_bits=None, dc0=None):
     """words: [W, S] uint32 column-packed destuffed segments; seg_mcus:
     [S] int32 MCUs per segment (0 = padding lane). Returns (coefs [NBLK,
     64, S] int16 zigzag, err [S] int32) as device arrays."""
-    R, comp_map, tables, _total = entropy_kernel_spec(frame)
+    R, comp_map, tables, _total = entropy_kernel_spec(frame, R)
     bpm = len(comp_map)
     W, S = words.shape
     fn = _build_kernel(R, bpm, comp_map, tables, W, S, interpret)
-    out, err = fn(words, seg_mcus.reshape(1, S))
+    out, err = fn(words, make_side(seg_mcus, start_bits, dc0))
     return out, err[0]

@@ -11,6 +11,8 @@ from collections import deque
 from concurrent.futures import ThreadPoolExecutor
 from typing import Iterable, Iterator, Optional, Sequence
 
+import numpy as np
+
 from .api import Decoder
 from .core.interfaces import DecodeParams
 
@@ -54,10 +56,17 @@ def decode_batches(
         return outs
 
     def _force(outs):
-        jax.block_until_ready(
-            outs if not isinstance(outs, list) else
-            [o.array if hasattr(o, "array") else o for o in outs]
-        )
+        if not isinstance(outs, list):
+            jax.block_until_ready(outs)
+            return outs
+        # the device queue is in-order: completion of the batch's LAST
+        # dispatched array implies the whole batch (each per-array block is
+        # a separate device-link roundtrip, so blocking all 64 costs ~64x)
+        for o in reversed(outs):
+            a = o.array if hasattr(o, "array") else o
+            if a is not None and not isinstance(a, np.ndarray):
+                jax.block_until_ready(a)
+                break
         return outs
 
     depth = max(1, depth)
