@@ -31,6 +31,14 @@ from .core.interfaces import (  # noqa: F401
     JpegEncodeParams,
 )
 from .core.code_stream import CodeStream  # noqa: F401
+from .core.logger import (  # noqa: F401
+    DebugMessageCategory,
+    DebugMessageData,
+    DebugMessageSeverity,
+    register_debug_messenger,
+    unregister_debug_messenger,
+)
+from .core.thread_pool import PriorityThreadPool  # noqa: F401
 from .core.registry import CodecRegistry, global_registry  # noqa: F401
 from .api import Decoder, Encoder  # noqa: F401
 from .image import Image, as_image, as_images, from_dlpack  # noqa: F401
@@ -43,10 +51,16 @@ __all__ = [
     "CodecRegistry",
     "CodeStream",
     "ColorSpec",
+    "DebugMessageCategory",
+    "DebugMessageData",
+    "DebugMessageSeverity",
     "DecodeParams",
     "Decoder",
     "EncodeParams",
     "Encoder",
+    "PriorityThreadPool",
+    "register_debug_messenger",
+    "unregister_debug_messenger",
     "Image",
     "ImageInfo",
     "Jpeg2kEncodeParams",

@@ -20,7 +20,7 @@ class _SharedState(Generic[T]):
         self.results: List[Optional[T]] = [None] * n
         self.ready: List[bool] = [False] * n
         self.num_ready = 0
-        self.last_consumed = 0  # for wait_new
+        self.consumed: set = set()  # indices handed out via wait_new
         self.cv = threading.Condition()
 
 
@@ -40,20 +40,20 @@ class ProcessingResultsFuture(Generic[T]):
 
     def wait_new(self, timeout: Optional[float] = None) -> List[Tuple[int, T]]:
         """Block until at least one not-yet-consumed result is ready; return
-        [(index, result)] of newly ready samples
-        (reference: wait_new, src/processing_results.cpp:78-93)."""
+        [(index, result)] of newly ready samples. Returns [] only once every
+        sample has been consumed; raises TimeoutError if the wait expires with
+        nothing new (reference: wait_new, src/processing_results.cpp:78-93)."""
         s = self._state
         with s.cv:
-            if s.last_consumed == s.n:
+            if len(s.consumed) == s.n:
                 return []
-            s.cv.wait_for(lambda: s.num_ready > s.last_consumed, timeout)
+            if not s.cv.wait_for(lambda: s.num_ready > len(s.consumed), timeout):
+                raise TimeoutError("no new processing results within timeout")
             out = []
-            consumed = s.__dict__.setdefault("_consumed_set", set())
             for i in range(s.n):
-                if s.ready[i] and i not in consumed:
-                    consumed.add(i)
+                if s.ready[i] and i not in s.consumed:
+                    s.consumed.add(i)
                     out.append((i, s.results[i]))
-            s.last_consumed = len(consumed)
             return out  # type: ignore[return-value]
 
     def ready_count(self) -> int:

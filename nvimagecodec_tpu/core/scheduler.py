@@ -17,7 +17,6 @@ Differences by design (TPU-first):
 """
 from __future__ import annotations
 
-from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, List, Optional, Sequence
 
 from .code_stream import CodeStream
@@ -29,7 +28,13 @@ from .interfaces import (
     EncodeResult,
     EncoderPlugin,
 )
-from .logger import get_logger
+from .logger import (
+    DebugMessageCategory,
+    DebugMessageSeverity,
+    emit,
+    get_logger,
+)
+from .thread_pool import PriorityThreadPool
 from .trace import span
 from .promise import ProcessingResultsFuture, ProcessingResultsPromise
 from .registry import CodecRegistry, global_registry
@@ -126,10 +131,21 @@ class GenericBatchProcessor:
         n = max_num_cpu_threads or min(8, (os.cpu_count() or 2))
         # Per-device thread pool analog (reference: DefaultExecutor lazily
         # creates one ThreadPool per device, src/default_executor.cpp:25-77);
-        # a user-supplied executor replaces it (src/user_executor.h).
-        self._pool = executor or ThreadPoolExecutor(
+        # a user-supplied executor replaces it (src/user_executor.h). The
+        # default pool drains a priority queue and honors TPUIMGCODEC_AFFINITY
+        # (reference: priority work queue + affinity, src/thread_pool.cpp:84-196).
+        self._pool = executor or PriorityThreadPool(
             max_workers=n, thread_name_prefix="imgcodec"
         )
+        self._pool_is_priority = executor is None
+
+    def _submit(self, fn, *args, priority: int = 0):
+        """Submit honoring priority when the pool supports it; user executors
+        only need plain submit() (reference: user_executor.h has no priority
+        in its vtable either — schedule() takes task only)."""
+        if self._pool_is_priority:
+            return self._pool.submit(fn, *args, priority=priority)
+        return self._pool.submit(fn, *args)
 
 
 class GenericDecoder(GenericBatchProcessor):
@@ -144,8 +160,17 @@ class GenericDecoder(GenericBatchProcessor):
         params = params or DecodeParams()
         n = len(streams)
         promise: ProcessingResultsPromise[DecodeResult] = ProcessingResultsPromise(n)
+        # The entire front (parse, sort, split) runs on the pool so the caller
+        # thread returns immediately with the future — the reference likewise
+        # defers all work past the API call (src/image_generic_decoder.cpp:181-198
+        # hands off to the worker; parse happened at CodeStream creation there,
+        # here it is lazy so it must not run on the caller).
+        self._submit(self._prepare_and_distribute, list(streams), params, promise,
+                     priority=30)
+        return promise.future()
 
-        # Parse all infos up front (parse errors fail just that sample).
+    def _prepare_and_distribute(self, streams, params, promise) -> None:
+        # Parse all infos (parse errors fail just that sample).
         entries = []  # (orig_index, stream, info, codec_name)
         for i, cs in enumerate(streams):
             try:
@@ -164,14 +189,16 @@ class GenericDecoder(GenericBatchProcessor):
                 )
             )
 
-        # Split per codec (reference: distributeWork, :265-285).
+        # Split per codec (reference: distributeWork, :265-285). Decode work
+        # outranks encode (priority 10 vs 0) and the front-end (30) outranks
+        # both so new batches keep the pipeline fed.
         per_codec: Dict[str, list] = {}
         for e in entries:
             per_codec.setdefault(e[3], []).append(e)
 
         for codec_name, group in per_codec.items():
-            self._pool.submit(self._process_codec_group, codec_name, group, params, promise)
-        return promise.future()
+            self._submit(self._process_codec_group, codec_name, group, params,
+                         promise, priority=10)
 
     # -- per-codec chain ----------------------------------------------------
     def _process_codec_group(self, codec_name, group, params, promise) -> None:
@@ -256,6 +283,16 @@ class GenericDecoder(GenericBatchProcessor):
                 else:
                     promise.set(e[0], r)
             if failed:
+                # Fan the fallback event to registered debug messengers
+                # (reference: decoder_worker.cpp:175 logs the fallback through
+                # the debug-messenger chain).
+                emit(
+                    DebugMessageSeverity.WARNING,
+                    DebugMessageCategory.PLUGIN,
+                    f"{len(failed)} sample(s) failed in {decoder.plugin_id}; "
+                    f"falling back to {rest[0].plugin_id}",
+                    codec_id=decoder.plugin_id,
+                )
                 self._run_chain(rest, failed, params, promise)
 
     # -- sync convenience ---------------------------------------------------
@@ -281,7 +318,8 @@ class GenericEncoder(GenericBatchProcessor):
         n = len(arrays)
         promise: ProcessingResultsPromise[EncodeResult] = ProcessingResultsPromise(n)
         group = list(zip(range(n), arrays, infos))
-        self._pool.submit(self._process_group, codec_name, group, params, promise)
+        self._submit(self._process_group, codec_name, group, params, promise,
+                     priority=0)
         return promise.future()
 
     def _process_group(self, codec_name, group, params, promise) -> None:

@@ -233,3 +233,133 @@ def test_user_executor():
     out = dec.decode(oracle.png_encode(img))
     assert np.array_equal(np.asarray(out), img)
     assert ex.count > 0
+
+
+def test_wait_new_timeout_raises():
+    """wait_new with nothing new within the timeout raises TimeoutError
+    instead of silently returning [] (reference: waitForNew blocks,
+    src/processing_results.cpp:78-93)."""
+    import pytest
+
+    from nvimagecodec_tpu.core.promise import ProcessingResultsPromise
+
+    p = ProcessingResultsPromise(2)
+    f = p.future()
+    with pytest.raises(TimeoutError):
+        f.wait_new(timeout=0.05)
+    p.set(0, "a")
+    assert f.wait_new(timeout=1.0) == [(0, "a")]
+    with pytest.raises(TimeoutError):
+        f.wait_new(timeout=0.05)  # sample 1 still pending
+    p.set(1, "b")
+    assert f.wait_new(timeout=1.0) == [(1, "b")]
+    assert f.wait_new(timeout=1.0) == []  # all consumed: immediate []
+
+
+def test_priority_thread_pool_ordering():
+    """Higher priority work runs first, FIFO within a level
+    (reference: ThreadPool priority work queue, src/thread_pool.cpp:84-196)."""
+    import threading
+
+    from nvimagecodec_tpu.core.thread_pool import PriorityThreadPool
+
+    pool = PriorityThreadPool(max_workers=1)
+    order = []
+    gate = threading.Event()
+    pool.submit(gate.wait)  # hold the single worker so the queue builds up
+    futs = [
+        pool.submit(order.append, ("low", i), priority=0) for i in range(2)
+    ]
+    futs += [
+        pool.submit(order.append, ("high", i), priority=10) for i in range(2)
+    ]
+    gate.set()
+    for f in futs:
+        f.result(timeout=5)
+    assert order == [("high", 0), ("high", 1), ("low", 0), ("low", 1)]
+    pool.shutdown()
+
+
+def test_priority_thread_pool_affinity_parse():
+    from nvimagecodec_tpu.core.thread_pool import _parse_cpuset
+
+    assert _parse_cpuset("0-3,8") == [0, 1, 2, 3, 8]
+    assert _parse_cpuset("2") == [2]
+    assert _parse_cpuset("junk") is None
+
+
+def test_debug_messenger_fanout_and_filtering():
+    """User callbacks receive only messages matching their severity×category
+    masks (reference: nvimgcodecDebugMessengerDesc,
+    include/nvimgcodec.h:717-793)."""
+    import nvimagecodec_tpu as nic
+    from nvimagecodec_tpu.core import logger as L
+
+    got_all, got_err = [], []
+    h1 = nic.register_debug_messenger(
+        lambda sev, cat, data: got_all.append((sev, cat, data.message)),
+        severities=int(nic.DebugMessageSeverity.ALL),
+    )
+    h2 = nic.register_debug_messenger(
+        lambda sev, cat, data: got_err.append(data.message),
+        severities=int(nic.DebugMessageSeverity.ERROR),
+        categories=int(nic.DebugMessageCategory.PERFORMANCE),
+    )
+    try:
+        L.emit(L.DebugMessageSeverity.WARNING, L.DebugMessageCategory.PLUGIN, "w1")
+        L.emit(L.DebugMessageSeverity.ERROR, L.DebugMessageCategory.PERFORMANCE, "e1")
+        L.emit(L.DebugMessageSeverity.ERROR, L.DebugMessageCategory.GENERAL, "e2")
+    finally:
+        assert nic.unregister_debug_messenger(h1)
+        assert nic.unregister_debug_messenger(h2)
+    assert [m for _, _, m in got_all] == ["w1", "e1", "e2"]
+    assert got_err == ["e1"]  # ERROR×PERFORMANCE only
+    assert not nic.unregister_debug_messenger(h2)  # double-free is a no-op
+
+
+def test_debug_messenger_fires_on_runtime_fallback():
+    """The scheduler reports per-sample runtime fallback through the
+    messenger chain (reference: decoder_worker.cpp:158-199)."""
+    import oracle
+    from util import make_photo
+
+    import nvimagecodec_tpu as nic
+
+    class FlakyDecoder:
+        plugin_id = "flaky_test_decoder"
+        codec_name = "jpeg"
+        backend_kind = nic.BackendKind.HYBRID_CPU_TPU
+        priority = -1000  # outrank everything
+
+        def set_options(self, opts):
+            pass
+
+        def can_decode(self, data, infos, params):
+            return [ProcessingStatus.SUCCESS] * len(data)
+
+        def decode_batch(self, data, infos, params):
+            from nvimagecodec_tpu.core.interfaces import DecodeResult
+
+            return [DecodeResult(ProcessingStatus.FAIL, error="flaky")] * len(data)
+
+    reg = nic.CodecRegistry()
+    import nvimagecodec_tpu.core.plugin_framework as pf
+
+    pf.register_builtin_modules(reg)
+    reg.codec("jpeg").register_decoder(FlakyDecoder())
+
+    msgs = []
+    h = nic.register_debug_messenger(
+        lambda sev, cat, data: msgs.append((int(cat), data.codec_id)),
+        severities=int(nic.DebugMessageSeverity.ALL),
+    )
+    try:
+        img = make_photo(16, 16, seed=3)
+        out = nic.Decoder(registry=reg).decode(oracle.jpeg_encode(img, 90, "420"))
+        assert out is not None  # fallback decoded it
+    finally:
+        nic.unregister_debug_messenger(h)
+    assert any(
+        cat & int(nic.DebugMessageCategory.PLUGIN) and cid == "flaky_test_decoder"
+        for cat, cid in msgs
+    )

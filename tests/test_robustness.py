@@ -41,10 +41,20 @@ def test_truncated_streams(corpus, frac):
         cut = data[: int(len(data) * frac)]
         out = dec.decode(cut)  # must not raise or hang
         if out is not None:
-            # a decoder may tolerate tail truncation; output must at least
-            # be a sane array
+            # A decoder may tolerate tail truncation, but then its output must
+            # be the real partial decode, not shaped garbage: full-frame
+            # geometry/dtype, and the portion that was decoded from intact
+            # bytes must match the full decode bit-for-bit.
             a = np.asarray(out)
-            assert a.ndim in (2, 3) and a.size > 0
+            full = np.asarray(dec.decode(data))
+            assert a.shape == full.shape and a.dtype == full.dtype, name
+            if frac == 0.9 and name != "jp2":
+                # Raster codecs decode sequentially: with 90% of the stream
+                # present, at least a quarter of the rows must be identical to
+                # the full decode (J2K is excluded: the DWT spreads truncation
+                # loss over the whole tile).
+                row_ok = (a.reshape(a.shape[0], -1) == full.reshape(full.shape[0], -1)).all(axis=1)
+                assert row_ok.mean() >= 0.25, (name, row_ok.mean())
 
 
 def test_bit_flips(corpus):
