@@ -134,6 +134,12 @@ class Decoder:
                 b32 = arr[..., 2].astype(xp.int32)
                 y = (19595 * r32 + 38470 * g32 + 7471 * b32 + 32768) >> 16
                 arr = y.astype(arr.dtype)
+            if params.sample_format is not None or params.sample_type is not None:
+                # Layout/dtype conversion matrix (reference: output image-info
+                # sample_format/sample_type drive convert_kernel_gpu.cu:30-290)
+                from .ops.convert import convert
+
+                arr = convert(arr, params.sample_format, params.sample_type)
             img = Image(arr, info)
             if to_tpu:
                 img = img.tpu()

@@ -35,6 +35,14 @@ class DecodeParams:
     # nvimgcodecImageInfo_t.region, include/nvimgcodec.h:487 + decode_params
     # enable_roi :629). End-exclusive pixel coordinates.
     region: Optional[object] = None  # core.types.Region
+    # Output layout/channel-order (reference: nvimgcodecImageInfo_t
+    # .sample_format drives the convert-kernel matrix,
+    # src/imgproc/convert_kernel_gpu.cu:30-290): None → I_RGB behavior;
+    # P_* formats emit planar CHW.
+    sample_format: Optional[object] = None  # core.types.SampleFormat
+    # Output dtype with saturating-normalized rescale (reference:
+    # ConvertSatNorm, src/imgproc/convert.h): e.g. FLOAT32 → [0,1].
+    sample_type: Optional[object] = None  # core.types.SampleDataType
 
 
 @dataclasses.dataclass
