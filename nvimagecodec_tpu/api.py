@@ -116,9 +116,13 @@ class Decoder:
                     arr = np.ascontiguousarray(arr)
             if params.enable_roi and params.region is not None:
                 rg = params.region
-                arr = arr[rg.start_y : rg.end_y, rg.start_x : rg.end_x]
-                if isinstance(arr, np.ndarray):
-                    arr = np.ascontiguousarray(arr)
+                # Codecs with true ROI decode (JPEG entropy-skip, J2K tile
+                # subset) already return the region; crop only as the
+                # fallback for codecs without it.
+                if not (arr.shape[0] == rg.height and arr.shape[1] == rg.width):
+                    arr = arr[rg.start_y : rg.end_y, rg.start_x : rg.end_x]
+                    if isinstance(arr, np.ndarray):
+                        arr = np.ascontiguousarray(arr)
             if (
                 params.color_spec is not None
                 and int(params.color_spec) == int(ColorSpec.GRAY)

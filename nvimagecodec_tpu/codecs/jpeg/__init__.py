@@ -57,6 +57,18 @@ def _supported(frame: JpegFrame) -> ProcessingStatus:
 _SUPPORTED_ENCODINGS = {0xC0, 0xC1, 0xC2}  # baseline/extended/progressive Huffman
 
 
+def _roi_ok(info, params) -> bool:
+    """Codec-level ROI is only sound when the region coordinates are in
+    stream space — an EXIF-rotated image whose orientation will be applied
+    afterwards must decode fully and crop at the API layer."""
+    if not (params.enable_roi and params.region is not None):
+        return False
+    if not params.apply_exif_orientation:
+        return True
+    o = getattr(info, "orientation", None)
+    return o is None or int(o) == 1  # Orientation.NORMAL
+
+
 class _JpegDecoderBase(DecoderPlugin):
     codec = "jpeg"
     use_jax = False
@@ -96,11 +108,32 @@ class _JpegDecoderBase(DecoderPlugin):
                 out.append(ProcessingStatus.FAIL | ProcessingStatus.IMAGE_CORRUPTED)
         return out
 
-    def _decode_one(self, data: bytes, params: DecodeParams):
+    def _decode_one(self, data: bytes, params: DecodeParams,
+                    roi_ok: bool = True):
         frame = parse_jpeg_structure(data)
-        coefs = _entropy_decode(frame, data)
-        img = decode_pixels(frame, coefs, use_jax=self.use_jax,
-                            bitexact=self.bitexact)
+        img = None
+        if roi_ok and params.enable_roi and params.region is not None:
+            # True ROI: entropy-skip + windowed pixel stage (reference: nvjpeg
+            # ROI, extensions/nvjpeg/cuda_decoder.cpp:460-520). Falls back to
+            # full decode (API-level crop) on unsupported streams.
+            try:
+                from .roi import decode_pixels_roi
+
+                # ROI windows are small and variably shaped — the host pixel
+                # stage wins: per-region shapes defeat jit caching and the
+                # device round-trip (the same reasoning keeps nvjpeg's ROI on
+                # its single-image, not batched, path).
+                img = decode_pixels_roi(
+                    frame, data, params.region, use_jax=False,
+                    fancy=getattr(self, "fancy_upsampling", True),
+                    bitexact=self.bitexact,
+                )
+            except Exception:
+                img = None
+        if img is None:
+            coefs = _entropy_decode(frame, data)
+            img = decode_pixels(frame, coefs, use_jax=self.use_jax,
+                                bitexact=self.bitexact)
         if frame.precision > 8 and not params.allow_any_depth:
             # default u8 output (reference python default,
             # python/decoder.cpp:156-225; allow_any_depth keeps u16)
@@ -120,11 +153,13 @@ class _JpegDecoderBase(DecoderPlugin):
 
     def decode_batch(self, data_batch, info_batch, params) -> List[DecodeResult]:
         out = []
-        for data in data_batch:
+        for data, info in zip(data_batch, info_batch):
             try:
                 out.append(
                     DecodeResult(
-                        ProcessingStatus.SUCCESS, self._decode_one(bytes(data), params)
+                        ProcessingStatus.SUCCESS,
+                        self._decode_one(bytes(data), params,
+                                         roi_ok=_roi_ok(info, params)),
                     )
                 )
             except Exception as e:
@@ -155,6 +190,12 @@ class JpegHybridTpuDecoder(_JpegDecoderBase):
         self.bitexact = get_bool(opts, "bitexact", False)
 
     def decode_batch(self, data_batch, info_batch, params) -> List[DecodeResult]:
+        if params.enable_roi and params.region is not None:
+            # ROI decode is per-sample (windowed geometry defeats shape
+            # bucketing); the entropy-skip path handles it.
+            return _JpegDecoderBase.decode_batch(
+                self, data_batch, info_batch, params
+            )
         # Batched TPU path: entropy-decode all samples on host, then run the
         # pixel stage grouped by geometry in single jitted calls
         # (the XLA analog of the reference's batched nvjpegDecodeBatched).

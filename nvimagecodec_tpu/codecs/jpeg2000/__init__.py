@@ -77,11 +77,19 @@ class Jpeg2kHybridDecoder(DecoderPlugin):
         except Exception:
             use_jax = False
 
+        # True ROI: only covering tiles/code-blocks are entropy-decoded
+        # (reference: nvjpeg2k region decode). ROI regions are small and
+        # per-sample, so they take the host pixel stage.
+        roi = (params.region
+               if params.enable_roi and params.region is not None
+               and self.discard_levels == 0 else None)
+
         def one(data):
             img = decode_j2k(bytes(data), num_threads=self.num_parallel_tiles,
-                             use_jax=use_jax,
+                             use_jax=use_jax and roi is None,
                              discard_levels=self.discard_levels,
-                             mesh=self.mesh)
+                             mesh=self.mesh if roi is None else None,
+                             region=roi)
             if not params.allow_any_depth and str(img.dtype) == "uint16":
                 img = (img >> 8).astype(
                     np.uint8 if isinstance(img, np.ndarray) else "uint8"

@@ -416,12 +416,26 @@ def _decode_single_tile_sharded(LL, bands, shape, cp, C, depth, mesh):
     return jnp.transpose(img, (1, 2, 0))
 
 
+def _roi_needed_rect(r: int, levels: int, ay0: int, ax0: int, ay1: int,
+                     ax1: int) -> Tuple[int, int, int, int]:
+    """Band-coordinate rectangle of coefficients that can influence the
+    absolute pixel rect [ay0,ay1)×[ax0,ax1): the rect mapped to the band's
+    scale plus a synthesis-filter margin (M=8 covers the accumulated 5/3 and
+    9/7 support at the band's own scale). Code-blocks outside it are never
+    entropy-decoded (reference analog: nvjpeg2k ROI decode via
+    nvjpeg2kDecodeTile region params)."""
+    s = (1 << levels) if r == 0 else (1 << (levels - r + 1))
+    M = 8
+    return (ay0 // s - M, ax0 // s - M, -(-ay1 // s) + M, -(-ax1 // s) + M)
+
+
 def decode_j2k(
     data: bytes,
     num_threads: int = 0,
     use_jax: bool = False,
     discard_levels: int = 0,
     mesh=None,
+    region=None,
 ) -> np.ndarray:
     """Decode JP2/J2K bytes → [H, W] or [H, W, C] u8/u16.
 
@@ -429,6 +443,13 @@ def decode_j2k(
     JPEG2000 multi-resolution decode): the top `discard_levels` resolutions'
     code-blocks are never entropy-decoded and the inverse DWT stops early,
     so a d-level discard costs roughly 4^-d of the full-pixel work.
+
+    region (core.types.Region, full-resolution output coordinates, only with
+    discard_levels=0): true ROI decode — tiles that do not intersect the
+    region are skipped without parsing a packet, and within covering tiles
+    only code-blocks whose DWT support can reach the region are
+    entropy-decoded. Returns exactly the region. Bit-identical to cropping a
+    full decode.
 
     mesh: optional jax.sharding.Mesh — a uniform tile grid shards its tile
     axis over "sp" (the distributed analog of the reference's tile pool,
@@ -460,7 +481,20 @@ def decode_j2k(
     d = 1 << discard_levels
     out_h = ceil_div(siz.height, d) - ceil_div(siz.y0, d)
     out_w = ceil_div(siz.width, d) - ceil_div(siz.x0, d)
-    out = np.zeros((out_h, out_w, C), dtype)
+
+    # ROI: absolute codestream coordinates of the requested region
+    roi = None
+    if region is not None and discard_levels == 0:
+        ay0 = siz.y0 + int(region.start_y)
+        ax0 = siz.x0 + int(region.start_x)
+        ay1 = siz.y0 + int(region.end_y)
+        ax1 = siz.x0 + int(region.end_x)
+        if siz.y0 <= ay0 < ay1 <= siz.height and siz.x0 <= ax0 < ax1 <= siz.width:
+            roi = (ay0, ax0, ay1, ax1)
+    out = np.zeros(
+        (roi[2] - roi[0], roi[3] - roi[1], C) if roi else (out_h, out_w, C),
+        dtype,
+    )
 
     pool = ThreadPoolExecutor(max_workers=num_threads or 8)
     border = _band_order(cp)
@@ -469,6 +503,7 @@ def decode_j2k(
     uniform_grid = (
         (use_jax or mesh is not None)
         and discard_levels == 0
+        and roi is None
         and ntiles_total > 1
         and siz.x0 == 0 and siz.y0 == 0 and siz.tx0 == 0 and siz.ty0 == 0
         and siz.width % siz.tile_w == 0
@@ -478,6 +513,10 @@ def decode_j2k(
 
     for tidx, tdata in iter_tile_parts(cs, pos):
         tx0, ty0, tx1, ty1 = siz.tile_rect(tidx)
+        if roi is not None and (
+            tx1 <= roi[1] or tx0 >= roi[3] or ty1 <= roi[0] or ty0 >= roi[2]
+        ):
+            continue  # tile cannot touch the region: zero work
         # reduced-resolution tile rect (coordinates divide by 2^d)
         rx0, ry0 = ceil_div(tx0, d), ceil_div(ty0, d)
         rx1, ry1 = ceil_div(tx1, d), ceil_div(ty1, d)
@@ -501,9 +540,18 @@ def decode_j2k(
                 ps = pdec.state[(c, r, bi)]
                 eps, mu = cp.band_q[border.index((r, bi))]
                 mb = eps + cp.guard_bits - 1
+                need = (
+                    _roi_needed_rect(r, cp.levels, *roi) if roi is not None
+                    else None
+                )
                 for cb in ps.cblks:
                     if not cb.included or cb.num_passes == 0:
                         continue
+                    if need is not None and (
+                        cb.y1 <= need[0] or cb.x1 <= need[1]
+                        or cb.y0 >= need[2] or cb.x0 >= need[3]
+                    ):
+                        continue  # outside the region's DWT support
                     seg = b"".join(cb.segments)
                     nbps = max(0, mb - cb.zero_bps)
                     jobs.append((c, r, bi, cb,
@@ -547,7 +595,8 @@ def decode_j2k(
             continue
 
         ntiles = siz.tiles_x * siz.tiles_y
-        if (use_jax or mesh is not None) and ntiles == 1 and discard_levels == 0:
+        if ((use_jax or mesh is not None) and ntiles == 1
+                and discard_levels == 0 and roi is None):
             # device pixel stage: all components' subbands stacked and run
             # through one jitted IDWT+MCT+shift call; output stays on device
             cast = np.int32 if cp.reversible else np.float32
@@ -605,9 +654,17 @@ def decode_j2k(
             if not cp.reversible:
                 p = np.round(p)
             p = np.clip(p + shift, 0, maxv).astype(dtype)
-            oy0 = ry0 - ceil_div(siz.y0, d)
-            ox0 = rx0 - ceil_div(siz.x0, d)
-            out[oy0 : oy0 + th, ox0 : ox0 + tw, c] = p
+            if roi is not None:
+                iy0, ix0 = max(ty0, roi[0]), max(tx0, roi[1])
+                iy1, ix1 = min(ty1, roi[2]), min(tx1, roi[3])
+                out[iy0 - roi[0] : iy1 - roi[0],
+                    ix0 - roi[1] : ix1 - roi[1], c] = (
+                    p[iy0 - ty0 : iy1 - ty0, ix0 - tx0 : ix1 - tx0]
+                )
+            else:
+                oy0 = ry0 - ceil_div(siz.y0, d)
+                ox0 = rx0 - ceil_div(siz.x0, d)
+                out[oy0 : oy0 + th, ox0 : ox0 + tw, c] = p
     pool.shutdown(wait=False)
 
     if uniform_grid and len(tile_stacks) == ntiles_total:

@@ -71,6 +71,12 @@ def _declare(L: ctypes.CDLL) -> None:
         ctypes.c_int32,
     ]
     L.tic_jpeg_decode_coefficients_into.restype = ctypes.c_int
+    L.tic_jpeg_decode_coefficients_roi_into.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t, c_i16p * 4,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+    ]
+    L.tic_jpeg_decode_coefficients_roi_into.restype = ctypes.c_int
     c_i32p = ctypes.POINTER(ctypes.c_int32)
     L.tic_jpeg_decode_coefficients_packed.argtypes = [
         ctypes.c_char_p, ctypes.c_size_t,

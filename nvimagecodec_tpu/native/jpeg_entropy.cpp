@@ -313,6 +313,16 @@ struct Decoder {
   bool progressive = false;
   int error = 0;
 
+  // ROI decode: only MCU rows [roi_y0, roi_y1) are materialized. Rows below
+  // roi_y1 end the scan early (the parser re-syncs at the next marker found
+  // by byte scan); rows above roi_y0 are entropy-decoded for DC-predictor /
+  // bit-position tracking only (no coefficient writes), and on
+  // restart-interval streams whole pre-ROI segments are skipped by marker
+  // scan with no entropy work at all (reference analog: nvjpeg ROI decode,
+  // extensions/nvjpeg/cuda_decoder.cpp:460-520).
+  long roi_y0 = 0;
+  long roi_y1 = 0x7FFFFFFFL;
+
   // index-scan mode (on-device entropy path): instead of decoding
   // coefficients, destuff the scan and record, every index_rows MCU rows,
   // the destuffed bit offset + running DC predictors — the per-lane seeds
@@ -661,14 +671,35 @@ void Decoder::sequential_scan(Scan& s) {
   long total = (long)smx * smy;
   long ri = s.restart_interval ? s.restart_interval : total;
 
+  // ROI bounds in this scan's row unit (MCU rows when interleaved, component
+  // block rows otherwise)
+  long rv = interleaved ? 1 : comps[s.comp_idx[0]].v;
+  long ry0 = roi_y0 * rv;
+  long ry1 = (roi_y1 >= (long)mcus_y) ? (long)smy : roi_y1 * rv;
+
   BitReader br;
   br.init(s.data_start, s.data_end);
   int pred[4] = {0, 0, 0, 0};
   long mcu = 0;
+  if (s.restart_interval && ry0 > 0) {
+    // Skip whole restart segments strictly before the ROI: no entropy work,
+    // just RST-marker scans; predictors reset at each restart anyway.
+    long nskip = (ry0 * smx) / ri;
+    if (nskip > 0) {
+      const uint8_t* q = s.data_start;
+      for (long i = 0; i < nskip && q < s.data_end; i++)
+        q = skip_restart(q, s.data_end);
+      br.init(q, s.data_end);
+      mcu = nskip * ri;
+    }
+  }
   while (mcu < total) {
     long seg_end = mcu + ri < total ? mcu + ri : total;
     long my = mcu / smx, mx = mcu % smx;
+    if (my >= ry1) return;  // everything below the ROI: skip the rest
     for (; mcu < seg_end; mcu++, (++mx == smx ? (mx = 0, ++my) : 0L)) {
+      if (my >= ry1) return;
+      const bool wr = my >= ry0;  // pre-ROI rows: track, don't materialize
       for (int j = 0; j < s.ncomp; j++) {
         Component& c = comps[s.comp_idx[j]];
         const HuffTable& dct = s.dc[j];
@@ -690,8 +721,10 @@ void Decoder::sequential_scan(Scan& s) {
               const int lim = c.lo_len;
               uint8_t* plo = c.lo + bidx * lim;
               int8_t* phi = c.hi + bidx * 8;
-              plo[0] = (uint8_t)(pred[j] & 0xFF);
-              phi[0] = (int8_t)(pred[j] >> 8);
+              if (wr) {
+                plo[0] = (uint8_t)(pred[j] & 0xFF);
+                phi[0] = (int8_t)(pred[j] >> 8);
+              }
               int k = 1;
               while (k < 64) {
                 int sym = decode_huff(br, act);
@@ -704,6 +737,7 @@ void Decoder::sequential_scan(Scan& s) {
                 k += r;
                 if (k > 63) { error = 1; return; }
                 int v = extend(br.get_bits(sz), sz);
+                if (!wr) { k++; continue; }
                 if (k < lim) {
                   plo[k] = (uint8_t)(v & 0xFF);
                   if (k < 8)
@@ -717,7 +751,7 @@ void Decoder::sequential_scan(Scan& s) {
               }
             } else {
               int16_t* block = c.coef + bidx * 64;
-              block[0] = (int16_t)pred[j];
+              if (wr) block[0] = (int16_t)pred[j];
               int k = 1;
               while (k < 64) {
                 int sym = decode_huff(br, act);
@@ -729,7 +763,8 @@ void Decoder::sequential_scan(Scan& s) {
                 }
                 k += r;
                 if (k > 63) { error = 1; return; }
-                block[kNat[k]] = (int16_t)extend(br.get_bits(sz), sz);
+                int v = extend(br.get_bits(sz), sz);
+                if (wr) block[kNat[k]] = (int16_t)v;
                 k++;
               }
             }
@@ -761,6 +796,15 @@ void Decoder::progressive_scan(Scan& s) {
   long total = (long)smx * smy;
   long ri = s.restart_interval ? s.restart_interval : total;
 
+  // ROI: early-exit below the ROI in EVERY scan (the parser re-syncs at the
+  // next marker); rows above it must still be fully decoded *and written*
+  // because AC-refinement passes read the coefficient state — except on
+  // restart-interval streams, where whole pre-ROI segments can be skipped
+  // consistently in every scan (they are then never read).
+  long rv = interleaved ? 1 : comps[s.comp_idx[0]].v;
+  long ry0 = roi_y0 * rv;
+  long ry1 = (roi_y1 >= (long)mcus_y) ? (long)smy : roi_y1 * rv;
+
   BitReader br;
   br.init(s.data_start, s.data_end);
   int pred[4] = {0, 0, 0, 0};
@@ -769,10 +813,22 @@ void Decoder::progressive_scan(Scan& s) {
   int m1 = -1 << s.al;
 
   long mcu = 0;
+  if (s.restart_interval && ry0 > 0) {
+    long nskip = (ry0 * smx) / ri;
+    if (nskip > 0) {
+      const uint8_t* q = s.data_start;
+      for (long i = 0; i < nskip && q < s.data_end; i++)
+        q = skip_restart(q, s.data_end);
+      br.init(q, s.data_end);
+      mcu = nskip * ri;
+    }
+  }
   while (mcu < total) {
     long seg_end = mcu + ri < total ? mcu + ri : total;
     long my = mcu / smx, mx = mcu % smx;
+    if (my >= ry1) return;
     for (; mcu < seg_end; mcu++, (++mx == smx ? (mx = 0, ++my) : 0L)) {
+      if (my >= ry1) return;
       for (int j = 0; j < s.ncomp; j++) {
         Component& c = comps[s.comp_idx[j]];
         int nby = interleaved ? c.v : 1;
@@ -918,6 +974,30 @@ int tic_jpeg_decode_coefficients_into(const uint8_t* data, size_t len,
   d.ext_bh = exp_bh;
   d.ext_ncomp = exp_ncomp;
   if (!d.parse_and_decode()) return -1;  // ext buffers are caller-owned
+  if (d.ncomp != exp_ncomp) return -2;
+  return 0;
+}
+
+// ROI decode: like tic_jpeg_decode_coefficients_into but only MCU rows
+// [mcu_y0, mcu_y1) are materialized; entropy work below the ROI is skipped
+// entirely and pre-ROI restart segments are skipped by marker scan
+// (reference analog: nvjpeg ROI, extensions/nvjpeg/cuda_decoder.cpp:460-520).
+int tic_jpeg_decode_coefficients_roi_into(const uint8_t* data, size_t len,
+                                          int16_t** bufs,
+                                          const int32_t* exp_bw,
+                                          const int32_t* exp_bh,
+                                          int32_t exp_ncomp, int32_t mcu_y0,
+                                          int32_t mcu_y1) {
+  Decoder d;
+  d.base = data;
+  d.len = len;
+  for (int c = 0; c < exp_ncomp && c < 4; c++) d.ext_coef[c] = bufs[c];
+  d.ext_bw = exp_bw;
+  d.ext_bh = exp_bh;
+  d.ext_ncomp = exp_ncomp;
+  d.roi_y0 = mcu_y0 > 0 ? mcu_y0 : 0;
+  d.roi_y1 = mcu_y1 >= 0 ? mcu_y1 : 0x7FFFFFFFL;
+  if (!d.parse_and_decode()) return -1;
   if (d.ncomp != exp_ncomp) return -2;
   return 0;
 }

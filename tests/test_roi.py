@@ -1,0 +1,148 @@
+"""True region-of-interest decode: output must be bit-identical to cropping a
+full decode, while skipping the work outside the region
+(reference: nvjpeg ROI, extensions/nvjpeg/cuda_decoder.cpp:460-520; nvjpeg2k
+region decode; nvimgcodecDecodeParams_t.enable_roi + Region)."""
+import time
+
+import numpy as np
+import pytest
+
+from util import make_photo
+
+import nvimagecodec_tpu as nic
+from nvimagecodec_tpu.codecs.jpeg2000.core import encode_j2k
+
+oracle = pytest.importorskip("oracle")
+
+REGION = nic.Region(start_y=41, start_x=67, end_y=173, end_x=305)
+
+
+@pytest.fixture(scope="module")
+def photo():
+    return make_photo(300, 400, seed=21)
+
+
+def _assert_roi_exact(data, region=REGION):
+    dec = nic.Decoder()
+    full = np.asarray(dec.decode(data))
+    crop = full[region.start_y : region.end_y, region.start_x : region.end_x]
+    roi = np.asarray(
+        dec.decode(data, nic.DecodeParams(enable_roi=True, region=region))
+    )
+    assert roi.shape[:2] == (region.height, region.width)
+    assert np.array_equal(roi, crop)
+
+
+@pytest.mark.parametrize("subsamp", ["420", "444", "422", "gray"])
+def test_jpeg_roi_bit_identical(photo, subsamp):
+    img = photo[..., 0].copy() if subsamp == "gray" else photo
+    _assert_roi_exact(oracle.jpeg_encode(img, 88, subsamp))
+
+
+def test_jpeg_roi_restart_interval(photo):
+    """DRI streams: pre-ROI restart segments are skipped by marker scan."""
+    _assert_roi_exact(oracle.jpeg_encode(photo, 88, "420", restart_interval=4))
+
+
+def test_jpeg_roi_progressive(photo):
+    """Progressive streams: every scan early-exits below the ROI."""
+    _assert_roi_exact(oracle.jpeg_encode(photo, 88, "420", progressive=True))
+
+
+def test_jpeg_roi_edge_regions(photo):
+    data = oracle.jpeg_encode(photo, 90, "420")
+    for rg in [
+        nic.Region(0, 0, 8, 8),                # top-left corner
+        nic.Region(292, 392, 300, 400),        # bottom-right corner
+        nic.Region(0, 0, 300, 400),            # whole image
+        nic.Region(150, 0, 151, 400),          # single row stripe
+    ]:
+        _assert_roi_exact(data, rg)
+
+
+def test_jpeg_roi_wallclock_scales(tmp_path):
+    """The point of ROI is skipping work: a small top-corner region of a
+    large image must decode much faster than the full frame."""
+    big = make_photo(1600, 1600, seed=3)
+    data = oracle.jpeg_encode(big, 90, "420")
+    dec = nic.Decoder()
+    t0 = time.perf_counter()
+    for _ in range(3):
+        dec.decode(data)
+    t_full = (time.perf_counter() - t0) / 3
+    rg = nic.Region(0, 0, 128, 128)
+    p = nic.DecodeParams(enable_roi=True, region=rg)
+    t0 = time.perf_counter()
+    for _ in range(3):
+        dec.decode(data, p)
+    t_roi = (time.perf_counter() - t0) / 3
+    # generous bound to stay robust under CI load; typical ratio is >10x
+    assert t_roi < t_full / 2, (t_roi, t_full)
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        dict(reversible=True, tile_size=128, levels=3),
+        dict(reversible=False, tile_size=128, levels=3),
+        dict(reversible=True, levels=5),
+        dict(reversible=False, levels=5),
+    ],
+    ids=["rev-tiles", "irrev-tiles", "rev-single", "irrev-single"],
+)
+def test_j2k_roi_bit_identical(photo, kw):
+    _assert_roi_exact(encode_j2k(photo, **kw))
+
+
+def test_j2k_roi_wallclock_scales():
+    big = make_photo(1024, 1024, seed=6)
+    data = encode_j2k(big, reversible=True, tile_size=128, levels=3)
+    dec = nic.Decoder()
+    t0 = time.perf_counter()
+    dec.decode(data)
+    t_full = time.perf_counter() - t0
+    p = nic.DecodeParams(enable_roi=True, region=nic.Region(0, 0, 100, 100))
+    t0 = time.perf_counter()
+    dec.decode(data, p)
+    t_roi = time.perf_counter() - t0
+    assert t_roi < t_full / 3, (t_roi, t_full)
+
+
+def test_roi_fallback_codecs(photo):
+    """Codecs without native ROI (PNG/BMP/...) still honor the region via the
+    API-level crop."""
+    for data in (oracle.png_encode(photo), oracle.webp_encode_rgb(photo, lossless=True)):
+        _assert_roi_exact(data)
+
+
+def test_roi_with_conversion(photo):
+    """ROI composes with the output conversion matrix."""
+    from nvimagecodec_tpu.core.types import SampleDataType, SampleFormat
+
+    data = oracle.jpeg_encode(photo, 92, "444")
+    dec = nic.Decoder()
+    full = np.asarray(dec.decode(data))
+    crop = full[REGION.start_y : REGION.end_y, REGION.start_x : REGION.end_x]
+    out = np.asarray(
+        dec.decode(
+            data,
+            nic.DecodeParams(
+                enable_roi=True,
+                region=REGION,
+                sample_format=SampleFormat.P_RGB,
+                sample_type=SampleDataType.FLOAT32,
+            ),
+        )
+    )
+    assert out.shape == (3, REGION.height, REGION.width)
+    assert np.allclose(out, crop.transpose(2, 0, 1).astype(np.float32) / 255.0)
+
+
+def test_roi_out_of_bounds_falls_back(photo):
+    """A region outside the image keeps the old crop semantics (numpy-style
+    clamped slice) instead of crashing."""
+    data = oracle.jpeg_encode(photo, 90, "420")
+    rg = nic.Region(250, 350, 500, 600)
+    out = nic.Decoder().decode(data, nic.DecodeParams(enable_roi=True, region=rg))
+    full = np.asarray(nic.Decoder().decode(data))
+    assert np.array_equal(np.asarray(out), full[250:500, 350:600])
