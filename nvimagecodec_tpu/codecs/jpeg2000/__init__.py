@@ -188,6 +188,9 @@ class Jpeg2kEncoder(EncoderPlugin):
                         quality=qv,
                         cblk=(jp.code_block_w, jp.code_block_h),
                         stream_type=jp.stream_type,
+                        num_layers=getattr(jp, "num_layers", 1),
+                        prog_order=getattr(jp, "prog_order", "LRCP"),
+                        precincts=getattr(jp, "precincts", None),
                     )
 
                 data = run(q)

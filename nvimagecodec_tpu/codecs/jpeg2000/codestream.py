@@ -7,9 +7,10 @@ src/parsers/jpeg2k.cpp:216-356). Written from ITU-T T.800 Annexes A/B.
 Scope (documented restrictions):
 - tile origins must be even (image/tile offsets 0; even tile sizes) so the
   DWT subband split parity matches ops/dwt.py;
-- default code-block style (no bypass/reset/termall/causal/segsym);
-- no precinct partitions (PPx/PPy = 15 ⇒ one precinct per resolution);
-- one quality layer on encode (decode accepts multiple).
+- default code-block style (no bypass/reset/termall/causal/segsym).
+Precinct partitions, multiple quality layers, and all five progression
+orders (honest precinct-position iteration, T.800 B.12) are supported on
+both encode and decode.
 """
 from __future__ import annotations
 
@@ -147,10 +148,19 @@ class CodingParams:
     prog_order: int = 0  # 0 LRCP, 1 RLCP, 2 RPCL, 3 PCRL, 4 CPRL
     num_layers: int = 1
     cblk_style: int = 0
+    # precinct partition exponents per resolution [(PPx, PPy)] (T.800 A-21);
+    # None = maximal precincts (the implied 15/15 default)
+    precincts: Optional[List[Tuple[int, int]]] = None
     # quantization (per band, natural packet order): (exponent, mantissa)
     qcd_style: int = 0
     guard_bits: int = 2
     band_q: List[Tuple[int, int]] = field(default_factory=list)
+
+    def pp(self, r: int) -> Tuple[int, int]:
+        """Precinct exponents at resolution r (15/15 when no partition)."""
+        if not self.precincts:
+            return (15, 15)
+        return self.precincts[min(r, len(self.precincts) - 1)]
 
 
 @dataclass
@@ -243,6 +253,118 @@ def cblk_grid(band: Band, cw: int, ch: int) -> Tuple[int, int, List[Tuple[int, i
     return nx, ny, blocks
 
 
+# ------------------------------------------------------------- precincts
+def precinct_count(res: Resolution, ppx: int, ppy: int) -> Tuple[int, int]:
+    """Precinct grid dims of a resolution (grid anchored at 0 with size
+    2^PPx × 2^PPy, T.800 B.6)."""
+    if res.x1 <= res.x0 or res.y1 <= res.y0:
+        return 0, 0
+    npx = ceil_div(res.x1, 1 << ppx) - (res.x0 >> ppx)
+    npy = ceil_div(res.y1, 1 << ppy) - (res.y0 >> ppy)
+    return npx, npy
+
+
+def precinct_rect(res: Resolution, ppx: int, ppy: int, p: int):
+    """Rect of precinct p (raster index) in resolution coords, clipped to the
+    resolution; also returns the unclipped grid origin (progression anchors)."""
+    npx, _ = precinct_count(res, ppx, ppy)
+    i, j = p % npx, p // npx
+    gx = ((res.x0 >> ppx) + i) << ppx
+    gy = ((res.y0 >> ppy) + j) << ppy
+    x0, y0 = max(res.x0, gx), max(res.y0, gy)
+    x1 = min(res.x1, gx + (1 << ppx))
+    y1 = min(res.y1, gy + (1 << ppy))
+    return (x0, y0, x1, y1), (gx, gy)
+
+
+def cblk_grid_precinct(
+    band: Band, r: int, ppx: int, ppy: int, prect, cw: int, ch: int
+) -> Tuple[int, int, List[Tuple[int, int, int, int]]]:
+    """Code-blocks of one band inside one precinct: the precinct rect maps
+    into band coords (halved for r>0), the code-block grid is anchored at 0
+    with the effective size min(cblk, precinct-in-band) (T.800 B.7).
+    Returns (nx, ny, [(x0,y0,x1,y1)] raster order)."""
+    s = 0 if r == 0 else 1
+    ecw = min(cw, 1 << max(0, ppx - s))
+    ech = min(ch, 1 << max(0, ppy - s))
+    px0, py0, px1, py1 = prect
+    bx0 = max(band.x0, px0 >> s)
+    by0 = max(band.y0, py0 >> s)
+    bx1 = min(band.x1, ceil_div(px1, 1 << s))
+    by1 = min(band.y1, ceil_div(py1, 1 << s))
+    if bx1 <= bx0 or by1 <= by0:
+        return 0, 0, []
+    gx0 = (bx0 // ecw) * ecw
+    gy0 = (by0 // ech) * ech
+    nx = ceil_div(bx1 - gx0, ecw)
+    ny = ceil_div(by1 - gy0, ech)
+    blocks = []
+    for j in range(ny):
+        for i in range(nx):
+            x0 = max(bx0, gx0 + i * ecw)
+            y0 = max(by0, gy0 + j * ech)
+            x1 = min(bx1, gx0 + (i + 1) * ecw)
+            y1 = min(by1, gy0 + (j + 1) * ech)
+            blocks.append((x0, y0, x1, y1))
+    return nx, ny, blocks
+
+
+def progression_iter(cp: CodingParams, resolutions, ncomp: int,
+                     tcx0: int, tcy0: int):
+    """Yield (layer, r, c, p) in the tile's progression order for all five
+    T.800 B.12 orders, precinct-aware. Position-based orders (RPCL/PCRL/CPRL)
+    order precincts by their projected reference-grid anchor — the top-left
+    sample position of the precinct within the tile (T.800 B.12.1.3-5).
+    `resolutions`: comp -> [Resolution]."""
+    L = cp.num_layers
+    entries = []  # (c, r, p, anchor_y, anchor_x)
+    for c in range(ncomp):
+        for res in resolutions[c]:
+            r = res.r
+            ppx, ppy = cp.pp(r)
+            npx, npy = precinct_count(res, ppx, ppy)
+            scale = cp.levels - r
+            for p in range(npx * npy):
+                _, (gx, gy) = precinct_rect(res, ppx, ppy, p)
+                ax = max(tcx0, gx << scale)
+                ay = max(tcy0, gy << scale)
+                entries.append((c, r, p, ay, ax))
+
+    po = cp.prog_order
+    if po == 0:  # LRCP
+        for l in range(L):
+            for c, r, p, _ay, _ax in sorted(
+                entries, key=lambda e: (e[1], e[0], e[2])
+            ):
+                yield l, r, c, p
+    elif po == 1:  # RLCP
+        by_r: Dict[int, list] = {}
+        for e in sorted(entries, key=lambda e: (e[1], e[0], e[2])):
+            by_r.setdefault(e[1], []).append(e)
+        for r in sorted(by_r):
+            for l in range(L):
+                for c, _r, p, _ay, _ax in by_r[r]:
+                    yield l, _r, c, p
+    elif po == 2:  # RPCL: resolution, position, component, layer
+        for c, r, p, _ay, _ax in sorted(
+            entries, key=lambda e: (e[1], e[3], e[4], e[0])
+        ):
+            for l in range(L):
+                yield l, r, c, p
+    elif po == 3:  # PCRL: position, component, resolution, layer
+        for c, r, p, _ay, _ax in sorted(
+            entries, key=lambda e: (e[3], e[4], e[0], e[1])
+        ):
+            for l in range(L):
+                yield l, r, c, p
+    else:  # CPRL: component, position, resolution, layer
+        for c, r, p, _ay, _ax in sorted(
+            entries, key=lambda e: (e[0], e[3], e[4], e[1])
+        ):
+            for l in range(L):
+                yield l, r, c, p
+
+
 # ---------------------------------------------------------------- markers
 def _seg(marker: int, payload: bytes) -> bytes:
     return struct.pack(">HH", marker, len(payload) + 2) + payload
@@ -260,7 +382,7 @@ def write_siz(siz: SizInfo) -> bytes:
 
 
 def write_cod(cp: CodingParams) -> bytes:
-    scod = 0  # no precincts defined, no SOP, no EPH
+    scod = 1 if cp.precincts else 0  # bit 0: precinct sizes defined
     sgcod = struct.pack(">BHB", cp.prog_order, cp.num_layers, 1 if cp.mct else 0)
     spcod = struct.pack(
         ">BBBBB",
@@ -270,6 +392,12 @@ def write_cod(cp: CodingParams) -> bytes:
         cp.cblk_style,
         1 if cp.reversible else 0,  # T.800 A.20: 1 = 5/3 reversible, 0 = 9/7
     )
+    if cp.precincts:
+        # one byte per resolution: PPx low nibble, PPy high (T.800 A-21)
+        spcod += bytes(
+            (cp.pp(r)[0] & 15) | ((cp.pp(r)[1] & 15) << 4)
+            for r in range(cp.levels + 1)
+        )
     return _seg(COD, bytes([scod]) + sgcod + spcod)
 
 
@@ -321,8 +449,6 @@ def parse_main_header(data: bytes, pos: int):
             levels, cbw, cbh, style, transform = struct.unpack_from(
                 ">BBBBB", body, 5
             )
-            if scod & 1:
-                raise ValueError("J2K: precinct partitions not supported")
             if style != 0:
                 raise ValueError("J2K: non-default code-block style")
             # range checks: corrupted bytes here would otherwise drive
@@ -331,6 +457,17 @@ def parse_main_header(data: bytes, pos: int):
                 raise ValueError("J2K: decomposition levels > 32")
             if cbw > 8 or cbh > 8 or prog > 4:
                 raise ValueError("J2K: invalid COD parameters")
+            precincts = None
+            if scod & 1:  # precinct partition sizes follow SPcod
+                precincts = []
+                for r in range(levels + 1):
+                    if 10 + r >= len(body):
+                        raise ValueError("J2K: truncated precinct sizes")
+                    b = body[10 + r]
+                    ppx, ppy = b & 15, b >> 4
+                    if r > 0 and (ppx == 0 or ppy == 0):
+                        raise ValueError("J2K: PPx/PPy=0 above resolution 0")
+                    precincts.append((ppx, ppy))
             cp = CodingParams(
                 levels=levels,
                 reversible=(transform == 1),  # T.800 A.20
@@ -339,6 +476,7 @@ def parse_main_header(data: bytes, pos: int):
                 cblk_h=1 << (cbh + 2),
                 prog_order=prog,
                 num_layers=nlayers,
+                precincts=precincts,
             )
         elif marker in (COC, QCC):
             # per-component coding/quantization overrides would silently

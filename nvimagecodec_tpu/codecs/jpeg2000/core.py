@@ -36,9 +36,13 @@ from .codestream import (
     SizInfo,
     build_resolutions,
     cblk_grid,
+    cblk_grid_precinct,
     ceil_div,
     iter_tile_parts,
     parse_main_header,
+    precinct_count,
+    precinct_rect,
+    progression_iter,
     unwrap_jp2,
     wrap_jp2,
     write_cod,
@@ -46,9 +50,10 @@ from .codestream import (
     write_siz,
 )
 from .t1_bridge import t1_decode, t1_encode
-from .t2 import PacketDecoder, PacketEncoder
+from .t2 import PacketDecoder, PacketEncoder, plan_layers
 
 _PROG_LRCP, _PROG_RLCP, _PROG_RPCL, _PROG_PCRL, _PROG_CPRL = range(5)
+_PROG_NAMES = {"LRCP": 0, "RLCP": 1, "RPCL": 2, "PCRL": 3, "CPRL": 4}
 
 
 def _band_order(cp: CodingParams) -> List[Tuple[int, int]]:
@@ -103,13 +108,35 @@ def encode_j2k(
     cblk: Tuple[int, int] = (64, 64),
     stream_type: str = "jp2",
     num_threads: int = 0,
+    num_layers: int = 1,
+    prog_order: str = "LRCP",
+    precincts=None,
 ) -> bytes:
-    """Encode [H, W] or [H, W, C] u8/u16 → JP2/J2K bytes."""
+    """Encode [H, W] or [H, W, C] u8/u16 → JP2/J2K bytes.
+
+    num_layers: quality layers — each code-block's coding passes split across
+    layers with the codeword segment bytes divided at the matching points
+    (reference: nvjpeg2k num_layers, extensions/nvjpeg2k/cuda_encoder.cpp:272-474).
+    prog_order: any of LRCP/RLCP/RPCL/PCRL/CPRL (honest precinct-position
+    iteration per T.800 B.12, not a collapse).
+    precincts: None, a single (PPx, PPy) exponent pair for all resolutions,
+    or a per-resolution list (T.800 A-21; PPx/PPy >= 1 above resolution 0)."""
     if img.ndim == 2:
         img = img[:, :, None]
     H, W, C = img.shape
     depth = 16 if img.dtype == np.uint16 else 8
     levels = max(0, min(levels, max(1, int(math.log2(max(1, min(H, W))))) - 1))
+    if isinstance(precincts, tuple):
+        precincts = [precincts] * (levels + 1)
+    if precincts is not None:
+        precincts = list(precincts)
+        if len(precincts) < levels + 1:
+            precincts = precincts + [precincts[-1]] * (levels + 1 - len(precincts))
+        for r, (px, py) in enumerate(precincts):
+            if not (0 <= px <= 15 and 0 <= py <= 15):
+                raise ValueError("precinct exponents must be in [0, 15]")
+            if r > 0 and (px < 1 or py < 1):
+                raise ValueError("PPx/PPy must be >= 1 above resolution 0")
 
     siz = SizInfo(
         width=W, height=H, x0=0, y0=0,
@@ -127,8 +154,10 @@ def encode_j2k(
         mct=(C == 3),
         cblk_w=cblk[0],
         cblk_h=cblk[1],
-        prog_order=_PROG_LRCP,
-        num_layers=1,
+        prog_order=_PROG_NAMES.get(str(prog_order).upper(), 0)
+        if isinstance(prog_order, str) else int(prog_order),
+        num_layers=max(1, int(num_layers)),
+        precincts=precincts,
         qcd_style=0 if reversible else 2,
         guard_bits=2,
     )
@@ -218,46 +247,52 @@ def encode_j2k(
             band_q.append((eps, mu))
     cp.band_q = band_q
 
-    # ---- phase 2: T1 encode + packet assembly
+    # ---- phase 2: T1 encode + packet assembly (precinct- and layer-aware)
     pool = ThreadPoolExecutor(max_workers=num_threads or 8)
-    penc = PacketEncoder(siz, cp)
     tiles = []
     for t in range(ntiles):
         resolutions, arrays = tile_banddata[t]
-        jobs = []
+        res_by_c = {c: resolutions for c in range(C)}
+        penc = PacketEncoder(cp, res_by_c, C)
+        tx0, ty0, _tx1, _ty1 = siz.tile_rect(t)
+        jobs = []  # (c, r, p, bi, k, future)
         for c in range(C):
-            for (r, bi) in border:
-                band = resolutions[r].bands[bi]
-                arr = arrays[(c, r, bi)]
-                _, _, blocks = cblk_grid(band, cp.cblk_w, cp.cblk_h)
-                for k, (bx0, by0, bx1, by1) in enumerate(blocks):
-                    sub = np.ascontiguousarray(
-                        arr[by0 - band.y0 : by1 - band.y0,
-                            bx0 - band.x0 : bx1 - band.x0]
-                    )
-                    jobs.append(
-                        (c, r, bi, k, pool.submit(t1_encode, sub, band.btype))
-                    )
-        results: Dict[Tuple[int, int, int, int], Tuple[bytes, int, int]] = {}
-        for c, r, bi, k, fut in jobs:
-            results[(c, r, bi, k)] = fut.result()
+            for res in resolutions:
+                r = res.r
+                ppx, ppy = cp.pp(r)
+                npx, npy = precinct_count(res, ppx, ppy)
+                for p in range(npx * npy):
+                    prect, _ = precinct_rect(res, ppx, ppy, p)
+                    for bi, band in enumerate(res.bands):
+                        arr = arrays[(c, r, bi)]
+                        _, _, blocks = cblk_grid_precinct(
+                            band, r, ppx, ppy, prect, cp.cblk_w, cp.cblk_h
+                        )
+                        for k, (bx0, by0, bx1, by1) in enumerate(blocks):
+                            sub = np.ascontiguousarray(
+                                arr[by0 - band.y0 : by1 - band.y0,
+                                    bx0 - band.x0 : bx1 - band.x0]
+                            )
+                            jobs.append((c, r, p, bi, k,
+                                         pool.submit(t1_encode, sub, band.btype)))
+        results: Dict[Tuple[int, int, int, int], List] = {}
+        for c, r, p, bi, k, fut in jobs:
+            results.setdefault((c, r, p, bi), []).append((k, fut.result()))
 
-        packets: List[bytes] = []
-        for r in range(levels + 1):
-            for c in range(C):
-                res = resolutions[r]
-                cblk_data = []
-                for bi, band in enumerate(res.bands):
-                    _, _, blocks = cblk_grid(band, cp.cblk_w, cp.cblk_h)
-                    eps = cp.band_q[border.index((r, bi))][0]
-                    mb = eps + cp.guard_bits - 1
-                    rows = []
-                    for k in range(len(blocks)):
-                        seg, nbps, npasses = results[(c, r, bi, k)]
-                        assert nbps <= mb, (nbps, mb, r, bi)
-                        rows.append((seg, npasses, mb - nbps))
-                    cblk_data.append(rows)
-                packets.append(penc.write_packet(res, cblk_data))
+        for (c, r, p, bi), rows in results.items():
+            eps = cp.band_q[border.index((r, bi))][0]
+            mb = eps + cp.guard_bits - 1
+            plan = []
+            for k, (seg, nbps, npasses) in sorted(rows):
+                assert nbps <= mb, (nbps, mb, r, bi)
+                plan.append(plan_layers(seg, npasses, mb - nbps,
+                                        cp.num_layers))
+            penc.set_plan(c, r, p, bi, plan)
+
+        packets = [
+            penc.write_packet(c, r, p, l)
+            for (l, r, c, p) in progression_iter(cp, res_by_c, C, tx0, ty0)
+        ]
         tiles.append(b"".join(packets))
     pool.shutdown(wait=False)
 
@@ -278,33 +313,6 @@ def encode_j2k(
 
 
 # ------------------------------------------------------------------ decode
-def _prog_iter(cp: CodingParams, ncomp: int):
-    """Yield (layer, res, comp) in the stream's progression order
-    (single precinct per resolution)."""
-    L, R, C = cp.num_layers, cp.levels + 1, ncomp
-    p = cp.prog_order
-    if p == _PROG_LRCP:
-        for l in range(L):
-            for r in range(R):
-                for c in range(C):
-                    yield l, r, c
-    elif p == _PROG_RLCP:
-        for r in range(R):
-            for l in range(L):
-                for c in range(C):
-                    yield l, r, c
-    elif p == _PROG_RPCL:
-        for r in range(R):
-            for c in range(C):
-                for l in range(L):
-                    yield l, r, c
-    else:  # PCRL / CPRL collapse to component-major with one precinct
-        for c in range(C):
-            for r in range(R):
-                for l in range(L):
-                    yield l, r, c
-
-
 @functools.lru_cache(maxsize=64)
 def _j2k_device_fn(levels: int, reversible: bool, mct: bool, C: int,
                    th: int, tw: int, depth: int):
@@ -525,10 +533,10 @@ def decode_j2k(
                        for c in range(C)}
         pdec = PacketDecoder(siz, cp, resolutions)
         br = HeaderBitReader(tdata, 0)
-        for l, r, c in _prog_iter(cp, C):
+        for l, r, c, p in progression_iter(cp, resolutions, C, tx0, ty0):
             if br.pos > len(tdata):
                 raise ValueError("J2K: tile data exhausted mid-packet")
-            pdec.read_packet(br, c, r, l)
+            pdec.read_packet(br, c, r, l, p)
 
         # T1 decode all codeblocks in parallel, then dequant + IDWT
         planes = []
@@ -537,14 +545,13 @@ def decode_j2k(
         for c in range(C):
             for (r, bi) in kept:
                 band = resolutions[c][r].bands[bi]
-                ps = pdec.state[(c, r, bi)]
                 eps, mu = cp.band_q[border.index((r, bi))]
                 mb = eps + cp.guard_bits - 1
                 need = (
                     _roi_needed_rect(r, cp.levels, *roi) if roi is not None
                     else None
                 )
-                for cb in ps.cblks:
+                for cb in pdec.band_cblks(c, r, bi):
                     if not cb.included or cb.num_passes == 0:
                         continue
                     if need is not None and (

@@ -1,8 +1,11 @@
-"""JPEG2000 Tier-2: packet header coding (ITU-T T.800 B.9-B.10).
+"""JPEG2000 Tier-2: packet header coding (ITU-T T.800 B.9-B.12).
 
-One precinct per resolution (no precinct partitions), so each packet covers
-every code-block of one (layer, resolution, component). Handles all five
-progression orders on read and write; the encoder emits single-layer LRCP.
+Packets are per (layer, resolution, component, precinct); maximal precincts
+(the implied PPx=PPy=15 default) degenerate to one precinct per resolution.
+Inclusion/zero-bitplane tag trees live per precinct-band and persist across
+layers, as do the per-code-block Lblock and pass counters — both sides of the
+multi-layer state machine (reference analog: the packet parsing nvjpeg2k does
+internally; written from the spec).
 """
 from __future__ import annotations
 
@@ -15,7 +18,9 @@ from .codestream import (
     HeaderBitWriter,
     Resolution,
     SizInfo,
-    cblk_grid,
+    cblk_grid_precinct,
+    precinct_count,
+    precinct_rect,
 )
 from .tagtree import TagTree
 
@@ -78,36 +83,61 @@ def _floor_log2(n: int) -> int:
     return n.bit_length() - 1
 
 
+def _build_precinct_states(cp: CodingParams, res: Resolution):
+    """PrecinctState per (precinct, band) of one resolution."""
+    ppx, ppy = cp.pp(res.r)
+    npx, npy = precinct_count(res, ppx, ppy)
+    out: Dict[Tuple[int, int], PrecinctState] = {}
+    for p in range(npx * npy):
+        prect, _ = precinct_rect(res, ppx, ppy, p)
+        for bi, band in enumerate(res.bands):
+            nx, ny, blocks = cblk_grid_precinct(
+                band, res.r, ppx, ppy, prect, cp.cblk_w, cp.cblk_h
+            )
+            out[(p, bi)] = PrecinctState(
+                TagTree(max(nx, 1), max(ny, 1)),
+                TagTree(max(nx, 1), max(ny, 1)),
+                nx, ny,
+                [CblkState(*b) for b in blocks],
+            )
+    return npx * npy, out
+
+
 class PacketDecoder:
     """Decodes the packet sequence of one tile into per-codeblock segment
     lists."""
 
-    def __init__(self, siz: SizInfo, cp: CodingParams, resolutions: Dict[int, List[Resolution]]):
+    def __init__(self, siz: SizInfo, cp: CodingParams,
+                 resolutions: Dict[int, List[Resolution]]):
         self.siz = siz
         self.cp = cp
         self.resolutions = resolutions  # comp -> [Resolution]
-        # state per (comp, res, band-position)
-        self.state: Dict[Tuple[int, int, int], PrecinctState] = {}
+        # state per (comp, res, precinct, band)
+        self.state: Dict[Tuple[int, int, int, int], PrecinctState] = {}
+        self.nprec: Dict[Tuple[int, int], int] = {}
         for c, res_list in resolutions.items():
             for res in res_list:
-                for bi, band in enumerate(res.bands):
-                    nx, ny, blocks = cblk_grid(band, cp.cblk_w, cp.cblk_h)
-                    ps = PrecinctState(
-                        TagTree(max(nx, 1), max(ny, 1)),
-                        TagTree(max(nx, 1), max(ny, 1)),
-                        nx, ny,
-                        [CblkState(*b) for b in blocks],
-                    )
-                    self.state[(c, res.r, bi)] = ps
+                np_, states = _build_precinct_states(cp, res)
+                self.nprec[(c, res.r)] = np_
+                for (p, bi), ps in states.items():
+                    self.state[(c, res.r, p, bi)] = ps
 
-    def read_packet(self, br: HeaderBitReader, c: int, r: int, layer: int) -> None:
+    def band_cblks(self, c: int, r: int, bi: int) -> List[CblkState]:
+        """All code-blocks of one band, concatenated over its precincts."""
+        out: List[CblkState] = []
+        for p in range(self.nprec.get((c, r), 0)):
+            out.extend(self.state[(c, r, p, bi)].cblks)
+        return out
+
+    def read_packet(self, br: HeaderBitReader, c: int, r: int, layer: int,
+                    p: int = 0) -> None:
         if not br.get_bit():  # empty packet
             br.align()
             return
         res = self.resolutions[c][r]
         body_reads: List[Tuple[CblkState, int]] = []
-        for bi, band in enumerate(res.bands):
-            ps = self.state[(c, r, bi)]
+        for bi, _band in enumerate(res.bands):
+            ps = self.state[(c, r, p, bi)]
             for idx, cb in enumerate(ps.cblks):
                 x, y = idx % max(ps.nx, 1), idx // max(ps.nx, 1)
                 if not cb.included:
@@ -148,61 +178,122 @@ class PacketDecoder:
             br.pos += seg_len
 
 
+@dataclass
+class _EncCblk:
+    """Encoder-side per-code-block layering plan + running state."""
+
+    layers: List[Tuple[bytes, int]]  # per layer: (segment bytes, npasses)
+    zero_bps: int
+    first_layer: int  # num_layers if never included
+    included: bool = False
+    lblock: int = 3
+    cum_passes: int = 0
+
+
 class PacketEncoder:
-    """Single-layer packet writer (encoder side)."""
+    """Multi-layer, precinct-aware packet writer. Construct per tile with the
+    full layering plan, then emit packets in progression order via
+    write_packet — tag trees / Lblock state persist across layers exactly
+    mirroring PacketDecoder."""
 
-    def __init__(self, siz: SizInfo, cp: CodingParams):
-        self.siz = siz
+    def __init__(self, cp: CodingParams,
+                 resolutions: Dict[int, List[Resolution]], ncomp: int):
         self.cp = cp
+        self.resolutions = resolutions
+        # (c, r, p, bi) -> PrecinctState-shaped encoder state
+        self.state: Dict[Tuple[int, int, int, int], PrecinctState] = {}
+        self.nprec: Dict[Tuple[int, int], int] = {}
+        self.plans: Dict[Tuple[int, int, int, int], List[_EncCblk]] = {}
+        for c in range(ncomp):
+            for res in resolutions[c]:
+                np_, states = _build_precinct_states(cp, res)
+                self.nprec[(c, res.r)] = np_
+                for (p, bi), ps in states.items():
+                    self.state[(c, res.r, p, bi)] = ps
+                    self.plans[(c, res.r, p, bi)] = []
 
-    def write_packet(
-        self,
-        res: Resolution,
-        cblk_data: List[List[Tuple[bytes, int, int]]],
-    ) -> bytes:
-        """cblk_data[band_i] = [(segment, num_passes, zero_bps)] in raster
-        order for every code-block of the band."""
+    def set_plan(self, c: int, r: int, p: int, bi: int,
+                 plan: List[_EncCblk]) -> None:
+        """Per-code-block layer plan in the precinct's raster order; seeds
+        the inclusion (first layer) and zero-bitplane tag trees."""
+        ps = self.state[(c, r, p, bi)]
+        assert len(plan) == len(ps.cblks)
+        self.plans[(c, r, p, bi)] = plan
+        if plan:
+            ps.incl.set_values([e.first_layer for e in plan])
+            ps.zbp.set_values([e.zero_bps for e in plan])
+
+    def write_packet(self, c: int, r: int, p: int, layer: int) -> bytes:
+        res = self.resolutions[c][r]
         bw = HeaderBitWriter()
-        any_data = any(
-            seg and npass > 0
-            for band in cblk_data
-            for (seg, npass, _z) in band
-        )
+        any_data = False
+        for bi in range(len(res.bands)):
+            for e in self.plans[(c, r, p, bi)]:
+                if layer >= e.first_layer and e.layers[layer][1] > 0:
+                    any_data = True
         if not any_data:
             bw.put_bit(0)
             return bw.flush()
         bw.put_bit(1)
         bodies: List[bytes] = []
-        for bi, band in enumerate(res.bands):
-            blocks = cblk_data[bi]
-            if not blocks:
-                continue
-            nx, ny, _ = cblk_grid(band, self.cp.cblk_w, self.cp.cblk_h)
-            incl = TagTree(max(nx, 1), max(ny, 1))
-            zbp = TagTree(max(nx, 1), max(ny, 1))
-            incl.set_values([0 if b[0] or b[1] else 1 for b in blocks])
-            zbp.set_values([b[2] for b in blocks])
-            for idx, (seg, npasses, zero_bps) in enumerate(blocks):
-                x, y = idx % max(nx, 1), idx // max(nx, 1)
-                included = bool(seg) or npasses > 0
-                incl.encode(bw, x, y, 1)
-                if not included:
-                    continue
-                k = 1
-                # emit zbp tag tree up to resolution of this leaf
-                while True:
-                    zbp.encode(bw, x, y, k)
-                    if zbp.coded[zbp._index(0, x, y)]:
-                        break
-                    k += 1
+        for bi in range(len(res.bands)):
+            ps = self.state[(c, r, p, bi)]
+            for idx, e in enumerate(self.plans[(c, r, p, bi)]):
+                x, y = idx % max(ps.nx, 1), idx // max(ps.nx, 1)
+                seg, npasses = (
+                    e.layers[layer] if layer < len(e.layers) else (b"", 0)
+                )
+                contributes = layer >= e.first_layer and npasses > 0
+                if not e.included:
+                    # first-inclusion signaling via the tag tree (threshold
+                    # = layer+1); resolves exactly when layer == first_layer
+                    ps.incl.encode(bw, x, y, layer + 1)
+                    if not contributes:
+                        continue
+                    # newly included: emit the zero-bitplane tree to leaf
+                    k = 1
+                    while True:
+                        ps.zbp.encode(bw, x, y, k)
+                        if ps.zbp.coded[ps.zbp._index(0, x, y)]:
+                            break
+                        k += 1
+                    e.included = True
+                else:
+                    bw.put_bit(1 if contributes else 0)
+                    if not contributes:
+                        continue
                 _npasses_write(bw, npasses)
-                lblock = 3
                 nbits_needed = max(1, len(seg)).bit_length()
-                while lblock + _floor_log2(npasses) < nbits_needed:
+                while e.lblock + _floor_log2(npasses) < nbits_needed:
                     bw.put_bit(1)
-                    lblock += 1
+                    e.lblock += 1
                 bw.put_bit(0)
-                bw.put_bits(len(seg), lblock + _floor_log2(npasses))
+                bw.put_bits(len(seg), e.lblock + _floor_log2(npasses))
                 bodies.append(seg)
         header = bw.flush()
         return header + b"".join(bodies)
+
+
+def plan_layers(seg: bytes, npasses: int, zero_bps: int,
+                num_layers: int) -> _EncCblk:
+    """Split one code-block's coding passes across quality layers: earlier
+    layers take the leading (most significant) passes, and the terminated MQ
+    byte stream splits proportionally at the matching positions — the
+    concatenation every conforming decoder performs reconstructs the exact
+    single-segment bytes (codeword segments span layers, T.800 B.8)."""
+    if npasses <= 0 or not seg:
+        return _EncCblk([(b"", 0)] * num_layers, zero_bps, num_layers)
+    base, extra = divmod(npasses, num_layers)
+    counts = [base + (1 if l < extra else 0) for l in range(num_layers)]
+    layers = []
+    cum_p = 0
+    cum_b = 0
+    for l, n in enumerate(counts):
+        cum_p += n
+        end = len(seg) if cum_p == npasses else round(len(seg) * cum_p / npasses)
+        # a layer with passes must carry at least the bytes seen so far
+        end = max(end, cum_b)
+        layers.append((seg[cum_b:end], n))
+        cum_b = end
+    first = next(l for l, (s, n) in enumerate(layers) if n > 0)
+    return _EncCblk(layers, zero_bps, first)

@@ -76,6 +76,12 @@ class Jpeg2kEncodeParams:
     num_resolutions: int = 6
     prog_order: str = "RPCL"
     stream_type: str = "jp2"  # or "j2k"
+    # quality layers (each code-block's passes split across layers; reference:
+    # num_layers in nvjpeg2k encode params)
+    num_layers: int = 1
+    # precinct partition exponents: None, one (PPx, PPy) pair, or a
+    # per-resolution list (T.800 A-21)
+    precincts: Optional[object] = None
 
 
 class ParserPlugin:

@@ -25,9 +25,9 @@ GOLDEN = {
     "jpeg_gray": ("jpeg", "e84499f538b732eabc7e1b2d1e4e1bb2"),
     "jpeg_optimized": ("jpeg", "13f8b89f3494463b2cf6ca1a427b5675"),
     "jpeg_progressive": ("jpeg", "9282b66745712cd8770f188ebf961709"),
-    "jp2_lossless": ("jp2", "5ab991fa26f86667e59f6dad7dc12a30"),
-    "j2k_q70": ("jpeg2k", "a7ec977e393e6dac5d0bacb1a292c7fc"),
-    "jp2_gray_lossless": ("jp2", "eb3e2a8c5f9dd66ccc798ae90f00ff03"),
+    "jp2_lossless": ("jp2", "3b31672a8d27e2f5f5b8e78c59d89f01"),  # re-pinned: RPCL default now honored
+    "j2k_q70": ("jpeg2k", "bc0df3fb2a2b9e9ba40e9369834c55ce"),
+    "jp2_gray_lossless": ("jp2", "9f2ca2ec06554b76ea8cfc52aa752162"),
 }
 
 

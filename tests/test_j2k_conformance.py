@@ -87,3 +87,76 @@ def test_u16_interop_both_directions():
     d = encode_j2k(u16, reversible=True, levels=3, stream_type="j2k")
     arr, prec, _ = opj.decode(d)
     assert prec == 16 and np.array_equal(arr, u16.astype(np.int32))
+
+
+@pytest.mark.parametrize("order", ["LRCP", "RLCP", "RPCL", "PCRL", "CPRL"])
+@pytest.mark.parametrize("layers", [1, 3])
+@pytest.mark.parametrize(
+    "prec", [None, (6, 6), [(7, 7), (6, 6), (6, 6), (5, 5)]],
+    ids=["maximal", "uniform66", "per-res"],
+)
+def test_progression_layers_precincts_openjpeg_exact(order, layers, prec):
+    """All 5 progression orders x quality layers x precinct partitions must
+    decode bit-exact both in our decoder and in openjpeg (VERDICT r1 item 7;
+    reference: nvjpeg2k encode params,
+    extensions/nvjpeg2k/cuda_encoder.cpp:272-474)."""
+    from nvimagecodec_tpu.codecs.jpeg2000.core import decode_j2k, encode_j2k
+    from nvimagecodec_tpu.native import opj_bridge
+
+    img = make_photo(120, 180, seed=33)
+    data = encode_j2k(img, reversible=True, levels=3, num_layers=layers,
+                      prog_order=order, precincts=prec, stream_type="j2k")
+    assert np.array_equal(decode_j2k(data), img)
+    theirs, _, _ = opj_bridge.decode(data)
+    assert np.array_equal(theirs.reshape(img.shape), img)
+
+
+def test_precinct_tiled_multilayer_openjpeg_exact():
+    """Tiles x precincts x layers x position progression together."""
+    from nvimagecodec_tpu.codecs.jpeg2000.core import decode_j2k, encode_j2k
+    from nvimagecodec_tpu.native import opj_bridge
+
+    img = make_photo(200, 264, seed=34)
+    data = encode_j2k(img, reversible=True, levels=3, tile_size=128,
+                      num_layers=2, prog_order="PCRL", precincts=(6, 6),
+                      stream_type="j2k")
+    assert np.array_equal(decode_j2k(data), img)
+    theirs, _, _ = opj_bridge.decode(data)
+    assert np.array_equal(theirs.reshape(img.shape), img)
+
+
+def test_irreversible_layers_precincts_openjpeg_close():
+    from nvimagecodec_tpu.codecs.jpeg2000.core import decode_j2k, encode_j2k
+    from nvimagecodec_tpu.native import opj_bridge
+
+    img = make_photo(120, 180, seed=35)
+    data = encode_j2k(img, reversible=False, levels=3, quality=85,
+                      num_layers=3, prog_order="RPCL", precincts=(6, 6),
+                      stream_type="j2k")
+    ours = decode_j2k(data)
+    theirs, _, _ = opj_bridge.decode(data)
+    # 9/7 float reconstruction rounding differs slightly across decoders
+    assert np.abs(theirs.reshape(img.shape).astype(int) - ours.astype(int)).max() <= 2
+    assert np.abs(ours.astype(int) - img.astype(int)).max() <= 24
+
+
+def test_public_api_jpeg2k_layer_precinct_params():
+    """The Jpeg2kEncodeParams knobs reach the codestream."""
+    import nvimagecodec_tpu as nic
+    from nvimagecodec_tpu.core.interfaces import EncodeParams, Jpeg2kEncodeParams
+    from nvimagecodec_tpu.codecs.jpeg2000.codestream import (
+        parse_main_header, unwrap_jp2,
+    )
+
+    img = make_photo(90, 120, seed=36)
+    data = nic.Encoder().encode(
+        img, codec="jp2",
+        params=EncodeParams(jpeg2k=Jpeg2kEncodeParams(
+            reversible=True, num_layers=4, prog_order="CPRL",
+            precincts=(5, 6), num_resolutions=4)),
+    )
+    _siz, cp, _pos = parse_main_header(unwrap_jp2(data), 0)
+    assert cp.num_layers == 4 and cp.prog_order == 4
+    assert cp.precincts is not None and cp.pp(1) == (5, 6)
+    out = nic.Decoder().decode(data)
+    assert np.array_equal(np.asarray(out), img)
