@@ -132,7 +132,8 @@ def main() -> None:
     except Exception as e:
         log("device-entropy bench skipped:", e)
 
-    # --- informational: encode throughput (stderr only) --------------------
+    # --- encode throughput + libjpeg-turbo 1-thread encode baseline --------
+    encode_ips = encode_vs = None
     try:
         from nvimagecodec_tpu import Encoder
         from nvimagecodec_tpu.core.interfaces import EncodeParams
@@ -140,10 +141,31 @@ def main() -> None:
         enc = Encoder()
         eparams = EncodeParams(quality=85, chroma_subsampling="420")
         enc.encode(base, codec="jpeg", params=eparams)  # warm
-        t0 = time.perf_counter()
-        outs = enc.encode(base * 8, codec="jpeg", params=eparams)
-        n_ok = sum(o is not None for o in outs)
-        log(f"jpeg encode: {n_ok / (time.perf_counter() - t0):.1f} img/s")
+
+        def enc_pass():
+            t0 = time.perf_counter()
+            outs = enc.encode(base * 8, codec="jpeg", params=eparams)
+            n_ok = sum(o is not None for o in outs)
+            assert n_ok == len(base) * 8
+            return n_ok / (time.perf_counter() - t0)
+
+        enc_passes = [enc_pass() for _ in range(3)]
+        encode_ips = max(enc_passes)
+        log(f"jpeg encode: best of 3 -> {encode_ips:.1f} img/s "
+            f"(all: {[round(p, 1) for p in enc_passes]})")
+        if have_oracle:
+            def enc_base_pass():
+                t0 = time.perf_counter()
+                for img in base * 8:
+                    oracle.jpeg_encode(img, 85, "420")
+                return len(base) * 8 / (time.perf_counter() - t0)
+
+            eb_passes = [enc_base_pass() for _ in range(3)]
+            log(f"libjpeg-turbo 1-thread encode: best of 3 -> "
+                f"{max(eb_passes):.1f} img/s "
+                f"(all: {[round(p, 1) for p in eb_passes]})")
+            encode_vs = encode_ips / max(eb_passes)
+            log(f"encode vs baseline: {encode_vs:.3f}")
     except Exception as e:
         log("encode bench skipped:", e)
 
@@ -191,6 +213,8 @@ def main() -> None:
                 "vs_baseline": round(vs, 3) if vs else None,
                 "passes": [round(p, 1) for p in tpu_passes],
                 "baseline_passes": [round(p, 1) for p in base_passes],
+                "encode_value": round(encode_ips, 1) if encode_ips else None,
+                "encode_vs_baseline": round(encode_vs, 3) if encode_vs else None,
             }
         )
     )

@@ -23,6 +23,11 @@ import numpy as np
 from .headers import JpegFrame
 from .pixel import decode_pixels
 
+# Work counters from the most recent ROI decode (testing/observability):
+# how many MCU rows/cols were materialized vs the full frame. Timing-free
+# proxy for "ROI skipped the work outside the region".
+LAST_STATS: dict = {}
+
 
 def _decode_coefficients_roi(frame: JpegFrame, data: bytes,
                              mcu_y0: int, mcu_y1: int) -> List[np.ndarray]:
@@ -72,6 +77,11 @@ def decode_pixels_roi(frame: JpegFrame, data: bytes, region,
     mx0 = max(x0 // mcu_w - 1, 0)
     mx1 = min(-(-x1 // mcu_w) + 1, mcus_x)
 
+    LAST_STATS.clear()
+    LAST_STATS.update(
+        mcu_rows_total=mcus_y, mcu_rows_materialized=my1 - my0,
+        mcu_cols_total=mcus_x, mcu_cols_materialized=mx1 - mx0,
+    )
     coefs = _decode_coefficients_roi(frame, bytes(data), my0, my1)
     subs = []
     for coef, comp in zip(coefs, frame.components):

@@ -60,24 +60,40 @@ def test_jpeg_roi_edge_regions(photo):
         _assert_roi_exact(data, rg)
 
 
-def test_jpeg_roi_wallclock_scales(tmp_path):
+def test_jpeg_roi_skips_work(tmp_path):
     """The point of ROI is skipping work: a small top-corner region of a
-    large image must decode much faster than the full frame."""
+    large image must materialize only the covering MCU rows/cols, not the
+    whole frame. Gating assert is on work counters (deterministic); the
+    wall-clock ratio is reported as a non-gating warning so suite runs under
+    parallel load never flake on timing."""
+    from nvimagecodec_tpu.codecs.jpeg import roi as roi_mod
+
     big = make_photo(1600, 1600, seed=3)
     data = oracle.jpeg_encode(big, 90, "420")
     dec = nic.Decoder()
-    t0 = time.perf_counter()
-    for _ in range(3):
-        dec.decode(data)
-    t_full = (time.perf_counter() - t0) / 3
     rg = nic.Region(0, 0, 128, 128)
     p = nic.DecodeParams(enable_roi=True, region=rg)
+
     t0 = time.perf_counter()
-    for _ in range(3):
-        dec.decode(data, p)
-    t_roi = (time.perf_counter() - t0) / 3
-    # generous bound to stay robust under CI load; typical ratio is >10x
-    assert t_roi < t_full / 2, (t_roi, t_full)
+    full = dec.decode(data)
+    t_full = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    roi = dec.decode(data, p)
+    t_roi = time.perf_counter() - t0
+
+    s = roi_mod.LAST_STATS
+    # 1600px / 16px-MCU = 100 rows; a 128px ROI covers 8 + 1 margin = 9.
+    assert s["mcu_rows_total"] == 100 and s["mcu_cols_total"] == 100, s
+    assert s["mcu_rows_materialized"] <= 10, s
+    assert s["mcu_cols_materialized"] <= 10, s
+    assert np.array_equal(
+        np.asarray(roi), np.asarray(full)[:128, :128])
+    if t_roi >= t_full / 2:  # non-gating smoke: typical ratio is >10x
+        import warnings
+
+        warnings.warn(
+            f"ROI wall-clock ratio below 2x under load: roi={t_roi:.3f}s "
+            f"full={t_full:.3f}s (work counters prove the skip)")
 
 
 @pytest.mark.parametrize(
