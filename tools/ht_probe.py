@@ -453,3 +453,167 @@ if __name__ == "__main__":
             nfail += 1
             print(f"ERROR {H}x{W} d={density} mag={mag}: {e}")
     print(f"cleanup battery vs openjpeg: {ntest - nfail}/{ntest} pass")
+
+
+# ================================================================ Z=3 passes
+def encode_ht_full(block: np.ndarray, p: int = 1):
+    """Encode (cleanup at plane p) + SigProp(p-1) + MagRef(p-1) for signed
+    int32 coefficients. Returns (cup_seg, ref_seg). Samples whose magnitude
+    is entirely below plane p and that have no significant neighbor are NOT
+    representable (inherent to T.814 SigProp reach) — caller beware."""
+    H, W = block.shape
+    mag = np.abs(block)
+    sgn = (block < 0).astype(np.int32)
+    mu_p = mag >> p  # cleanup-plane magnitudes
+    cup = encode_cleanup_general(np.where(mu_p > 0, mu_p, 0) *
+                                 np.where(sgn > 0, -1, 1))
+    # significance state after cleanup
+    sig = (mu_p > 0).astype(np.int8)
+    spp_bits = []
+    mrp_bits = []
+    newsig = np.zeros_like(sig)
+
+    def neigh_sig(x, y, state):
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dx == 0 and dy == 0:
+                    continue
+                xx, yy = x + dx, y + dy
+                if 0 <= xx < W and 0 <= yy < H and state[yy, xx]:
+                    return True
+        return False
+
+    state = sig.copy()  # progressive within the pass (confirmed by probe)
+    for y0 in range(0, H, 4):
+        for x0 in range(0, W, 4):
+            grp_new = []  # sign bits grouped per 4 stripe-columns
+            for x in range(x0, min(x0 + 4, W)):
+                for y in range(y0, min(y0 + 4, H)):
+                    if state[y, x]:
+                        continue
+                    if not neigh_sig(x, y, state):
+                        continue
+                    # significant at p-1 via SPP <=> mag >> (p-1) == 1
+                    b = 1 if (mag[y, x] >> (p - 1)) == 1 else 0
+                    spp_bits.append(b)
+                    if b:
+                        grp_new.append((x, y))
+                        newsig[y, x] = 1
+                        state[y, x] = 1
+            for (xx, yy) in grp_new:
+                spp_bits.append(int(sgn[yy, xx]))
+    # MagRef: cleanup-significant samples, stripe-column order
+    for y0 in range(0, H, 4):
+        for x in range(W):
+            for y in range(y0, min(y0 + 4, H)):
+                if sig[y, x]:
+                    mrp_bits.append(int((mag[y, x] >> (p - 1)) & 1))
+
+    # SPP bytes: forward, LSB-first, 0xFF stuffing
+    spp = bytearray()
+    acc, n, cap = 0, 0, 8
+    for b in spp_bits:
+        acc |= b << n
+        n += 1
+        if n == cap:
+            spp.append(acc)
+            cap = 7 if acc == 0xFF else 8
+            acc, n = 0, 0
+    if n:
+        spp.append(acc)
+    # MRP bytes: backward reader from segment end; emission order == decode
+    # order, then reverse bytes into the file. Stuff rule mirrors the VLC
+    # backward reader: after a byte > 0x8F, a byte whose low 7 bits are all
+    # ones carries only those 7 bits (MSB is a stuff 0).
+    mrp = bytearray()
+    pos = 0
+    prev = 0xFF  # the backward MRP reader starts with unstuff armed (probed)
+    while pos < len(mrp_bits):
+        b = 0
+        take = min(7, len(mrp_bits) - pos)
+        for i in range(take):
+            b |= mrp_bits[pos + i] << i
+        if prev > 0x8F and (b & 0x7F) == 0x7F:
+            pos += 7  # MSB is stuff (0)
+        else:
+            pos += take
+            if pos < len(mrp_bits):
+                b |= mrp_bits[pos] << 7
+                pos += 1
+        mrp.append(b)
+        prev = b
+    ref = bytes(spp) + bytes(reversed(mrp))
+    return cup, ref
+
+
+def build_ht_stream_z(coefs: np.ndarray, p: int = 1, depth: int = 8,
+                      npasses: int = 3) -> bytes:
+    """Codestream with Z passes: cleanup at plane p (+SPP/MRP at p-1)."""
+    import struct as _s
+    coefs = np.asarray(coefs, np.int32)
+    H, W = coefs.shape
+    siz = SizInfo(width=W, height=H, x0=0, y0=0, tile_w=W, tile_h=H,
+                  tx0=0, ty0=0, ncomp=1, depth=[depth], signed=[False],
+                  sub_x=[1], sub_y=[1])
+    cp = CodingParams(levels=0, reversible=True, mct=False,
+                      cblk_w=min(64, max(4, 1 << (W - 1).bit_length())),
+                      cblk_h=min(64, max(4, 1 << (H - 1).bit_length())),
+                      prog_order=0, num_layers=1, cblk_style=0x40,
+                      qcd_style=0, guard_bits=2)
+    maxmag = int(np.abs(coefs).max())
+    nbps = maxmag.bit_length()
+    eps = max(depth, nbps - cp.guard_bits + 1)
+    cp.band_q = [(eps, 0)]
+    mb = eps + cp.guard_bits - 1
+    # B = p + 1 (cleanup at plane p, refinement reaches p-1 ... plane 0)
+    zero_bps = mb - (p + 1)
+    cup, ref = encode_ht_full(coefs, p=p)
+    if npasses == 1:
+        segs = [(cup, 1)]
+    else:
+        segs = [(cup, 1), (ref, npasses - 1)]
+
+    # hand-written packet header: single block, single band, maximal precinct
+    from nvimagecodec_tpu.codecs.jpeg2000.codestream import HeaderBitWriter
+    bw = HeaderBitWriter()
+    bw.put_bit(1)           # packet non-empty
+    bw.put_bit(1)           # inclusion tag tree 1x1: value 0 < 1
+    for _ in range(zero_bps):
+        bw.put_bit(0)       # zbp tag tree: zero_bps 0s then 1
+    bw.put_bit(1)
+    # npasses
+    if npasses == 1:
+        bw.put_bit(0)
+    elif npasses == 2:
+        bw.put_bits(0b10, 2)
+    else:
+        bw.put_bits(0b11, 2)
+        bw.put_bits(npasses - 3, 2)
+    lblock = 3
+    nbits_needed = []
+    import math as _m
+    for seg, np_ in segs:
+        nbits_needed.append(max(1, len(seg)).bit_length() -
+                            int(_m.floor(_m.log2(np_))))
+    while lblock < max(nbits_needed):
+        bw.put_bit(1)
+        lblock += 1
+    bw.put_bit(0)
+    for seg, np_ in segs:
+        bw.put_bits(len(seg), lblock + int(_m.floor(_m.log2(np_))))
+    packet = bw.flush() + b"".join(s for s, _ in segs)
+
+    out = bytearray(_s.pack(">H", SOC))
+    pl = _s.pack(">HIIIIIIIIH", 0x4000, W, H, 0, 0, W, H, 0, 0, 1) + \
+        _s.pack(">BBB", depth - 1, 1, 1)
+    out += _seg(SIZ, pl)
+    out += _seg(CAP, _s.pack(">IH", 1 << 17, max(0, mb - 8)))
+    out += write_cod(cp)
+    out += write_qcd(cp)
+    lsot = 10
+    psot = 2 + lsot + 2 + len(packet)
+    out += _s.pack(">HHHIBB", SOT, lsot, 0, psot, 0, 1)
+    out += _s.pack(">H", SOD)
+    out += packet
+    out += _s.pack(">H", EOC)
+    return bytes(out)
