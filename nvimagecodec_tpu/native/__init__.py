@@ -152,6 +152,19 @@ def _declare(L: ctypes.CDLL) -> None:
         ctypes.POINTER(ctypes.c_int),
     ]
     L.tic_j2k_t1_encode.restype = ctypes.c_int
+    L.tic_ht_decode_block.argtypes = [
+        ctypes.c_char_p, ctypes.c_int32, ctypes.c_char_p, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.POINTER(ctypes.c_int32),
+    ]
+    L.tic_ht_decode_block.restype = ctypes.c_int
+    L.tic_ht_encode_block.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+    ]
+    L.tic_ht_encode_block.restype = ctypes.c_int
     L.tic_jpeg_lossless_decode.argtypes = [
         ctypes.c_char_p, ctypes.c_size_t, ctypes.POINTER(ctypes.c_uint16),
         ctypes.c_int32, ctypes.POINTER(ctypes.c_int32),
