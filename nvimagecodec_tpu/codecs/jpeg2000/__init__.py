@@ -191,6 +191,7 @@ class Jpeg2kEncoder(EncoderPlugin):
                         num_layers=getattr(jp, "num_layers", 1),
                         prog_order=getattr(jp, "prog_order", "LRCP"),
                         precincts=getattr(jp, "precincts", None),
+                        ht=getattr(jp, "ht", False),
                     )
 
                 data = run(q)

@@ -23,6 +23,10 @@ SOC, SOT, SOD, EOC = 0xFF4F, 0xFF90, 0xFF93, 0xFFD9
 SIZ, COD, COC, QCD, QCC, RGN, POC, COM = (
     0xFF51, 0xFF52, 0xFF53, 0xFF5C, 0xFF5D, 0xFF5E, 0xFF5F, 0xFF64,
 )
+CAP = 0xFF50  # extended capabilities (T.814 A.3: Pcap bit 15 → HTJ2K)
+
+# SPcod code-block style bit: HT block coder (T.814)
+CBLK_HT = 0x40
 
 JP2_SIG = bytes.fromhex("0000000C6A5020200D0A870A")
 
@@ -370,15 +374,23 @@ def _seg(marker: int, payload: bytes) -> bytes:
     return struct.pack(">HH", marker, len(payload) + 2) + payload
 
 
-def write_siz(siz: SizInfo) -> bytes:
+def write_siz(siz: SizInfo, rsiz: int = 0) -> bytes:
     p = struct.pack(
-        ">HIIIIIIIIH", 0, siz.width, siz.height, siz.x0, siz.y0,
+        ">HIIIIIIIIH", rsiz, siz.width, siz.height, siz.x0, siz.y0,
         siz.tile_w, siz.tile_h, siz.tx0, siz.ty0, siz.ncomp,
     )
     for c in range(siz.ncomp):
         ssiz = (siz.depth[c] - 1) | (0x80 if siz.signed[c] else 0)
         p += struct.pack(">BBB", ssiz, siz.sub_x[c], siz.sub_y[c])
     return _seg(SIZ, p)
+
+
+def write_cap(mb: int) -> bytes:
+    """CAP marker declaring Part-15 (HTJ2K): Pcap bit 15 set, Ccap15 with
+    HTONLY sets and the magnitude-bound parameter (T.814 A.3)."""
+    pcap = 1 << 17
+    ccap15 = max(0, min(31, mb - 8))
+    return _seg(CAP, struct.pack(">IH", pcap, ccap15))
 
 
 def write_cod(cp: CodingParams) -> bytes:
@@ -449,8 +461,11 @@ def parse_main_header(data: bytes, pos: int):
             levels, cbw, cbh, style, transform = struct.unpack_from(
                 ">BBBBB", body, 5
             )
-            if style != 0:
-                raise ValueError("J2K: non-default code-block style")
+            if style not in (0, CBLK_HT):
+                # 0xC0 (mixed HT/EBCOT) and part-1 mode switches
+                # (bypass/reset/termall/causal/segsym) route to the
+                # system-openjpeg fallback plugin
+                raise ValueError("J2K: unsupported code-block style")
             # range checks: corrupted bytes here would otherwise drive
             # gigantic geometry loops (levels/cblk are exponents)
             if levels > 32:
@@ -476,6 +491,7 @@ def parse_main_header(data: bytes, pos: int):
                 cblk_h=1 << (cbh + 2),
                 prog_order=prog,
                 num_layers=nlayers,
+                cblk_style=style,
                 precincts=precincts,
             )
         elif marker in (COC, QCC):

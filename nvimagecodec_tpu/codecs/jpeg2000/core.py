@@ -49,8 +49,9 @@ from .codestream import (
     write_qcd,
     write_siz,
 )
-from .t1_bridge import t1_decode, t1_encode
-from .t2 import PacketDecoder, PacketEncoder, plan_layers
+from .codestream import write_cap
+from .t1_bridge import ht_decode, ht_encode, t1_decode, t1_encode
+from .t2 import PacketDecoder, PacketEncoder, plan_layers, plan_layers_ht
 
 _PROG_LRCP, _PROG_RLCP, _PROG_RPCL, _PROG_PCRL, _PROG_CPRL = range(5)
 _PROG_NAMES = {"LRCP": 0, "RLCP": 1, "RPCL": 2, "PCRL": 3, "CPRL": 4}
@@ -98,6 +99,14 @@ def quality_to_base_delta(quality: float, depth: int) -> float:
     return 0.5 * (2.0 ** ((95.0 - quality) / 10.0)) * (1 << (depth - 8))
 
 
+def _ht_encode_or_skip(sub: np.ndarray, npasses: int = 1):
+    """All-zero HT blocks stay not-included (like the EBCOT path) instead
+    of paying a 3-byte cleanup segment."""
+    if not sub.any():
+        return (b"", b"", 1, 0)
+    return ht_encode(sub, npasses)
+
+
 # ------------------------------------------------------------------ encode
 def encode_j2k(
     img: np.ndarray,
@@ -111,6 +120,7 @@ def encode_j2k(
     num_layers: int = 1,
     prog_order: str = "LRCP",
     precincts=None,
+    ht: bool = False,
 ) -> bytes:
     """Encode [H, W] or [H, W, C] u8/u16 → JP2/J2K bytes.
 
@@ -120,7 +130,16 @@ def encode_j2k(
     prog_order: any of LRCP/RLCP/RPCL/PCRL/CPRL (honest precinct-position
     iteration per T.800 B.12, not a collapse).
     precincts: None, a single (PPx, PPy) exponent pair for all resolutions,
-    or a per-resolution list (T.800 A-21; PPx/PPy >= 1 above resolution 0)."""
+    or a per-resolution list (T.800 A-21; PPx/PPy >= 1 above resolution 0).
+    ht: use the HT (T.814 / HTJ2K) block coder instead of EBCOT — the
+    reference's "High Throughput JPEG2000" (README.md:38, decoded by
+    nvjpeg2k in extensions/nvjpeg2k/cuda_decoder.cpp:178). Emits the CAP
+    marker (Pcap bit 15), Rsiz 0x4000, SPcod style 0x40; lossless for
+    reversible (single cleanup pass carries all magnitude planes).
+    ht=3 emits all three HT passes (cleanup at p=1 + SigProp + MagRef) —
+    near-lossless (samples whose magnitude lies entirely below plane 1 and
+    that SigProp cannot reach are dropped, an inherent T.814 property);
+    used to exercise decoder conformance on refinement passes."""
     if img.ndim == 2:
         img = img[:, :, None]
     H, W, C = img.shape
@@ -157,6 +176,7 @@ def encode_j2k(
         prog_order=_PROG_NAMES.get(str(prog_order).upper(), 0)
         if isinstance(prog_order, str) else int(prog_order),
         num_layers=max(1, int(num_layers)),
+        cblk_style=0x40 if ht else 0,
         precincts=precincts,
         qcd_style=0 if reversible else 2,
         guard_bits=2,
@@ -231,12 +251,13 @@ def encode_j2k(
                 max_nbps[(r, bi)] = max(max_nbps[(r, bi)], m.bit_length())
         tile_banddata.append((resolutions, arrays))
 
-    # ---- choose QCD so Mb >= nbps everywhere
+    # ---- choose QCD so Mb >= nbps everywhere (HT: Mb >= Umax = nbps + 1,
+    # the magnitude-exponent bound of the T.814 cleanup pass)
     band_q: List[Tuple[int, int]] = []
     for (r, bi) in border:
         band = (tile_banddata[0][0])[r].bands[bi]
         rb = depth + band.gain
-        need = max_nbps[(r, bi)]
+        need = max_nbps[(r, bi)] + (1 if ht else 0)
         if reversible:
             eps = max(rb, need - cp.guard_bits + 1)
             band_q.append((min(31, eps), 0))
@@ -273,8 +294,12 @@ def encode_j2k(
                                 arr[by0 - band.y0 : by1 - band.y0,
                                     bx0 - band.x0 : bx1 - band.x0]
                             )
-                            jobs.append((c, r, p, bi, k,
-                                         pool.submit(t1_encode, sub, band.btype)))
+                            fut = (pool.submit(_ht_encode_or_skip, sub,
+                                               3 if ht == 3 else 1)
+                                   if ht
+                                   else pool.submit(t1_encode, sub,
+                                                    band.btype))
+                            jobs.append((c, r, p, bi, k, fut))
         results: Dict[Tuple[int, int, int, int], List] = {}
         for c, r, p, bi, k, fut in jobs:
             results.setdefault((c, r, p, bi), []).append((k, fut.result()))
@@ -283,10 +308,18 @@ def encode_j2k(
             eps = cp.band_q[border.index((r, bi))][0]
             mb = eps + cp.guard_bits - 1
             plan = []
-            for k, (seg, nbps, npasses) in sorted(rows):
-                assert nbps <= mb, (nbps, mb, r, bi)
-                plan.append(plan_layers(seg, npasses, mb - nbps,
-                                        cp.num_layers))
+            if ht:
+                for k, (cup, ref, B, umax) in sorted(rows):
+                    assert umax + B - 1 <= mb, (umax, B, mb, r, bi)
+                    npasses = 1 if not ref else 3
+                    plan.append(plan_layers_ht(cup, ref, npasses,
+                                               mb - B if cup else 0,
+                                               cp.num_layers))
+            else:
+                for k, (seg, nbps, npasses) in sorted(rows):
+                    assert nbps <= mb, (nbps, mb, r, bi)
+                    plan.append(plan_layers(seg, npasses, mb - nbps,
+                                            cp.num_layers))
             penc.set_plan(c, r, p, bi, plan)
 
         packets = [
@@ -298,7 +331,9 @@ def encode_j2k(
 
     # assemble codestream
     out = bytearray(struct.pack(">H", SOC))
-    out += write_siz(siz)
+    out += write_siz(siz, rsiz=0x4000 if ht else 0)
+    if ht:
+        out += write_cap(max(e + cp.guard_bits - 1 for e, _m in cp.band_q))
     out += write_cod(cp)
     out += write_qcd(cp)
     for t, tdata in enumerate(tiles):
@@ -559,6 +594,17 @@ def decode_j2k(
                         or cb.y0 >= need[2] or cb.x0 >= need[3]
                     ):
                         continue  # outside the region's DWT support
+                    if cp.cblk_style & 0x40:  # HT (T.814) block coder
+                        cup = cb.segments[0] if cb.segments else b""
+                        ref = b"".join(cb.segments[1:])
+                        jobs.append((c, r, bi, cb,
+                                     pool.submit(ht_decode, cup, ref,
+                                                 cb.num_passes,
+                                                 cb.x1 - cb.x0,
+                                                 cb.y1 - cb.y0,
+                                                 mb - cb.zero_bps,
+                                                 cb.zero_bps + 1)))
+                        continue
                     seg = b"".join(cb.segments)
                     nbps = max(0, mb - cb.zero_bps)
                     jobs.append((c, r, bi, cb,

@@ -164,12 +164,22 @@ class PacketDecoder:
                     cb.lblock += 1
                     if cb.lblock > 32:
                         raise ValueError("J2K: runaway Lblock")
-                nbits = cb.lblock + _floor_log2(npasses)
-                if nbits > 32:
-                    raise ValueError("J2K: absurd segment length field")
-                seg_len = br.get_bits(nbits)
+                # HT blocks (T.814): the cleanup pass is always its own
+                # terminated codeword segment; SigProp+MagRef share one.
+                # A contribution that starts at pass 0 and carries more
+                # passes therefore signals TWO lengths.
+                if (self.cp.cblk_style & 0x40 and cb.num_passes == 0
+                        and npasses > 1):
+                    seg_groups = [1, npasses - 1]
+                else:
+                    seg_groups = [npasses]
+                for np_ in seg_groups:
+                    nbits = cb.lblock + _floor_log2(np_)
+                    if nbits > 32:
+                        raise ValueError("J2K: absurd segment length field")
+                    seg_len = br.get_bits(nbits)
+                    body_reads.append((cb, seg_len))
                 cb.num_passes += npasses
-                body_reads.append((cb, seg_len))
         br.align()
         for cb, seg_len in body_reads:
             if br.pos + seg_len > len(br.data):
@@ -188,6 +198,9 @@ class _EncCblk:
     included: bool = False
     lblock: int = 3
     cum_passes: int = 0
+    # HT (T.814): layer -> [(segment bytes, npasses)] when a layer carries
+    # multiple terminated codeword segments (cleanup | SigProp+MagRef)
+    splits: Dict[int, List[Tuple[bytes, int]]] = field(default_factory=dict)
 
 
 class PacketEncoder:
@@ -263,15 +276,44 @@ class PacketEncoder:
                     if not contributes:
                         continue
                 _npasses_write(bw, npasses)
-                nbits_needed = max(1, len(seg)).bit_length()
-                while e.lblock + _floor_log2(npasses) < nbits_needed:
+                segments = e.splits.get(layer, [(seg, npasses)])
+                nbits_needed = max(
+                    max(1, len(s)).bit_length() - _floor_log2(np_)
+                    for s, np_ in segments
+                )
+                while e.lblock < nbits_needed:
                     bw.put_bit(1)
                     e.lblock += 1
                 bw.put_bit(0)
-                bw.put_bits(len(seg), e.lblock + _floor_log2(npasses))
-                bodies.append(seg)
+                for s, np_ in segments:
+                    bw.put_bits(len(s), e.lblock + _floor_log2(np_))
+                    bodies.append(s)
         header = bw.flush()
         return header + b"".join(bodies)
+
+
+def plan_layers_ht(cup: bytes, ref: bytes, npasses: int, zero_bps: int,
+                   num_layers: int) -> _EncCblk:
+    """Layer plan for an HT code-block (T.814): the cleanup pass is one
+    terminated segment; SigProp+MagRef (if present) share a second. With
+    one layer the first packet carries both segments (two length fields);
+    with more layers the cleanup goes to the first layer and the
+    refinement segment to the second."""
+    if npasses <= 0 or not cup:
+        return _EncCblk([(b"", 0)] * num_layers, zero_bps, num_layers)
+    layers: List[Tuple[bytes, int]] = []
+    splits: Dict[int, List[Tuple[bytes, int]]] = {}
+    if npasses == 1 or not ref:
+        layers.append((cup, 1))
+    elif num_layers == 1:
+        layers.append((cup + ref, npasses))
+        splits[0] = [(cup, 1), (ref, npasses - 1)]
+    else:
+        layers.append((cup, 1))
+        layers.append((ref, npasses - 1))
+    while len(layers) < num_layers:
+        layers.append((b"", 0))
+    return _EncCblk(layers, zero_bps, 0, splits=splits)
 
 
 def plan_layers(seg: bytes, npasses: int, zero_bps: int,

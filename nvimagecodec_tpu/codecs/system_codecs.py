@@ -109,11 +109,12 @@ class WebpSystemDecoder(DecoderPlugin):
 
 
 class OpjJpeg2kDecoder(DecoderPlugin):
-    """JPEG2000 fallback via system libopenjp2: HTJ2K block coding and
-    stream features the native decoder rejects (per-component COC/QCC,
-    precinct partitions, subsampled or signed components). The same
-    lowest-rung pattern as the reference's opencv extension; the bridge
-    self-validates its hand-declared ABI before registering
+    """JPEG2000 last-resort fallback via system libopenjp2 for stream
+    features the native decoder rejects (per-component COC/QCC, subsampled
+    or signed components, mixed HT/EBCOT code-block styles). Plain HTJ2K
+    is decoded natively (native/j2k_ht.cpp) and never reaches this rung.
+    The same lowest-rung pattern as the reference's opencv extension; the
+    bridge self-validates its hand-declared ABI before registering
     (native/opj_bridge.py)."""
 
     codec = "jpeg2k"

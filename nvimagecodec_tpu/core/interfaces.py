@@ -82,6 +82,9 @@ class Jpeg2kEncodeParams:
     # precinct partition exponents: None, one (PPx, PPy) pair, or a
     # per-resolution list (T.800 A-21)
     precincts: Optional[object] = None
+    # HTJ2K (ITU-T T.814): use the HT block coder — the reference's
+    # "High Throughput JPEG2000" (README.md:38, nvjpeg2k native)
+    ht: bool = False
 
 
 class ParserPlugin:
