@@ -225,6 +225,38 @@ def webp_decode_rgba(data: bytes) -> np.ndarray:
     return arr.reshape(h.value, w.value, 4)
 
 
+def webp_decode_yuv(data: bytes):
+    """Lossy WebP → (Y, U, V) uint8 planes (YUV420, the exact VP8 decoder
+    output before upsampling/color conversion)."""
+    L = lib()
+    L.oracle_webp_decode_yuv.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+    ]
+    L.oracle_webp_decode_yuv.restype = ctypes.c_int
+    cap = max(1 << 22, len(data) * 64)
+    y = np.zeros(cap, np.uint8)
+    u = np.zeros(cap, np.uint8)
+    v = np.zeros(cap, np.uint8)
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    rc = L.oracle_webp_decode_yuv(
+        data, len(data),
+        y.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        u.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        v.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        cap, ctypes.byref(w), ctypes.byref(h))
+    if rc != 0:
+        raise RuntimeError(f"oracle webp yuv decode failed rc={rc}")
+    W, H = w.value, h.value
+    cw, ch = (W + 1) // 2, (H + 1) // 2
+    return (y[:W * H].reshape(H, W).copy(),
+            u[:cw * ch].reshape(ch, cw).copy(),
+            v[:cw * ch].reshape(ch, cw).copy())
+
+
 def webp_encode_rgb(pix: np.ndarray, quality: float = 80.0, lossless: bool = False) -> bytes:
     L = lib()
     pix = np.ascontiguousarray(pix, np.uint8)

@@ -281,6 +281,95 @@ int oracle_webp_decode_rgba(const uint8_t *data, size_t len, uint8_t **out,
 
 void oracle_webp_free(void *p) { WebPFree(p); }
 
+/* Raw YUV420 planes with optional in-loop-filter bypass (debug aid for
+ * stage-isolating decoder comparisons). */
+int oracle_webp_decode_yuv_nf(const uint8_t *data, size_t len, uint8_t *ybuf,
+                              uint8_t *ubuf, uint8_t *vbuf, int cap, int *w,
+                              int *h) {
+    WebPDecoderConfig cfg;
+    if (!WebPInitDecoderConfig(&cfg)) return -3;
+    cfg.options.bypass_filtering = 1;
+    cfg.output.colorspace = MODE_YUV;
+    if (WebPGetFeatures(data, len, &cfg.input) != VP8_STATUS_OK) return -4;
+    int W = cfg.input.width, H = cfg.input.height;
+    int cw = (W + 1) / 2, ch = (H + 1) / 2;
+    if (W * H > cap || cw * ch > cap) return -2;
+    cfg.output.u.YUVA.y = ybuf;
+    cfg.output.u.YUVA.y_stride = W;
+    cfg.output.u.YUVA.y_size = (size_t)W * H;
+    cfg.output.u.YUVA.u = ubuf;
+    cfg.output.u.YUVA.u_stride = cw;
+    cfg.output.u.YUVA.u_size = (size_t)cw * ch;
+    cfg.output.u.YUVA.v = vbuf;
+    cfg.output.u.YUVA.v_stride = cw;
+    cfg.output.u.YUVA.v_size = (size_t)cw * ch;
+    cfg.output.is_external_memory = 1;
+    if (WebPDecode(data, len, &cfg) != VP8_STATUS_OK) return -5;
+    *w = W;
+    *h = H;
+    return 0;
+}
+
+/* Raw YUV420 planes — the fully-specified VP8 decoder output, used to
+ * validate our native VP8 decode bit-exactly before any upsampling /
+ * color conversion enters the comparison. */
+int oracle_webp_decode_yuv(const uint8_t *data, size_t len, uint8_t *ybuf,
+                           uint8_t *ubuf, uint8_t *vbuf, int cap, int *w,
+                           int *h) {
+    uint8_t *u = NULL, *v = NULL;
+    int stride = 0, uv_stride = 0;
+    uint8_t *y = WebPDecodeYUV(data, len, w, h, &u, &v, &stride, &uv_stride);
+    if (!y) return -1;
+    int cw = (*w + 1) / 2, ch = (*h + 1) / 2;
+    if (*w * *h > cap || cw * ch > cap) {
+        WebPFree(y);
+        return -2;
+    }
+    for (int r = 0; r < *h; ++r) memcpy(ybuf + r * *w, y + r * stride, *w);
+    for (int r = 0; r < ch; ++r) {
+        memcpy(ubuf + r * cw, u + r * uv_stride, cw);
+        memcpy(vbuf + r * cw, v + r * uv_stride, cw);
+    }
+    WebPFree(y);
+    return 0;
+}
+
+/* Full-config lossy encode: exercises segments, token partitions and the
+ * simple loop filter — stream features the plain WebPEncodeRGB API never
+ * emits (decoder-coverage aid). */
+int oracle_webp_encode_rgb_adv(const uint8_t *rgb, int w, int h,
+                               float quality, int segments, int partitions,
+                               int filter_type, int filter_strength,
+                               uint8_t **out, size_t *outlen) {
+    WebPConfig cfg;
+    WebPPicture pic;
+    WebPMemoryWriter wr;
+    if (!WebPConfigInit(&cfg) || !WebPPictureInit(&pic)) return -1;
+    cfg.quality = quality;
+    cfg.segments = segments;
+    cfg.partitions = partitions;
+    cfg.filter_type = filter_type;
+    cfg.filter_strength = filter_strength;
+    cfg.autofilter = 0;
+    if (!WebPValidateConfig(&cfg)) return -2;
+    pic.width = w;
+    pic.height = h;
+    pic.use_argb = 0;
+    if (!WebPPictureImportRGB(&pic, rgb, w * 3)) return -3;
+    WebPMemoryWriterInit(&wr);
+    pic.writer = WebPMemoryWrite;
+    pic.custom_ptr = &wr;
+    int ok = WebPEncode(&cfg, &pic);
+    WebPPictureFree(&pic);
+    if (!ok) {
+        WebPMemoryWriterClear(&wr);
+        return -4;
+    }
+    *out = wr.mem;
+    *outlen = wr.size;
+    return 0;
+}
+
 int oracle_webp_encode_rgb(const uint8_t *rgb, int w, int h, float quality,
                            int lossless, uint8_t **out, size_t *outlen) {
     if (lossless)
