@@ -7,8 +7,12 @@ Specification (RFC 9649): LSB-first bit reader, canonical prefix codes with
 the code-length-code bootstrap, color cache, LZ77 backward references with
 the 2-D distance mapping, meta-prefix tiling, and the four inverse
 transforms (predictor / color / subtract-green / color-indexing with
-sub-byte packing). Lossy VP8 falls through to the system-libwebp plugin
-(codecs/system_codecs.py) at lower priority.
+sub-byte packing). Lossy VP8 is also native: the RFC 6386 keyframe decoder
+lives in native/webp_vp8.cpp (bool decoder, mode/token trees, dequant,
+inverse WHT/DCT, intra prediction, in-loop deblocking — bit-exact against
+libwebp's YUV output), with libwebp-exact fancy upsampling + fixed-point
+color conversion here. Only lossy+alpha / animated streams fall through to
+the system-libwebp plugin (codecs/system_codecs.py) at lower priority.
 """
 from __future__ import annotations
 
@@ -484,6 +488,105 @@ def decode_vp8l(payload: bytes) -> np.ndarray:
     return np.stack([r, g, b, a], axis=-1).astype(np.uint8)
 
 
+# ------------------------------------------------------------- lossy (VP8)
+def _riff_chunks(data: bytes):
+    if data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise ValueError("not a WebP")
+    pos = 12
+    n = len(data)
+    while pos + 8 <= n:
+        tag = data[pos : pos + 4]
+        size = int.from_bytes(data[pos + 4 : pos + 8], "little")
+        yield tag, data[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)
+
+
+def _fancy_upsample(p: np.ndarray, H: int, W: int) -> np.ndarray:
+    """libwebp's "fancy" chroma upsampler: quarter-phase bilinear with
+    (9,3,3,1)/16 weights and edge replication — reproduced exactly so the
+    RGB output is bit-identical to libwebp's."""
+    ext = np.empty((p.shape[0] + 2, p.shape[1] + 2), np.int32)
+    ext[1:-1, 1:-1] = p
+    ext[0, :] = ext[1, :]
+    ext[-1, :] = ext[-2, :]
+    ext[:, 0] = ext[:, 1]
+    ext[:, -1] = ext[:, -2]
+    c = ext[1:-1, 1:-1]
+    l = ext[1:-1, :-2]
+    r = ext[1:-1, 2:]
+    t = ext[:-2, 1:-1]
+    b = ext[2:, 1:-1]
+    tl = ext[:-2, :-2]
+    tr = ext[:-2, 2:]
+    bl = ext[2:, :-2]
+    br = ext[2:, 2:]
+    out = np.empty((2 * p.shape[0], 2 * p.shape[1]), np.int32)
+    out[0::2, 0::2] = (9 * c + 3 * (l + t) + tl + 8) >> 4
+    out[0::2, 1::2] = (9 * c + 3 * (r + t) + tr + 8) >> 4
+    out[1::2, 0::2] = (9 * c + 3 * (l + b) + bl + 8) >> 4
+    out[1::2, 1::2] = (9 * c + 3 * (r + b) + br + 8) >> 4
+    return out[:H, :W]
+
+
+def _yuv_to_rgb(y: np.ndarray, u: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """libwebp's fixed-point full-range YUV→RGB (yuv.h constants)."""
+    y = y.astype(np.int32)
+
+    def mh(a, c):
+        return (a * c) >> 8
+
+    def clip8(x):
+        return np.where((x & ~((256 << 6) - 1)) == 0, x >> 6,
+                        np.where(x < 0, 0, 255)).astype(np.uint8)
+
+    ybase = mh(y, 19077)
+    r = clip8(ybase + mh(v, 26149) - 14234)
+    g = clip8(ybase - mh(u, 6419) - mh(v, 13320) + 8708)
+    b = clip8(ybase + mh(u, 33050) - 17685)
+    return np.stack([r, g, b], axis=-1)
+
+
+def decode_webp_lossy(data: bytes) -> np.ndarray:
+    """RIFF walk → VP8 keyframe payload → native RFC 6386 decode
+    (native/webp_vp8.cpp, bit-exact vs libwebp YUV) → fancy upsample +
+    fixed-point color convert (bit-exact vs libwebp RGB)."""
+    import ctypes
+
+    from ..native import lib
+
+    payload = None
+    for tag, body in _riff_chunks(data):
+        if tag == b"ALPH":
+            raise ValueError("WebP: lossy+alpha handled by fallback")
+        if tag == b"VP8 ":
+            payload = body
+            break
+    if payload is None:
+        raise ValueError("WebP: no VP8 chunk")
+    L = lib()
+    cap = 1 << 24
+    y = np.empty(cap, np.uint8)
+    u = np.empty(cap, np.uint8)
+    v = np.empty(cap, np.uint8)
+    w = ctypes.c_int32()
+    h = ctypes.c_int32()
+    rc = L.tic_vp8_decode(
+        payload, len(payload),
+        y.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        u.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        v.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        cap, ctypes.byref(w), ctypes.byref(h), 0,
+    )
+    if rc != 0:
+        raise ValueError(f"VP8 decode failed rc={rc}")
+    W, H = w.value, h.value
+    cw, ch = (W + 1) // 2, (H + 1) // 2
+    Y = y[: W * H].reshape(H, W)
+    U = _fancy_upsample(u[: cw * ch].reshape(ch, cw), H, W)
+    V = _fancy_upsample(v[: cw * ch].reshape(ch, cw), H, W)
+    return _yuv_to_rgb(Y, U, V)
+
+
 def decode_webp_lossless(data: bytes) -> np.ndarray:
     """RIFF walk → VP8L payload → RGBA (alpha dropped if fully opaque)."""
     if data[:4] != b"RIFF" or data[8:12] != b"WEBP":
@@ -826,6 +929,57 @@ class WebpLosslessDecoder(DecoderPlugin):
         return out
 
 
+class WebpVp8Decoder(DecoderPlugin):
+    """Native lossy (VP8 keyframe) WebP decoder: RFC 6386 entropy/intra/
+    loop-filter in C++ (native/webp_vp8.cpp, bit-exact vs libwebp YUV) with
+    libwebp-exact upsampling + color conversion. Streams with an ALPH chunk
+    or animation decline here and fall to the system-libwebp plugin."""
+
+    codec = "webp"
+    plugin_id = "tpu_webp_vp8_decoder"
+    backend_kind = BackendKind.CPU_ONLY
+    priority = Priority.NORMAL  # above the system-libwebp fallback (LOW)
+
+    def can_decode(self, data_batch, info_batch, params) -> List[ProcessingStatus]:
+        out = []
+        for data in data_batch:
+            head = bytes(data[:40])
+            ok = head[:4] == b"RIFF" and head[8:12] == b"WEBP"
+            if ok:
+                try:
+                    tags = [t for t, _ in _riff_chunks(bytes(data))]
+                    ok = b"VP8 " in tags and b"ALPH" not in tags \
+                        and b"ANIM" not in tags
+                except Exception:
+                    ok = False
+            out.append(
+                ProcessingStatus.SUCCESS
+                if ok
+                else ProcessingStatus.FAIL | ProcessingStatus.CODEC_UNSUPPORTED
+            )
+        return out
+
+    def decode_batch(self, data_batch, info_batch, params) -> List[DecodeResult]:
+        out = []
+        for data in data_batch:
+            try:
+                out.append(
+                    DecodeResult(
+                        ProcessingStatus.SUCCESS,
+                        decode_webp_lossy(bytes(data)),
+                    )
+                )
+            except Exception as e:
+                out.append(
+                    DecodeResult(
+                        ProcessingStatus.FAIL | ProcessingStatus.IMAGE_CORRUPTED,
+                        error=str(e),
+                    )
+                )
+        return out
+
+
 def register(registry) -> None:
     registry.codec("webp").register_decoder(WebpLosslessDecoder())
+    registry.codec("webp").register_decoder(WebpVp8Decoder())
     registry.codec("webp").register_encoder(WebpLosslessEncoder())

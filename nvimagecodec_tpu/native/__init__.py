@@ -152,6 +152,13 @@ def _declare(L: ctypes.CDLL) -> None:
         ctypes.POINTER(ctypes.c_int),
     ]
     L.tic_j2k_t1_encode.restype = ctypes.c_int
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    L.tic_vp8_decode.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t, u8p, u8p, u8p, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int32,
+    ]
+    L.tic_vp8_decode.restype = ctypes.c_int
     L.tic_ht_decode_block.argtypes = [
         ctypes.c_char_p, ctypes.c_int32, ctypes.c_char_p, ctypes.c_int32,
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,

@@ -1,12 +1,15 @@
 """WebP decoder tests: the native VP8L implementation must be bit-exact vs
 libwebp across transform combinations (predictor+cross-color, subtract-
-green, palette with sub-byte packing); lossy VP8 goes through the
-system-libwebp fallback plugin at lower priority.
+green, palette with sub-byte packing); lossy VP8 is decoded by the native
+RFC 6386 keyframe decoder (native/webp_vp8.cpp) bit-exact against libwebp,
+with only alpha/animated streams falling to the system-libwebp plugin.
 
 Reference coverage analog: webp parser test (test/parsers/webp_test.cpp)
 plus opencv-ext decode tests."""
 import numpy as np
 import pytest
+
+import nvimagecodec_tpu as nic
 
 from util import make_photo
 
@@ -60,7 +63,7 @@ def test_public_api_lossless_and_lossy():
         np.asarray(out), oracle.webp_decode_rgba(lossless)[..., :3]
     )
 
-    # lossy VP8 → system-libwebp fallback plugin
+    # lossy VP8 → native RFC 6386 decoder
     lossy = oracle.webp_encode_rgb(img, quality=80.0, lossless=False)
     out = dec.decode(lossy)
     if out is not None:  # fallback only present when libwebp is installed
@@ -100,3 +103,56 @@ def test_encoder_public_api(tmp_path):
     p = tmp_path / "x.webp"
     enc.write(p, img)
     assert np.array_equal(np.asarray(dec.read(str(p))), img)
+
+
+@pytest.mark.parametrize("q", [20, 55, 75, 92])
+def test_vp8_lossy_native_bit_exact(q):
+    """Native VP8 decode must be BIT-EXACT against libwebp's own RGB output
+    (decoder + fancy upsampler + color convert all reproduced exactly)."""
+    from nvimagecodec_tpu.codecs.webp import decode_webp_lossy
+
+    img = make_photo(93, 121, seed=q)
+    data = oracle.webp_encode_rgb(img, quality=float(q))
+    ours = decode_webp_lossy(data)
+    ref = oracle.webp_decode_rgba(data)[..., :3]
+    assert np.array_equal(ours, ref)
+
+
+def test_vp8_lossy_odd_dims_and_segments():
+    from nvimagecodec_tpu.codecs.webp import decode_webp_lossy
+
+    for hw in [(17, 31), (16, 16), (33, 47), (129, 65)]:
+        img = make_photo(*hw, seed=sum(hw))
+        data = oracle.webp_encode_rgb(img, quality=42.0)
+        assert np.array_equal(decode_webp_lossy(data),
+                              oracle.webp_decode_rgba(data)[..., :3])
+
+
+def test_vp8_lossy_registers_above_system_fallback():
+    """The scheduler must route plain lossy WebP to the native plugin, not
+    the system-libwebp rung (reference-ladder semantics)."""
+    from nvimagecodec_tpu.codecs import webp as webp_mod
+    from nvimagecodec_tpu.core.registry import CodecRegistry
+
+    reg = CodecRegistry()
+    webp_mod.register(reg)
+    try:
+        from nvimagecodec_tpu.codecs import system_codecs
+
+        system_codecs.register(reg)
+    except Exception:
+        pass
+    ids = [d.plugin_id for d in reg.codec("webp").decoders]
+    assert "tpu_webp_vp8_decoder" in ids
+    if "system_webp_decoder" in ids:
+        assert ids.index("tpu_webp_vp8_decoder") < ids.index(
+            "system_webp_decoder")
+
+
+def test_vp8_corrupt_stream_fails_cleanly():
+    img = make_photo(48, 48, seed=1)
+    data = bytearray(oracle.webp_encode_rgb(img, quality=70.0))
+    data[40:60] = b"\xff" * 20
+    out = nic.Decoder().decode(bytes(data))
+    if out is not None:  # fallback may still manage; never crash
+        assert np.asarray(out).ndim == 3
