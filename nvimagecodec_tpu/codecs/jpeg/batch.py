@@ -266,10 +266,15 @@ _W_MEMO: Dict[tuple, int] = {}  # dek -> compiled words height (grows only)
 @functools.lru_cache(maxsize=128)
 def _device_entropy_fn(dek, batch: int, W: int, S: int, nsegs: int, R: int,
                        fancy: bool, to_rgb: bool, to_u8: bool,
-                       bitexact: bool):
+                       bitexact: bool, mesh=None):
     """Jitted kernel+reassemble+pixel stage for one (tables, geometry)
     bucket: words [W, S] uint32 + side [6, S] int32 -> `batch` images
-    + per-lane error flags, one dispatch."""
+    + per-lane error flags, one dispatch.
+
+    mesh: shard the LANE axis of the entropy kernel over "dp" via
+    shard_map — every chip Huffman-decodes its own slice of restart
+    segments (the dp composition of the two flagship features; the host
+    CPU per chip is scarcest exactly when dp > 1)."""
     import jax
 
     jitted = {}
@@ -284,8 +289,27 @@ def _device_entropy_fn(dek, batch: int, W: int, S: int, nsegs: int, R: int,
 
             R2, comp_map, tables, _ = entropy_kernel_spec(frame, R)
             interp = jax.devices()[0].platform == "cpu"
-            kfn = _build_kernel(R2, len(comp_map), comp_map, tables, W, S,
-                                interp)
+            dp = mesh.shape.get("dp", 1) if mesh is not None else 1
+            if dp > 1 and S % dp == 0:
+                from jax.sharding import PartitionSpec as _P
+
+                klocal = _build_kernel(R2, len(comp_map), comp_map, tables,
+                                       W, S // dp, interp)
+                specs = dict(
+                    mesh=mesh,
+                    in_specs=(_P(None, "dp"), _P(None, "dp")),
+                    out_specs=(_P(None, None, "dp"), _P(None, "dp")),
+                )
+                # pallas outputs carry no vma/replication annotations
+                if hasattr(jax, "shard_map"):
+                    kfn = jax.shard_map(klocal, check_vma=False, **specs)
+                else:
+                    from jax.experimental.shard_map import shard_map
+
+                    kfn = shard_map(klocal, check_rep=False, **specs)
+            else:
+                kfn = _build_kernel(R2, len(comp_map), comp_map, tables, W,
+                                    S, interp)
 
             def fn(words, side):
                 import jax.numpy as jnp
@@ -326,7 +350,8 @@ def _lane_plan(nsegs: int, W: int, ngood: int):
     return ch, S
 
 
-def _split_dri(good, frames, raws, dek, nsegs, xfer, pool):
+def _split_dri(good, frames, raws, dek, nsegs, xfer, pool,
+               lane_shard=None):
     """Restart-marker split (byte-aligned segments, zero DC seeds).
     Returns (ch, W, S, pending) or None; pending rows are
     (sub, bad, wkey, words, skey, side, wfut, sfut)."""
@@ -374,8 +399,8 @@ def _split_dri(good, frames, raws, dek, nsegs, xfer, pool):
                 continue
             side = _POOL.acquire(skey, (6, S), np.int32)
             side[:] = make_side(seg_mcus)
-            wfut = xfer.submit(jax.device_put, words)
-            sfut = xfer.submit(jax.device_put, side)
+            wfut = xfer.submit(jax.device_put, words, lane_shard)
+            sfut = xfer.submit(jax.device_put, side, lane_shard)
             pending.append((sub, bad, wkey, words, skey, side, wfut, sfut))
         if not grow:
             _W_MEMO[dek] = W
@@ -385,7 +410,8 @@ def _split_dri(good, frames, raws, dek, nsegs, xfer, pool):
             return None  # pathological segment: host path
 
 
-def _split_indexed(good, frames, raws, dek, R, nsegs, xfer, pool):
+def _split_indexed(good, frames, raws, dek, R, nsegs, xfer, pool,
+                   lane_shard=None):
     """Index-scan split for streams WITHOUT restart markers: the host's
     light Huffman pass finds MCU-row bit offsets + DC predictor seeds and
     the destuffed bitstream ships as-is (~the compressed size — the whole
@@ -464,14 +490,14 @@ def _split_indexed(good, frames, raws, dek, R, nsegs, xfer, pool):
             seg_mcus[j * nsegs:(j + 1) * nsegs] = 0
         side[0] = seg_mcus
         side[1] = start_bits
-        wfut = xfer.submit(jax.device_put, words)
-        sfut = xfer.submit(jax.device_put, side)
+        wfut = xfer.submit(jax.device_put, words, lane_shard)
+        sfut = xfer.submit(jax.device_put, side, lane_shard)
         pending.append((sub, set(bad), wkey, words, skey, side, wfut, sfut))
     return ch, W, S, pending, bad_scan
 
 
 def _try_device_entropy(idxs, frames, raws, results, fancy, to_rgb, to_u8,
-                        bitexact, xfer, pool=None):
+                        bitexact, xfer, pool=None, deferred=None, mesh=None):
     """Decode a geometry bucket through the on-device entropy kernel.
     Returns the list of sample indices it could NOT handle (mixed tables,
     malformed restart structure, or kernel-flagged lanes) — those continue
@@ -491,12 +517,18 @@ def _try_device_entropy(idxs, frames, raws, results, fancy, to_rgb, to_u8,
     leftover = [i for i in idxs if i not in set(good)]
     kind, dek, R, nsegs = plan
 
+    lane_shard = None
+    if mesh is not None and mesh.shape.get("dp", 1) > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as _P
+
+        lane_shard = NamedSharding(mesh, _P(None, "dp"))
     with span("imgcodec.jpeg.device_entropy_split"):
         if kind == "dri":
-            split = _split_dri(good, frames, raws, dek, nsegs, xfer, pool)
+            split = _split_dri(good, frames, raws, dek, nsegs, xfer, pool,
+                               lane_shard)
         else:
             split = _split_indexed(good, frames, raws, dek, R, nsegs, xfer,
-                                   pool)
+                                   pool, lane_shard)
     if split is None:
         return None
     if len(split) == 5:
@@ -506,7 +538,7 @@ def _try_device_entropy(idxs, frames, raws, results, fancy, to_rgb, to_u8,
         ch, W, S, pending = split
 
     call = _device_entropy_fn(dek, ch, W, S, nsegs, R, fancy, to_rgb, to_u8,
-                              bitexact)
+                              bitexact, mesh=mesh)
     outs = []
     with span("imgcodec.jpeg.device_entropy_kernel"):
         # no mid-loop blocking: device_put and the jit calls are async and
@@ -538,28 +570,51 @@ def _try_device_entropy(idxs, frames, raws, results, fancy, to_rgb, to_u8,
         return leftover
 
     # DRI path: the host only split at restart markers without decoding, so
-    # the kernel's per-lane error flags are the validation. One sync point
-    # per bucket: stack every chunk's flags into ONE tiny D2H fetch.
-    # Samples with a flagged segment re-route to the host path.
+    # the kernel's per-lane error flags are the validation. Results are
+    # finalized OPTIMISTICALLY and the tiny flag matrix is fetched on a
+    # background thread; decode_batch_tpu re-issues any flagged sample down
+    # the host path before returning. This removes the blocking per-bucket
+    # device roundtrip (~70 ms over the tunnel) from the hot loop —
+    # the TPU answer to letting the HW engine run ahead of validation
+    # (reference analog: extensions/nvjpeg/hw_decoder.cpp:199,244).
+    for (sub, bad, imgs, err), (s_, b_, wkey, words, skey, side,
+                                wfut, sfut) in zip(outs, pending):
+        devs = (wfut.result(), sfut.result())
+        _reclaim_async(devs, wkey, words)
+        _reclaim_async(devs, skey, side)
+        for j, i in enumerate(sub):
+            if j in bad:
+                leftover.append(i)
+                continue
+            results[i] = DecodeResult(ProcessingStatus.SUCCESS, imgs[j])
+
+    if deferred is not None:
+        errchk = _shared_pool("errchk", 1)
+
+        def _fetch_errs(outs=outs):
+            if len(outs) == 1:
+                return np.asarray(outs[0][3]).reshape(1, -1)
+            return np.asarray(_stack_jit()(
+                [e for _, _, _, e in outs])).reshape(len(outs), -1)
+
+        deferred.append((errchk.submit(_fetch_errs),
+                         [(sub, bad) for sub, bad, _imgs, _e in outs],
+                         nsegs))
+        return leftover
+
+    # no deferral requested (e.g. nested host-path re-issue): block now
     with span("imgcodec.jpeg.device_entropy_errcheck"):
         if len(outs) == 1:
             errs_np = np.asarray(outs[0][3]).reshape(1, -1)
         else:
             errs_np = np.asarray(_stack_jit()(
                 [e for _, _, _, e in outs])).reshape(len(outs), -1)
-    for _sub, _bad, wkey, words, skey, side, _wf, _sf in pending:
-        _POOL.release(wkey, words)
-        _POOL.release(skey, side)
     for (sub, bad, imgs, _err), err_np in zip(outs, errs_np):
         for j, i in enumerate(sub):
-            if j in bad:
-                leftover.append(i)
+            if j in bad or not err_np[j * nsegs:(j + 1) * nsegs].any():
                 continue
-            lanes = err_np[j * nsegs:(j + 1) * nsegs]
-            if lanes.any():
-                leftover.append(i)
-                continue
-            results[i] = DecodeResult(ProcessingStatus.SUCCESS, imgs[j])
+            results[i] = None
+            leftover.append(i)
     return leftover
 
 
@@ -635,17 +690,19 @@ def decode_batch_tpu(data_batch, params: DecodeParams, fancy: bool = True,
         cs = getattr(params, "color_spec", None)
         to_rgb = not (cs is not None and int(cs) == int(_CS.UNCHANGED))
         to_u8 = not params.allow_any_depth
+        deferred = []  # async DRI error-flag fetches (validated at the end)
 
         for key, idxs in groups.items():
             frame0 = frames[idxs[0]]
 
-            # restart-interval streams: entropy decode ON the chip
-            if (dp_sharding is None and have_native
+            # restart-interval streams: entropy decode ON the chip —
+            # with Decoder(mesh=) the kernel's lane axis shards over "dp"
+            if (have_native
                     and not os.environ.get("TIC_NO_DEVICE_ENTROPY")):
                 try:
                     left = _try_device_entropy(
                         idxs, frames, raws, results, fancy, to_rgb, to_u8,
-                        bitexact, xfer, pool)
+                        bitexact, xfer, pool, deferred=deferred, mesh=mesh)
                 except Exception:
                     left = None  # any kernel/compile trouble: host path
                 if left is not None:
@@ -825,4 +882,34 @@ def decode_batch_tpu(data_batch, params: DecodeParams, fancy: bool = True,
                         _POOL.release(("coef", key, bpad, c), a)
     finally:
         pass  # shared executors persist across calls
+
+    # deferred DRI validation: fetch the per-lane error flags (the fetches
+    # ran on a background thread, overlapped with later buckets) and
+    # re-issue any flagged sample through the host entropy path
+    flagged = []
+    for fut, subs, nsegs in deferred:
+        try:
+            errs_np = fut.result()
+        except Exception:
+            errs_np = None
+        for k, (sub, bad) in enumerate(subs):
+            for j, i in enumerate(sub):
+                if j in bad:
+                    continue
+                if errs_np is None or errs_np[k][
+                        j * nsegs:(j + 1) * nsegs].any():
+                    flagged.append(i)
+    if flagged:
+        guard = os.environ.get("TIC_NO_DEVICE_ENTROPY")
+        os.environ["TIC_NO_DEVICE_ENTROPY"] = "1"
+        try:
+            redo = decode_batch_tpu([data_batch[i] for i in flagged], params,
+                                    fancy, mesh, bitexact)
+        finally:
+            if guard is None:
+                os.environ.pop("TIC_NO_DEVICE_ENTROPY", None)
+            else:
+                os.environ["TIC_NO_DEVICE_ENTROPY"] = guard
+        for i, r in zip(flagged, redo):
+            results[i] = r
     return results

@@ -150,3 +150,45 @@ def test_multihost_global_batch_single_process():
     arr = global_batch(local, mesh)
     assert arr.shape == (8, 4, 6, 3)
     assert np.array_equal(np.asarray(arr), local)
+
+
+def test_decoder_mesh_dp_device_entropy_composes():
+    """DRI (restart-interval) streams with Decoder(mesh=): the on-device
+    entropy kernel's lane axis shards over 'dp' (shard_map) instead of
+    being disabled — the composition of the two flagship features — and
+    the output stays bit-exact vs the single-device decode."""
+    import oracle
+
+    import nvimagecodec_tpu as nic
+    from nvimagecodec_tpu.codecs.jpeg.headers import parse_jpeg_structure
+    from nvimagecodec_tpu.parallel.mesh import make_mesh
+
+    from nvimagecodec_tpu.codecs.jpeg import batch as B
+
+    mesh = make_mesh(dp=4, sp=1)
+    photos = [make_photo(48, 64, seed=s) for s in range(4)]
+    f0 = parse_jpeg_structure(oracle.jpeg_encode(photos[0], 85, "420"))
+    ri = -(-f0.width // (8 * f0.hmax))  # one MCU row per restart segment
+    jpgs = [oracle.jpeg_encode(p, 85, "420", restart_interval=ri)
+            for p in photos] * 4
+    ref = [np.asarray(o) for o in nic.Decoder().decode(jpgs)]
+
+    calls = []
+    orig = B._try_device_entropy
+
+    def spy(idxs, *a, **kw):
+        r = orig(idxs, *a, **kw)
+        calls.append((kw.get("mesh") is not None,
+                      r is not None and len(r) < len(idxs)))
+        return r
+
+    B._try_device_entropy = spy
+    try:
+        got = nic.Decoder(mesh=mesh).decode(jpgs)
+    finally:
+        B._try_device_entropy = orig
+    # the sharded kernel must actually have handled the bucket (no silent
+    # fallback to the host path)
+    assert (True, True) in calls, calls
+    for r, g in zip(ref, got):
+        np.testing.assert_array_equal(r, np.asarray(g))
