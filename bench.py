@@ -122,15 +122,48 @@ def main() -> None:
             force(out[-1])
 
             def dri_pass():
+                # same depth-2 pipeline as the main corpus: the deferred
+                # DRI error validation of batch N overlaps batch N+1
                 t0 = time.perf_counter()
-                outs = dec.decode(dri_jpgs)
-                force(outs[-1])
-                return N_IMAGES / (time.perf_counter() - t0)
+                decoded = 0
+                batches = (dri_jpgs[i:i + BATCH]
+                           for i in range(0, N_IMAGES, BATCH))
+                for outs in pipeline.decode_batches(batches, decoder=dec,
+                                                    drop_failed=False):
+                    decoded += len(outs)
+                return decoded / (time.perf_counter() - t0)
 
             dri = max(dri_pass() for _ in range(3))
             log(f"device-entropy decode (DRI corpus): {dri:.1f} img/s")
     except Exception as e:
         log("device-entropy bench skipped:", e)
+
+    # --- informational: index-scan wire vs full host entropy ----------------
+    # same (non-DRI) corpus decoded twice: with the device-entropy
+    # index-scan route enabled vs forced host entropy — isolates what the
+    # compact indexed wire is worth on this link
+    try:
+        def main_pass():
+            t0 = time.perf_counter()
+            decoded = 0
+            batches = (jpgs[i:i + BATCH] for i in range(0, N_IMAGES, BATCH))
+            for outs in pipeline.decode_batches(batches, decoder=dec,
+                                                drop_failed=False):
+                decoded += len(outs)
+            return decoded / (time.perf_counter() - t0)
+
+        os.environ["TIC_NO_DEVICE_ENTROPY"] = "1"
+        try:
+            dec.decode(jpgs[:BATCH])  # warm the host-route jits
+            host_ips = max(main_pass() for _ in range(2))
+        finally:
+            os.environ.pop("TIC_NO_DEVICE_ENTROPY", None)
+        dec.decode(jpgs[:BATCH])
+        idx_ips = max(main_pass() for _ in range(2))
+        log(f"index-scan route: {idx_ips:.1f} img/s vs full host entropy: "
+            f"{host_ips:.1f} img/s (wire win x{idx_ips / host_ips:.2f})")
+    except Exception as e:
+        log("index-scan isolation skipped:", e)
 
     # --- encode throughput + libjpeg-turbo 1-thread encode baseline --------
     encode_ips = encode_vs = None

@@ -61,6 +61,28 @@ _WORKER = textwrap.dedent("""
     )(arr)
     expect = sum(int(p.astype(np.int64).sum()) for p in photos)
     assert int(total) == expect, (int(total), expect)
+
+    # --- J2K tile grid split across the two hosts -------------------------
+    # one 2x2-tile image; each host entropy-decodes only ITS tile row via
+    # the true-ROI path (tiles outside the region are never parsed), then
+    # the halves assemble into a global sharded array (the multi-host
+    # analog of the tile pool, extensions/nvjpeg2k/cuda_decoder.cpp:601-640)
+    from nvimagecodec_tpu.codecs.jpeg2000.core import decode_j2k, encode_j2k
+    from nvimagecodec_tpu.core.types import Region
+
+    big = (rng.random((128, 128, 3)) * 255).astype(np.uint8)
+    j2k = encode_j2k(big, reversible=True, tile_size=64, levels=2)
+    half = Region(start_y=pid * 64, start_x=0, end_y=(pid + 1) * 64,
+                  end_x=128)
+    mine_px = np.asarray(decode_j2k(j2k, region=half))
+    assert mine_px.shape == (64, 128, 3)
+    # global image sharded over its ROW axis (64 rows per host, 32/device)
+    arr2 = multihost.global_batch(mine_px, mesh)
+    total2 = jax.jit(
+        lambda x: jnp.sum(x.astype(jnp.int64)),
+        out_shardings=NamedSharding(mesh, P()),
+    )(arr2)
+    assert int(total2) == int(big.astype(np.int64).sum())
     print("HOST", pid, "OK", flush=True)
 """)
 
