@@ -159,12 +159,20 @@ class CodingParams:
     qcd_style: int = 0
     guard_bits: int = 2
     band_q: List[Tuple[int, int]] = field(default_factory=list)
+    # per-component overrides from COC/QCC markers (T.800 A.6.2/A.6.5):
+    # comp index -> CodingParams with that component's levels/cblk/precincts
+    # (COC) and/or qcd_style/guard_bits/band_q (QCC)
+    comp_overrides: Dict[int, "CodingParams"] = field(default_factory=dict)
 
     def pp(self, r: int) -> Tuple[int, int]:
         """Precinct exponents at resolution r (15/15 when no partition)."""
         if not self.precincts:
             return (15, 15)
         return self.precincts[min(r, len(self.precincts) - 1)]
+
+    def for_comp(self, c: int) -> "CodingParams":
+        """Effective coding parameters of component c (COC/QCC merged)."""
+        return self.comp_overrides.get(c, self)
 
 
 @dataclass
@@ -323,11 +331,12 @@ def progression_iter(cp: CodingParams, resolutions, ncomp: int,
     L = cp.num_layers
     entries = []  # (c, r, p, anchor_y, anchor_x)
     for c in range(ncomp):
+        cc = cp.for_comp(c)
         for res in resolutions[c]:
             r = res.r
-            ppx, ppy = cp.pp(r)
+            ppx, ppy = cc.pp(r)
             npx, npy = precinct_count(res, ppx, ppy)
-            scale = cp.levels - r
+            scale = cc.levels - r
             for p in range(npx * npy):
                 _, (gx, gy) = precinct_rect(res, ppx, ppy, p)
                 ax = max(tcx0, gx << scale)
@@ -418,6 +427,33 @@ def _cblk_exp(size: int) -> int:
     return e - 2  # wire value: log2(size) - 2
 
 
+def write_coc(c: int, o: CodingParams, ncomp: int) -> bytes:
+    """Per-component coding style override (T.800 A.6.2)."""
+    head = bytes([c]) if ncomp < 257 else struct.pack(">H", c)
+    scoc = 1 if o.precincts else 0
+    body = head + bytes([scoc]) + struct.pack(
+        ">BBBBB", o.levels, _cblk_exp(o.cblk_w), _cblk_exp(o.cblk_h),
+        o.cblk_style, 1 if o.reversible else 0)
+    if o.precincts:
+        body += bytes((o.pp(r)[0] & 15) | ((o.pp(r)[1] & 15) << 4)
+                      for r in range(o.levels + 1))
+    return _seg(COC, body)
+
+
+def write_qcc(c: int, o: CodingParams, ncomp: int) -> bytes:
+    """Per-component quantization override (T.800 A.6.5)."""
+    head = bytes([c]) if ncomp < 257 else struct.pack(">H", c)
+    sq = o.qcd_style | (o.guard_bits << 5)
+    body = head + bytes([sq])
+    if o.qcd_style == 0:
+        for (eps, _mu) in o.band_q:
+            body += bytes([eps << 3])
+    else:
+        for (eps, mu) in o.band_q:
+            body += struct.pack(">H", (eps << 11) | mu)
+    return _seg(QCC, body)
+
+
 def write_qcd(cp: CodingParams) -> bytes:
     sqcd = cp.qcd_style | (cp.guard_bits << 5)
     p = bytes([sqcd])
@@ -437,6 +473,8 @@ def parse_main_header(data: bytes, pos: int):
     pos += 2
     siz: Optional[SizInfo] = None
     cp: Optional[CodingParams] = None
+    coc_raw: List[bytes] = []
+    qcc_raw: List[bytes] = []
     while pos + 4 <= len(data):
         marker, ln = struct.unpack_from(">HH", data, pos)
         if marker == SOT:
@@ -494,11 +532,10 @@ def parse_main_header(data: bytes, pos: int):
                 cblk_style=style,
                 precincts=precincts,
             )
-        elif marker in (COC, QCC):
-            # per-component coding/quantization overrides would silently
-            # mis-decode if ignored — reject cleanly so the scheduler's
-            # fallback chain reports a proper failure
-            raise ValueError("J2K: per-component COC/QCC overrides not supported")
+        elif marker == COC:
+            coc_raw.append(body)
+        elif marker == QCC:
+            qcc_raw.append(body)
         elif marker == QCD:
             sqcd = body[0]
             style = sqcd & 0x1F
@@ -522,6 +559,65 @@ def parse_main_header(data: bytes, pos: int):
         pos += 2 + ln
     if siz is None or cp is None:
         raise ValueError("J2K: missing SIZ/COD")
+
+    # resolve per-component COC/QCC overrides (T.800 A.6.2 / A.6.5)
+    import dataclasses as _dc
+
+    def _comp_cp(c: int) -> CodingParams:
+        if c not in cp.comp_overrides:
+            cp.comp_overrides[c] = _dc.replace(
+                cp, precincts=list(cp.precincts) if cp.precincts else None,
+                band_q=list(cp.band_q), comp_overrides={})
+        return cp.comp_overrides[c]
+
+    cw = 1 if siz.ncomp < 257 else 2
+    for body in coc_raw:
+        c = body[0] if cw == 1 else struct.unpack_from(">H", body, 0)[0]
+        scoc = body[cw]
+        levels, cbw, cbh, style, transform = struct.unpack_from(
+            ">BBBBB", body, cw + 1)
+        if style not in (0, CBLK_HT):
+            raise ValueError("J2K: unsupported code-block style (COC)")
+        if levels > 32 or cbw > 8 or cbh > 8:
+            raise ValueError("J2K: invalid COC parameters")
+        o = _comp_cp(c)
+        o.levels = levels
+        o.cblk_w = 1 << (cbw + 2)
+        o.cblk_h = 1 << (cbh + 2)
+        o.cblk_style = style
+        o.reversible = transform == 1
+        if scoc & 1:
+            o.precincts = []
+            for r in range(levels + 1):
+                b = body[cw + 6 + r]
+                o.precincts.append((b & 15, b >> 4))
+        else:
+            o.precincts = None
+    for body in qcc_raw:
+        c = body[0] if cw == 1 else struct.unpack_from(">H", body, 0)[0]
+        sq = body[cw]
+        style = sq & 0x1F
+        o = _comp_cp(c)
+        o.qcd_style = style
+        o.guard_bits = sq >> 5
+        q: List[Tuple[int, int]] = []
+        if style == 0:
+            for b in body[cw + 1:]:
+                q.append((b >> 3, 0))
+        elif style == 2:
+            for off in range(cw + 1, len(body) - 1, 2):
+                v = struct.unpack_from(">H", body, off)[0]
+                q.append((v >> 11, v & 0x7FF))
+        else:  # scalar derived
+            v = struct.unpack_from(">H", body, cw + 1)[0]
+            q.append((v >> 11, v & 0x7FF))
+        o.band_q = q
+    # pad band lists (a COC-raised decomposition count may exceed the bands
+    # QCD supplied; T.800: reuse the last signalled value)
+    for o in cp.comp_overrides.values():
+        need = 1 + 3 * o.levels
+        if o.qcd_style != 1 and o.band_q and len(o.band_q) < need:
+            o.band_q = o.band_q + [o.band_q[-1]] * (need - len(o.band_q))
     return siz, cp, pos
 
 

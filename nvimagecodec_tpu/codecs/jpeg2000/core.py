@@ -121,6 +121,7 @@ def encode_j2k(
     prog_order: str = "LRCP",
     precincts=None,
     ht: bool = False,
+    per_comp=None,
 ) -> bytes:
     """Encode [H, W] or [H, W, C] u8/u16 → JP2/J2K bytes.
 
@@ -139,7 +140,11 @@ def encode_j2k(
     ht=3 emits all three HT passes (cleanup at p=1 + SigProp + MagRef) —
     near-lossless (samples whose magnitude lies entirely below plane 1 and
     that SigProp cannot reach are dropped, an inherent T.814 property);
-    used to exercise decoder conformance on refinement passes."""
+    used to exercise decoder conformance on refinement passes.
+    per_comp: {comp: {"cblk": (w, h), "eps_shift": int}} — emit COC (code
+    block size) / QCC (quant exponent shift, reversible only) markers for
+    those components (T.800 A.6.2/A.6.5; the reference parses these in
+    src/parsers/jpeg2k.cpp:280-356 and nvjpeg2k decodes them natively)."""
     if img.ndim == 2:
         img = img[:, :, None]
     H, W, C = img.shape
@@ -181,6 +186,15 @@ def encode_j2k(
         qcd_style=0 if reversible else 2,
         guard_bits=2,
     )
+
+    import dataclasses as _dc
+
+    for c, spec in (per_comp or {}).items():
+        o = _dc.replace(cp, precincts=list(precincts) if precincts else None,
+                        band_q=[], comp_overrides={})
+        if "cblk" in spec:
+            o.cblk_w, o.cblk_h = spec["cblk"]
+        cp.comp_overrides[int(c)] = o
 
     border = _band_order(cp)
     base_delta = quality_to_base_delta(quality, depth)
@@ -267,6 +281,13 @@ def encode_j2k(
                 cp.guard_bits = min(7, need - eps + 1)
             band_q.append((eps, mu))
     cp.band_q = band_q
+    for c, o in cp.comp_overrides.items():
+        shift = int((per_comp or {}).get(c, {}).get("eps_shift", 0))
+        if shift and not reversible:
+            raise ValueError("eps_shift only supported for reversible")
+        o.band_q = [(min(31, e + max(0, shift)), m) for (e, m) in band_q]
+        o.qcd_style = cp.qcd_style
+        o.guard_bits = cp.guard_bits
 
     # ---- phase 2: T1 encode + packet assembly (precinct- and layer-aware)
     pool = ThreadPoolExecutor(max_workers=num_threads or 8)
@@ -286,8 +307,9 @@ def encode_j2k(
                     prect, _ = precinct_rect(res, ppx, ppy, p)
                     for bi, band in enumerate(res.bands):
                         arr = arrays[(c, r, bi)]
+                        ccp = cp.for_comp(c)
                         _, _, blocks = cblk_grid_precinct(
-                            band, r, ppx, ppy, prect, cp.cblk_w, cp.cblk_h
+                            band, r, ppx, ppy, prect, ccp.cblk_w, ccp.cblk_h
                         )
                         for k, (bx0, by0, bx1, by1) in enumerate(blocks):
                             sub = np.ascontiguousarray(
@@ -305,8 +327,9 @@ def encode_j2k(
             results.setdefault((c, r, p, bi), []).append((k, fut.result()))
 
         for (c, r, p, bi), rows in results.items():
-            eps = cp.band_q[border.index((r, bi))][0]
-            mb = eps + cp.guard_bits - 1
+            ccp = cp.for_comp(c)
+            eps = ccp.band_q[border.index((r, bi))][0]
+            mb = eps + ccp.guard_bits - 1
             plan = []
             if ht:
                 for k, (cup, ref, B, umax) in sorted(rows):
@@ -336,6 +359,14 @@ def encode_j2k(
         out += write_cap(max(e + cp.guard_bits - 1 for e, _m in cp.band_q))
     out += write_cod(cp)
     out += write_qcd(cp)
+    from .codestream import write_coc, write_qcc
+
+    for c, spec in (per_comp or {}).items():
+        o = cp.comp_overrides[int(c)]
+        if "cblk" in spec:
+            out += write_coc(int(c), o, C)
+        if spec.get("eps_shift"):
+            out += write_qcc(int(c), o, C)
     for t, tdata in enumerate(tiles):
         lsot = 10
         psot = 2 + lsot + 2 + len(tdata)
@@ -508,15 +539,28 @@ def decode_j2k(
     if (siz.tx0 | siz.ty0 | siz.x0 | siz.y0) % 2 or siz.tile_w % 2:
         if siz.tiles_x * siz.tiles_y > 1:
             raise ValueError("J2K: odd tile origins not supported")
-    if cp.qcd_style == 1 and len(cp.band_q) == 1:
+    def _expand_derived(q):
         # scalar derived: expand to per-band (eps decreases with level)
-        eps0, mu0 = cp.band_q[0]
-        cp.band_q = []
-        for (r, bi) in _band_order(cp):
-            lev = cp.levels if r == 0 else cp.levels - r + 1
-            cp.band_q.append((eps0 - cp.levels + lev, mu0))
+        if q.qcd_style == 1 and len(q.band_q) == 1:
+            eps0, mu0 = q.band_q[0]
+            q.band_q = []
+            for (r, bi) in _band_order(q):
+                lev = q.levels if r == 0 else q.levels - r + 1
+                q.band_q.append((eps0 - q.levels + lev, mu0))
+
+    _expand_derived(cp)
+    for _o in cp.comp_overrides.values():
+        _expand_derived(_o)
 
     C = siz.ncomp
+    ccs = [cp.for_comp(c) for c in range(C)]
+    uniform_cp = not cp.comp_overrides or all(
+        (o.levels, o.reversible, o.cblk_w, o.cblk_h, o.cblk_style)
+        == (cp.levels, cp.reversible, cp.cblk_w, cp.cblk_h, cp.cblk_style)
+        for o in cp.comp_overrides.values())
+    if discard_levels and not uniform_cp:
+        raise ValueError(
+            "J2K: discard_levels with per-component COC not supported")
     depth = siz.depth[0]
     dtype = np.uint16 if depth > 8 else np.uint8
     discard_levels = max(0, min(discard_levels, cp.levels))
@@ -545,6 +589,7 @@ def decode_j2k(
     ntiles_total = siz.tiles_x * siz.tiles_y
     uniform_grid = (
         (use_jax or mesh is not None)
+        and not cp.comp_overrides
         and discard_levels == 0
         and roi is None
         and ntiles_total > 1
@@ -564,7 +609,8 @@ def decode_j2k(
         rx0, ry0 = ceil_div(tx0, d), ceil_div(ty0, d)
         rx1, ry1 = ceil_div(tx1, d), ceil_div(ty1, d)
         th, tw = ry1 - ry0, rx1 - rx0
-        resolutions = {c: build_resolutions(tx0, ty0, tx1, ty1, cp.levels)
+        resolutions = {c: build_resolutions(tx0, ty0, tx1, ty1,
+                                            ccs[c].levels)
                        for c in range(C)}
         pdec = PacketDecoder(siz, cp, resolutions)
         br = HeaderBitReader(tdata, 0)
@@ -576,12 +622,17 @@ def decode_j2k(
         # T1 decode all codeblocks in parallel, then dequant + IDWT
         planes = []
         jobs = []
-        kept = [(r, bi) for (r, bi) in border if r <= keep_levels]
+        borders = [_band_order(ccs[c]) for c in range(C)]
+        kepts = [[(r, bi) for (r, bi) in borders[c]
+                  if r <= ccs[c].levels - discard_levels]
+                 for c in range(C)]
         for c in range(C):
-            for (r, bi) in kept:
+            cc = ccs[c]
+            border_c = borders[c]
+            for (r, bi) in kepts[c]:
                 band = resolutions[c][r].bands[bi]
-                eps, mu = cp.band_q[border.index((r, bi))]
-                mb = eps + cp.guard_bits - 1
+                eps, mu = cc.band_q[border_c.index((r, bi))]
+                mb = eps + cc.guard_bits - 1
                 need = (
                     _roi_needed_rect(r, cp.levels, *roi) if roi is not None
                     else None
@@ -594,7 +645,7 @@ def decode_j2k(
                         or cb.y0 >= need[2] or cb.x0 >= need[3]
                     ):
                         continue  # outside the region's DWT support
-                    if cp.cblk_style & 0x40:  # HT (T.814) block coder
+                    if cc.cblk_style & 0x40:  # HT (T.814) block coder
                         cup = cb.segments[0] if cb.segments else b""
                         ref = b"".join(cb.segments[1:])
                         jobs.append((c, r, bi, cb,
@@ -615,15 +666,15 @@ def decode_j2k(
             c: {} for c in range(C)
         }
         for c in range(C):
-            for (r, bi) in kept:
+            for (r, bi) in kepts[c]:
                 band = resolutions[c][r].bands[bi]
-                fdtype = np.int32 if cp.reversible else np.float64
+                fdtype = np.int32 if ccs[c].reversible else np.float64
                 decoded[c][(r, bi)] = np.zeros((band.h, band.w), fdtype)
         for c, r, bi, cb, fut in jobs:
             band = resolutions[c][r].bands[bi]
             blk = fut.result()
-            if not cp.reversible:
-                eps, mu = cp.band_q[border.index((r, bi))]
+            if not ccs[c].reversible:
+                eps, mu = ccs[c].band_q[borders[c].index((r, bi))]
                 rb = depth + band.gain
                 delta = _eps_mu_to_delta(eps, mu, rb)
                 mag = np.abs(blk).astype(np.float64)
@@ -649,6 +700,7 @@ def decode_j2k(
 
         ntiles = siz.tiles_x * siz.tiles_y
         if ((use_jax or mesh is not None) and ntiles == 1
+                and not cp.comp_overrides
                 and discard_levels == 0 and roi is None):
             # device pixel stage: all components' subbands stacked and run
             # through one jitted IDWT+MCT+shift call; output stays on device
@@ -677,15 +729,16 @@ def decode_j2k(
             return img[:, :, 0] if C == 1 else img
 
         for c in range(C):
+            cc = ccs[c]
             LL = decoded[c][(0, 0)]
             bands_f = []
             # with discard, the finest `discard_levels` decomposition levels
             # are dropped: lev runs over the COARSEST keep_levels ones
-            for lev in range(discard_levels + 1, cp.levels + 1):
-                r = cp.levels - lev + 1
+            for lev in range(discard_levels + 1, cc.levels + 1):
+                r = cc.levels - lev + 1
                 bands_f.append((decoded[c][(r, 0)], decoded[c][(r, 1)],
                                 decoded[c][(r, 2)]))
-            plane = dwt_ops.idwt2d(LL, bands_f, (th, tw), cp.reversible)
+            plane = dwt_ops.idwt2d(LL, bands_f, (th, tw), cc.reversible)
             planes.append(plane)
 
         # inverse MCT + level shift
@@ -704,7 +757,7 @@ def decode_j2k(
         maxv = (1 << depth) - 1
         for c in range(C):
             p = planes[c]
-            if not cp.reversible:
+            if not ccs[c].reversible:
                 p = np.round(p)
             p = np.clip(p + shift, 0, maxv).astype(dtype)
             if roi is not None:

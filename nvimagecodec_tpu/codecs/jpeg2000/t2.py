@@ -117,7 +117,7 @@ class PacketDecoder:
         self.nprec: Dict[Tuple[int, int], int] = {}
         for c, res_list in resolutions.items():
             for res in res_list:
-                np_, states = _build_precinct_states(cp, res)
+                np_, states = _build_precinct_states(cp.for_comp(c), res)
                 self.nprec[(c, res.r)] = np_
                 for (p, bi), ps in states.items():
                     self.state[(c, res.r, p, bi)] = ps
@@ -168,8 +168,8 @@ class PacketDecoder:
                 # terminated codeword segment; SigProp+MagRef share one.
                 # A contribution that starts at pass 0 and carries more
                 # passes therefore signals TWO lengths.
-                if (self.cp.cblk_style & 0x40 and cb.num_passes == 0
-                        and npasses > 1):
+                if (self.cp.for_comp(c).cblk_style & 0x40
+                        and cb.num_passes == 0 and npasses > 1):
                     seg_groups = [1, npasses - 1]
                 else:
                     seg_groups = [npasses]
@@ -219,7 +219,7 @@ class PacketEncoder:
         self.plans: Dict[Tuple[int, int, int, int], List[_EncCblk]] = {}
         for c in range(ncomp):
             for res in resolutions[c]:
-                np_, states = _build_precinct_states(cp, res)
+                np_, states = _build_precinct_states(cp.for_comp(c), res)
                 self.nprec[(c, res.r)] = np_
                 for (p, bi), ps in states.items():
                     self.state[(c, res.r, p, bi)] = ps

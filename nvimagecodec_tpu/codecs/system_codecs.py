@@ -110,9 +110,10 @@ class WebpSystemDecoder(DecoderPlugin):
 
 class OpjJpeg2kDecoder(DecoderPlugin):
     """JPEG2000 last-resort fallback via system libopenjp2 for stream
-    features the native decoder rejects (per-component COC/QCC, subsampled
-    or signed components, mixed HT/EBCOT code-block styles). Plain HTJ2K
-    is decoded natively (native/j2k_ht.cpp) and never reaches this rung.
+    features the native decoder rejects (subsampled or signed components,
+    mixed HT/EBCOT code-block styles). Per-component COC/QCC overrides and
+    plain HTJ2K are decoded natively (codestream.py, native/j2k_ht.cpp)
+    and never reach this rung.
     The same lowest-rung pattern as the reference's opencv extension; the
     bridge self-validates its hand-declared ABI before registering
     (native/opj_bridge.py)."""

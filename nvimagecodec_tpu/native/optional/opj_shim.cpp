@@ -272,4 +272,118 @@ int tic_opj_encode_lossless(const uint8_t* pix, int w, int h, int ncomp,
   return 0;
 }
 
+
+// Decode ONE component's plane (subsampled streams have per-component
+// dims; the interleaved tic_opj_decode rejects those). Returns 0 ok.
+int tic_opj_decode_comp(const uint8_t* data, uint64_t len, int is_jp2,
+                        int comp, int32_t* out, int64_t cap, int32_t* ow,
+                        int32_t* oh, int32_t* oprec, int32_t* osgnd,
+                        int32_t* odx, int32_t* ody, int32_t* oncomp) {
+  void* codec = opj_create_decompress(is_jp2 ? 2 : 0);
+  if (!codec) return 1;
+  void* params = calloc(1, 1 << 16);
+  opj_set_default_decoder_parameters(params);
+  if (!opj_setup_decoder(codec, params)) {
+    free(params);
+    opj_destroy_codec(codec);
+    return 2;
+  }
+  free(params);
+  MemStream ms{data, len, 0};
+  void* stream = opj_stream_create(1 << 20, 1);
+  opj_stream_set_read_function(stream, mem_read);
+  opj_stream_set_skip_function(stream, mem_skip);
+  opj_stream_set_seek_function(stream, mem_seek);
+  opj_stream_set_user_data(stream, &ms, nullptr);
+  opj_stream_set_user_data_length(stream, len);
+  opj_image_t* image = nullptr;
+  int rc = 0;
+  if (!opj_read_header(stream, codec, &image)) {
+    rc = 3;
+  } else if (!opj_decode(codec, stream, image) ||
+             !opj_end_decompress(codec, stream)) {
+    rc = 4;
+  } else if (comp < 0 || (uint32_t)comp >= image->numcomps) {
+    rc = 5;
+  } else {
+    opj_image_comp_t* cc = &image->comps[comp];
+    if ((int64_t)cc->w * cc->h > cap) {
+      rc = 7;
+    } else {
+      memcpy(out, cc->data, (uint64_t)cc->w * cc->h * 4);
+      *ow = (int32_t)cc->w;
+      *oh = (int32_t)cc->h;
+      *oprec = (int32_t)cc->prec;
+      *osgnd = (int32_t)cc->sgnd;
+      *odx = (int32_t)cc->dx;
+      *ody = (int32_t)cc->dy;
+      *oncomp = (int32_t)image->numcomps;
+    }
+  }
+  if (image) opj_image_destroy(image);
+  opj_stream_destroy(stream);
+  opj_destroy_codec(codec);
+  return rc;
+}
+
+// Lossless-encode PLANAR int32 components with per-component subsampling
+// and signedness (oracle generator for subsampled / signed conformance
+// streams). planes: ncomp pointers, each ceil(w/dx)*ceil(h/dy) samples.
+int tic_opj_encode_planes(const int32_t* const* planes, int w, int h,
+                          int ncomp, const int32_t* dx, const int32_t* dy,
+                          int prec, int sgnd, int is_jp2, uint8_t** out,
+                          uint64_t* outlen) {
+  opj_image_cmptparm_t parms[4];
+  memset(parms, 0, sizeof(parms));
+  for (int c = 0; c < ncomp; c++) {
+    parms[c].dx = (uint32_t)dx[c];
+    parms[c].dy = (uint32_t)dy[c];
+    parms[c].w = (uint32_t)((w + dx[c] - 1) / dx[c]);
+    parms[c].h = (uint32_t)((h + dy[c] - 1) / dy[c]);
+    parms[c].prec = (uint32_t)prec;
+    parms[c].sgnd = (uint32_t)sgnd;
+  }
+  opj_image_t* image = opj_image_create((uint32_t)ncomp, parms,
+                                        ncomp >= 3 ? 1 : 2);
+  if (!image) return 1;
+  image->x0 = 0;
+  image->y0 = 0;
+  image->x1 = (uint32_t)w;
+  image->y1 = (uint32_t)h;
+  for (int c = 0; c < ncomp; c++) {
+    int64_t n = (int64_t)parms[c].w * parms[c].h;
+    memcpy(image->comps[c].data, planes[c], (uint64_t)n * 4);
+  }
+  void* codec = opj_create_compress(is_jp2 ? 2 : 0);
+  void* params = calloc(1, 1 << 16);
+  opj_set_default_encoder_parameters(params);
+  if (!opj_setup_encoder(codec, params, image)) {
+    free(params);
+    opj_image_destroy(image);
+    opj_destroy_codec(codec);
+    return 2;
+  }
+  free(params);
+  GrowBuf gb{nullptr, 0, 0, 0};
+  void* stream = opj_stream_create(1 << 20, 0);
+  opj_stream_set_write_function(stream, gb_write);
+  opj_stream_set_skip_function(stream, gb_skip);
+  opj_stream_set_seek_function(stream, gb_seek);
+  opj_stream_set_user_data(stream, &gb, nullptr);
+  int rc = 0;
+  if (!opj_start_compress(codec, image, stream) ||
+      !opj_encode(codec, stream) || !opj_end_compress(codec, stream))
+    rc = 3;
+  opj_stream_destroy(stream);
+  opj_image_destroy(image);
+  opj_destroy_codec(codec);
+  if (rc) {
+    free(gb.data);
+    return rc;
+  }
+  *out = gb.data;
+  *outlen = gb.len;
+  return 0;
+}
+
 }  // extern "C"
