@@ -322,16 +322,18 @@ def cblk_grid_precinct(
 
 
 def progression_iter(cp: CodingParams, resolutions, ncomp: int,
-                     tcx0: int, tcy0: int):
+                     tcx0: int, tcy0: int, sub=None):
     """Yield (layer, r, c, p) in the tile's progression order for all five
     T.800 B.12 orders, precinct-aware. Position-based orders (RPCL/PCRL/CPRL)
     order precincts by their projected reference-grid anchor — the top-left
-    sample position of the precinct within the tile (T.800 B.12.1.3-5).
-    `resolutions`: comp -> [Resolution]."""
+    sample position of the precinct within the tile (T.800 B.12.1.3-5);
+    for subsampled components the projection multiplies by XRsiz/YRsiz
+    (`sub`: [(dx, dy)] per component). `resolutions`: comp -> [Resolution]."""
     L = cp.num_layers
     entries = []  # (c, r, p, anchor_y, anchor_x)
     for c in range(ncomp):
         cc = cp.for_comp(c)
+        dx, dy = sub[c] if sub else (1, 1)
         for res in resolutions[c]:
             r = res.r
             ppx, ppy = cc.pp(r)
@@ -339,8 +341,8 @@ def progression_iter(cp: CodingParams, resolutions, ncomp: int,
             scale = cc.levels - r
             for p in range(npx * npy):
                 _, (gx, gy) = precinct_rect(res, ppx, ppy, p)
-                ax = max(tcx0, gx << scale)
-                ay = max(tcy0, gy << scale)
+                ax = max(tcx0, (gx << scale) * dx)
+                ay = max(tcy0, (gy << scale) * dy)
                 entries.append((c, r, p, ay, ax))
 
     po = cp.prog_order

@@ -510,8 +510,18 @@ def decode_j2k(
     discard_levels: int = 0,
     mesh=None,
     region=None,
+    planar: bool = False,
 ) -> np.ndarray:
-    """Decode JP2/J2K bytes → [H, W] or [H, W, C] u8/u16.
+    """Decode JP2/J2K bytes → [H, W] or [H, W, C] u8/u16 (i8/i16 when the
+    SIZ declares signed components — no DC level shift, T.800 G.1).
+
+    Subsampled components (XRsiz/YRsiz > 1, T.800 A.5.1) decode natively:
+    each component's tile-grid, resolutions and progression anchors live in
+    its own component coordinates (the reference parses these in
+    src/parsers/jpeg2k.cpp:280-356 and nvjpeg2k decodes them natively).
+    With planar=True the per-component planes are returned exactly as coded
+    (a list of [h_c, w_c] arrays); the default interleaved output replicates
+    subsampled components onto the full reference grid.
 
     discard_levels > 0 reconstructs at a reduced resolution (the classic
     JPEG2000 multi-resolution decode): the top `discard_levels` resolutions'
@@ -532,10 +542,11 @@ def decode_j2k(
     exchange (ops/dwt.idwt2d_rows_sharded). Bit-exact for reversible."""
     cs = unwrap_jp2(bytes(data))
     siz, cp, pos = parse_main_header(cs, 0)
-    if any(s != 1 for s in siz.sub_x + siz.sub_y):
-        raise ValueError("J2K: component subsampling not supported")
-    if any(siz.signed):
-        raise ValueError("J2K: signed components not supported")
+    if len(set(siz.depth)) > 1 or len(set(siz.signed)) > 1:
+        raise ValueError("J2K: mixed component depth/signedness not supported")
+    sub = list(zip(siz.sub_x, siz.sub_y))
+    subsampled = any(s != (1, 1) for s in sub)
+    signed = bool(siz.signed and siz.signed[0])
     if (siz.tx0 | siz.ty0 | siz.x0 | siz.y0) % 2 or siz.tile_w % 2:
         if siz.tiles_x * siz.tiles_y > 1:
             raise ValueError("J2K: odd tile origins not supported")
@@ -562,26 +573,47 @@ def decode_j2k(
         raise ValueError(
             "J2K: discard_levels with per-component COC not supported")
     depth = siz.depth[0]
-    dtype = np.uint16 if depth > 8 else np.uint8
+    if signed:
+        dtype = np.int16 if depth > 8 else np.int8
+    else:
+        dtype = np.uint16 if depth > 8 else np.uint8
     discard_levels = max(0, min(discard_levels, cp.levels))
     keep_levels = cp.levels - discard_levels
     d = 1 << discard_levels
     out_h = ceil_div(siz.height, d) - ceil_div(siz.y0, d)
     out_w = ceil_div(siz.width, d) - ceil_div(siz.x0, d)
+    # per-component reduced-grid divisors and output dims (component domain
+    # ceil(v/dx) reduced by 2^discard: ceil-div composes to one divisor)
+    fx = [sub[c][0] * d for c in range(C)]
+    fy = [sub[c][1] * d for c in range(C)]
+    co_h = [ceil_div(siz.height, fy[c]) - ceil_div(siz.y0, fy[c])
+            for c in range(C)]
+    co_w = [ceil_div(siz.width, fx[c]) - ceil_div(siz.x0, fx[c])
+            for c in range(C)]
 
     # ROI: absolute codestream coordinates of the requested region
-    roi = None
+    roi = post_crop = None
     if region is not None and discard_levels == 0:
         ay0 = siz.y0 + int(region.start_y)
         ax0 = siz.x0 + int(region.start_x)
         ay1 = siz.y0 + int(region.end_y)
         ax1 = siz.x0 + int(region.end_x)
         if siz.y0 <= ay0 < ay1 <= siz.height and siz.x0 <= ax0 < ax1 <= siz.width:
-            roi = (ay0, ax0, ay1, ax1)
-    out = np.zeros(
-        (roi[2] - roi[0], roi[3] - roi[1], C) if roi else (out_h, out_w, C),
-        dtype,
-    )
+            if subsampled:
+                # component grids disagree with the region's full-grid
+                # coordinates: decode full, crop the interleaved output
+                post_crop = (ay0 - siz.y0, ax0 - siz.x0,
+                             ay1 - siz.y0, ax1 - siz.x0)
+            else:
+                roi = (ay0, ax0, ay1, ax1)
+    if subsampled:
+        plane_out = [np.zeros((co_h[c], co_w[c]), dtype) for c in range(C)]
+        out = None
+    else:
+        out = np.zeros(
+            (roi[2] - roi[0], roi[3] - roi[1], C) if roi else (out_h, out_w, C),
+            dtype,
+        )
 
     pool = ThreadPoolExecutor(max_workers=num_threads or 8)
     border = _band_order(cp)
@@ -590,6 +622,7 @@ def decode_j2k(
     uniform_grid = (
         (use_jax or mesh is not None)
         and not cp.comp_overrides
+        and not subsampled and not signed
         and discard_levels == 0
         and roi is None
         and ntiles_total > 1
@@ -609,12 +642,21 @@ def decode_j2k(
         rx0, ry0 = ceil_div(tx0, d), ceil_div(ty0, d)
         rx1, ry1 = ceil_div(tx1, d), ceil_div(ty1, d)
         th, tw = ry1 - ry0, rx1 - rx0
-        resolutions = {c: build_resolutions(tx0, ty0, tx1, ty1,
+        # per-component tile rects in component coordinates (T.800 B.3)
+        tcr = [(ceil_div(tx0, sub[c][0]), ceil_div(ty0, sub[c][1]),
+                ceil_div(tx1, sub[c][0]), ceil_div(ty1, sub[c][1]))
+               for c in range(C)]
+        tdims = [(ceil_div(tcr[c][3], d) - ceil_div(tcr[c][1], d),
+                  ceil_div(tcr[c][2], d) - ceil_div(tcr[c][0], d))
+                 for c in range(C)]
+        resolutions = {c: build_resolutions(tcr[c][0], tcr[c][1],
+                                            tcr[c][2], tcr[c][3],
                                             ccs[c].levels)
                        for c in range(C)}
         pdec = PacketDecoder(siz, cp, resolutions)
         br = HeaderBitReader(tdata, 0)
-        for l, r, c, p in progression_iter(cp, resolutions, C, tx0, ty0):
+        for l, r, c, p in progression_iter(cp, resolutions, C, tx0, ty0,
+                                           sub=sub):
             if br.pos > len(tdata):
                 raise ValueError("J2K: tile data exhausted mid-packet")
             pdec.read_packet(br, c, r, l, p)
@@ -701,6 +743,7 @@ def decode_j2k(
         ntiles = siz.tiles_x * siz.tiles_y
         if ((use_jax or mesh is not None) and ntiles == 1
                 and not cp.comp_overrides
+                and not subsampled and not signed
                 and discard_levels == 0 and roi is None):
             # device pixel stage: all components' subbands stacked and run
             # through one jitted IDWT+MCT+shift call; output stays on device
@@ -738,11 +781,11 @@ def decode_j2k(
                 r = cc.levels - lev + 1
                 bands_f.append((decoded[c][(r, 0)], decoded[c][(r, 1)],
                                 decoded[c][(r, 2)]))
-            plane = dwt_ops.idwt2d(LL, bands_f, (th, tw), cc.reversible)
+            plane = dwt_ops.idwt2d(LL, bands_f, tdims[c], cc.reversible)
             planes.append(plane)
 
-        # inverse MCT + level shift
-        if cp.mct and C == 3:
+        # inverse MCT + level shift (MCT needs equal component grids)
+        if cp.mct and C == 3 and sub[0] == sub[1] == sub[2]:
             y, cb_, cr = planes
             if cp.reversible:  # inverse RCT
                 g = y - ((cb_ + cr) >> 2)
@@ -753,14 +796,21 @@ def decode_j2k(
                 g = y - 0.344136 * cb_ - 0.714136 * cr
                 b_ = y + 1.772 * cb_
             planes = [r_, g, b_]
-        shift = 1 << (depth - 1)
-        maxv = (1 << depth) - 1
+        # signed components carry no DC level shift (T.800 G.1)
+        shift = 0 if signed else 1 << (depth - 1)
+        minv = -(1 << (depth - 1)) if signed else 0
+        maxv = (1 << (depth - 1)) - 1 if signed else (1 << depth) - 1
         for c in range(C):
             p = planes[c]
             if not ccs[c].reversible:
                 p = np.round(p)
-            p = np.clip(p + shift, 0, maxv).astype(dtype)
-            if roi is not None:
+            p = np.clip(p + shift, minv, maxv).astype(dtype)
+            if subsampled:
+                cy0 = ceil_div(ty0, fy[c]) - ceil_div(siz.y0, fy[c])
+                cx0 = ceil_div(tx0, fx[c]) - ceil_div(siz.x0, fx[c])
+                plane_out[c][cy0 : cy0 + tdims[c][0],
+                             cx0 : cx0 + tdims[c][1]] = p
+            elif roi is not None:
                 iy0, ix0 = max(ty0, roi[0]), max(tx0, roi[1])
                 iy1, ix1 = min(ty1, roi[2]), min(tx1, roi[3])
                 out[iy0 - roi[0] : iy1 - roi[0],
@@ -804,4 +854,32 @@ def decode_j2k(
         img = fn(LL_all, bands_all)
         return img[:, :, 0] if C == 1 else img
 
+    if subsampled:
+        if planar:
+            return plane_out
+        # interleave on the full reference grid by sample replication
+        # (comp sample at c-coord v covers grid columns [v*dx, (v+1)*dx))
+        full = np.empty((out_h, out_w, C), dtype)
+        for c in range(C):
+            a = plane_out[c]
+            if sub[c] != (1, 1):
+                a = np.repeat(np.repeat(a, sub[c][1], 0), sub[c][0], 1)
+                # component origin ceil(y0/fy)*sy may start below the
+                # image origin row ceil(y0/d): edge-pad the gap
+                py = ceil_div(siz.y0, fy[c]) * sub[c][1] - ceil_div(siz.y0, d)
+                px = ceil_div(siz.x0, fx[c]) * sub[c][0] - ceil_div(siz.x0, d)
+                if py or px:
+                    a = np.pad(a, ((py, 0), (px, 0)), mode="edge")
+                a = a[:out_h, :out_w]
+                if a.shape != (out_h, out_w):
+                    a = np.pad(a, ((0, out_h - a.shape[0]),
+                                   (0, out_w - a.shape[1])), mode="edge")
+            full[:, :, c] = a
+        if post_crop is not None:
+            full = full[post_crop[0] : post_crop[2],
+                        post_crop[1] : post_crop[3]]
+        return full[:, :, 0] if C == 1 else full
+
+    if planar:
+        return [out[:, :, c] for c in range(C)]
     return out[:, :, 0] if C == 1 else out

