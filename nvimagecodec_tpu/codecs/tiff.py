@@ -189,8 +189,19 @@ class TiffDirectory:
         self.colormap = t.get(T_COLORMAP)
 
 
-def decode_tiff(data: bytes) -> np.ndarray:
-    """Decode the first IFD to [H, W(, C)] u8/u16 natural samples."""
+def decode_tiff(data: bytes, region=None, work=None) -> np.ndarray:
+    """Decode the first IFD to [H, W(, C)] u8/u16 natural samples.
+
+    region: optional (y0, x0, y1, x1) true-ROI decode — only strips/tiles
+    that intersect the region are decompressed; returns exactly the region
+    (reference analog: the libtiff extension's region decode,
+    extensions/libtiff/libtiff_decoder.cpp). Bit-identical to cropping a
+    full decode (strip rows are predictor-independent; predictor-2 rows are
+    undone full-width before the column crop).
+
+    work: optional dict, filled with {"units": decompressed strip/tile
+    count, "units_total": total in the file} — lets tests assert ROI skips
+    work without flaky wall-clock timing."""
     d = TiffDirectory(data)
     W, H, spp, bps = d.width, d.height, d.spp, d.bps
     if bps not in (1, 2, 4, 8, 16):
@@ -200,6 +211,16 @@ def decode_tiff(data: bytes) -> np.ndarray:
 
     nplanes = spp if d.planar == 2 else 1
     cpp = 1 if d.planar == 2 else spp  # channels per stored plane
+
+    if region is not None:
+        ry0, rx0, ry1, rx1 = region
+        ry0, rx0 = max(0, int(ry0)), max(0, int(rx0))
+        ry1, rx1 = min(H, int(ry1)), min(W, int(rx1))
+        if not (ry0 < ry1 and rx0 < rx1):
+            raise ValueError("TIFF: empty region")
+    else:
+        ry0, rx0, ry1, rx1 = 0, 0, H, W
+    rh, rw = ry1 - ry0, rx1 - rx0
 
     def bits_to_bytes(nbits: int) -> int:
         return (nbits + 7) // 8
@@ -216,7 +237,8 @@ def decode_tiff(data: bytes) -> np.ndarray:
         expanded = (raw[:, :, None] >> shifts[None, None, :]) & ((1 << bps) - 1)
         return expanded.reshape(raw.shape[0], -1)[:, :width_samples]
 
-    planes = np.zeros((nplanes, H, W * cpp), dtype)
+    planes = np.zeros((nplanes, rh, rw * cpp), dtype)
+    units = units_total = 0
 
     if d.tiled:
         tw = d.tags[T_TILE_W][0]
@@ -226,22 +248,31 @@ def decode_tiff(data: bytes) -> np.ndarray:
         tiles_x = (W + tw - 1) // tw
         tiles_y = (H + th - 1) // th
         rowbytes = bits_to_bytes(tw * cpp * bps)
-        idx = 0
+        units_total = nplanes * tiles_y * tiles_x
         for s in range(nplanes):
             for ty in range(tiles_y):
+                iy0 = max(ry0, ty * th)
+                iy1 = min(ry1, min(H, (ty + 1) * th))
+                if iy0 >= iy1:
+                    continue
                 for tx in range(tiles_x):
+                    ix0 = max(rx0, tx * tw)
+                    ix1 = min(rx1, min(W, (tx + 1) * tw))
+                    if ix0 >= ix1:
+                        continue
+                    idx = (s * tiles_y + ty) * tiles_x + tx
                     src = data[offsets[idx] : offsets[idx] + counts[idx]]
-                    idx += 1
                     raw = _decompress(src, d.compression, rowbytes * th)
                     rows = np.frombuffer(raw.ljust(rowbytes * th, b"\0"),
                                          np.uint8).reshape(th, rowbytes)
                     samples = expand_row_bytes(rows, tw * cpp)
                     if d.predictor == 2:
                         samples = _undo_predictor(samples.astype(dtype), cpp)
-                    y0, x0 = ty * th, tx * tw * cpp
-                    hh = min(th, H - y0)
-                    ww = min(tw, W - tx * tw) * cpp
-                    planes[s, y0 : y0 + hh, x0 : x0 + ww] = samples[:hh, :ww]
+                    units += 1
+                    planes[s, iy0 - ry0 : iy1 - ry0,
+                           (ix0 - rx0) * cpp : (ix1 - rx0) * cpp] = samples[
+                        iy0 - ty * th : iy1 - ty * th,
+                        (ix0 - tx * tw) * cpp : (ix1 - tx * tw) * cpp]
     else:
         offsets = d.tags[T_STRIP_OFFSETS]
         counts = d.tags.get(T_STRIP_COUNTS, [len(data) - offsets[0]])
@@ -249,26 +280,35 @@ def decode_tiff(data: bytes) -> np.ndarray:
         rps = min(rps, H)
         strips_per_plane = (H + rps - 1) // rps
         rowbytes = bits_to_bytes(W * cpp * bps)
-        idx = 0
+        units_total = nplanes * strips_per_plane
         for s in range(nplanes):
             for si in range(strips_per_plane):
                 y0 = si * rps
                 nrows = min(rps, H - y0)
+                iy0, iy1 = max(ry0, y0), min(ry1, y0 + nrows)
+                if iy0 >= iy1:
+                    continue  # strip outside the region: never decompressed
+                idx = s * strips_per_plane + si
                 src = data[offsets[idx] : offsets[idx] + counts[idx]]
-                idx += 1
                 raw = _decompress(src, d.compression, rowbytes * nrows)
                 rows = np.frombuffer(raw.ljust(rowbytes * nrows, b"\0"),
                                      np.uint8).reshape(nrows, rowbytes)
                 samples = expand_row_bytes(rows, W * cpp)
                 if d.predictor == 2:
                     samples = _undo_predictor(samples.astype(dtype), cpp)
-                planes[s, y0 : y0 + nrows] = samples
+                units += 1
+                planes[s, iy0 - ry0 : iy1 - ry0] = samples[
+                    iy0 - y0 : iy1 - y0, rx0 * cpp : rx1 * cpp]
+
+    if work is not None:
+        work["units"] = units
+        work["units_total"] = units_total
 
     # assemble channels
     if d.planar == 2:
-        img = np.stack([planes[s].reshape(H, W) for s in range(spp)], axis=-1)
+        img = np.stack([planes[s].reshape(rh, rw) for s in range(spp)], axis=-1)
     else:
-        img = planes[0].reshape(H, W, spp)
+        img = planes[0].reshape(rh, rw, spp)
 
     # photometric handling
     if d.photometric == 0:  # white-is-zero
@@ -426,9 +466,20 @@ class TiffCpuDecoder(DecoderPlugin):
 
     def decode_batch(self, data_batch, info_batch, params) -> List[DecodeResult]:
         out = []
-        for data in data_batch:
+        for data, info in zip(data_batch, info_batch):
             try:
-                img = decode_tiff(bytes(data))
+                # true ROI: skip strips/tiles outside the region (reference:
+                # libtiff extension region decode). Declined on rotated
+                # images — the region is in display space, strips are in
+                # stream space (same policy as the JPEG codec).
+                region = None
+                if params.enable_roi and params.region is not None:
+                    o = getattr(info, "orientation", None)
+                    if (not params.apply_exif_orientation or o is None
+                            or int(o) == 1):
+                        rg = params.region
+                        region = (rg.start_y, rg.start_x, rg.end_y, rg.end_x)
+                img = decode_tiff(bytes(data), region=region)
                 if not params.allow_any_depth and img.dtype == np.uint16:
                     img = (img >> 8).astype(np.uint8)
                 out.append(DecodeResult(ProcessingStatus.SUCCESS, img))

@@ -162,3 +162,54 @@ def test_roi_out_of_bounds_falls_back(photo):
     out = nic.Decoder().decode(data, nic.DecodeParams(enable_roi=True, region=rg))
     full = np.asarray(nic.Decoder().decode(data))
     assert np.array_equal(np.asarray(out), full[250:500, 350:600])
+
+
+@pytest.mark.parametrize("kw", [
+    dict(rows_per_strip=16),
+    dict(rows_per_strip=16, compression=5, predictor=2),
+    dict(tile_size=64, compression=8),
+    dict(tile_size=64, planar=2, compression=5),
+])
+def test_tiff_roi_bit_identical(photo, kw):
+    """TIFF native ROI: strip/tile subset decode, bit-identical to a full
+    decode crop (reference: libtiff extension region decode,
+    extensions/libtiff/libtiff_decoder.cpp)."""
+    _assert_roi_exact(oracle.tiff_encode(photo, **kw))
+
+
+def test_tiff_roi_skips_work(photo):
+    """Only strips/tiles covering the region are decompressed (work
+    counters, not wall clock — VERDICT r2 item 7 policy)."""
+    from nvimagecodec_tpu.codecs.tiff import decode_tiff
+
+    # strips: region covers rows 41..173 of 300 → strips 2..10 of 19
+    data = oracle.tiff_encode(photo, rows_per_strip=16, compression=5)
+    w = {}
+    roi = decode_tiff(data, region=(41, 67, 173, 305), work=w)
+    full = decode_tiff(data)
+    assert np.array_equal(roi, full[41:173, 67:305])
+    assert w["units_total"] == -(-300 // 16)
+    assert w["units"] == 173 // 16 - 41 // 16 + 1  # 9 of 19
+
+    # tiles: 64x64 grid over 300x400 → region touches rows 0..2, cols 1..4
+    data = oracle.tiff_encode(photo, tile_size=64, compression=8)
+    w = {}
+    roi = decode_tiff(data, region=(41, 67, 173, 305), work=w)
+    assert np.array_equal(roi, full[41:173, 67:305])
+    ty = 173 // 64 - 41 // 64 + 1
+    tx = 304 // 64 - 67 // 64 + 1
+    assert w["units"] == ty * tx < w["units_total"]
+
+
+def test_tiff_roi_16bit_and_gray(photo):
+    g16 = ((photo[..., 0].astype(np.uint16)) << 8) | photo[..., 1]
+    data = oracle.tiff_encode(g16, rows_per_strip=8, compression=5,
+                              predictor=2)
+    dec = nic.Decoder()
+    p = nic.DecodeParams(enable_roi=True, region=REGION,
+                         allow_any_depth=True)
+    full = np.asarray(dec.decode(data, nic.DecodeParams(allow_any_depth=True)))
+    roi = np.asarray(dec.decode(data, p))
+    assert roi.dtype == np.uint16
+    assert np.array_equal(
+        roi, full[REGION.start_y:REGION.end_y, REGION.start_x:REGION.end_x])
