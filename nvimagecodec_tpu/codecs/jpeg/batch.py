@@ -655,6 +655,7 @@ def decode_batch_tpu(data_batch, params: DecodeParams, fancy: bool = True,
         from .native import (
             decode_coefficients_into,
             decode_coefficients_packed_into,
+            pack_coefficients_into,
         )
 
         have_native = True
@@ -714,8 +715,11 @@ def decode_batch_tpu(data_batch, params: DecodeParams, fancy: bool = True,
             b = len(idxs)
             bpad = max(_next_pow2(b), dp)  # dp shards need equal rows
             _, _, dims = frame0.mcu_geometry()
-            # packed wire unless progressive (needs int16 refinement state)
-            can_pack = (have_native and not frame0.is_progressive
+            # packed wire for everyone: baseline streams write it directly
+            # at scan time; progressive streams decode wide (refinement
+            # needs int16 read-modify-write) and pack after — the wire win
+            # is H2D bytes either way (72 or 56 B/block vs 128)
+            can_pack = (have_native
                         and not os.environ.get("TIC_NO_PACKED_WIRE"))
             with _LEVEL_LOCK:
                 level = _LEVEL_MEMO.get(key, 0)
@@ -776,10 +780,21 @@ def decode_batch_tpu(data_batch, params: DecodeParams, fancy: bool = True,
                         hi_slots.append(
                             row[hi_off:hi_off + bh * bw * _PACK_HEAD]
                             .view(np.int8).reshape(bh, bw, _PACK_HEAD))
-                    rc = decode_coefficients_packed_into(
-                        frames[i], raws[i], lo_slots, hi_slots)
-                    if rc != 0:
-                        overflow[0] = True
+                    if frames[i].is_progressive:
+                        # refinement scans need int16 state: decode wide
+                        # into scratch, then pack onto the same wire
+                        scratch = [np.empty((bh, bw, 64), np.int16)
+                                   for (bw, bh) in dims]
+                        decode_coefficients_into(frames[i], raws[i], scratch)
+                        for c in range(ncomp):
+                            if not pack_coefficients_into(
+                                    scratch[c], lo_slots[c], hi_slots[c]):
+                                overflow[0] = True
+                    else:
+                        rc = decode_coefficients_packed_into(
+                            frames[i], raws[i], lo_slots, hi_slots)
+                        if rc != 0:
+                            overflow[0] = True
                     return i
 
                 # sharded puts scatter the whole wire to the mesh in one go

@@ -95,9 +95,12 @@ def decode_coefficients_packed_into(frame: JpegFrame, data: bytes,
 def pack_coefficients_into(coef: np.ndarray, lo: np.ndarray,
                            hi: np.ndarray) -> bool:
     """Pack one component's natural-order [bh, bw, 64] int16 blocks into the
-    compact wire: lo [bh, bw, 64] uint8 (zigzag order) + hi [bh, bw, 8] int8
-    (high bytes of zigzag 0..7). Returns False if a tail coefficient does not
-    fit int8 (caller must ship the wide int16 wire instead). GIL-released."""
+    compact wire: lo [bh, bw, lo_len] uint8 (zigzag order, possibly
+    truncated) + hi [bh, bw, 8] int8 (high bytes of zigzag 0..7). This is
+    how progressive streams reach the packed wire (their refinement scans
+    need the int16 intermediate). Returns False if a tail coefficient does
+    not fit int8 or a truncated position is nonzero (caller widens the
+    wire). GIL-released."""
     L = lib()
     assert coef.dtype == np.int16 and coef.flags.c_contiguous
     assert lo.dtype == np.uint8 and lo.flags.c_contiguous
@@ -106,6 +109,7 @@ def pack_coefficients_into(coef: np.ndarray, lo: np.ndarray,
     rc = L.tic_jpeg_pack_coefficients(
         coef.ctypes.data_as(c_i16p), nblocks,
         lo.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        lo.shape[2],
         hi.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
     )
     return rc == 0

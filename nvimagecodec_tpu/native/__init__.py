@@ -87,7 +87,7 @@ def _declare(L: ctypes.CDLL) -> None:
     L.tic_jpeg_decode_coefficients_packed.restype = ctypes.c_int
     L.tic_jpeg_pack_coefficients.argtypes = [
         c_i16p, ctypes.c_int64, ctypes.POINTER(ctypes.c_uint8),
-        ctypes.POINTER(ctypes.c_int8),
+        ctypes.c_int32, ctypes.POINTER(ctypes.c_int8),
     ]
     L.tic_jpeg_pack_coefficients.restype = ctypes.c_int
     L.tic_jpeg_split_segments.argtypes = [

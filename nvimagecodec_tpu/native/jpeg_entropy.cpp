@@ -1168,31 +1168,36 @@ int tic_jpeg_decode_coefficients_packed(const uint8_t* data, size_t len,
 }
 
 // Pack natural-order int16 coefficient blocks into the compact device wire
-// format: per block, 64 low bytes in ZIGZAG order plus the high bytes of the
-// first 8 zigzag coefficients (where large values live). 72 bytes/block vs
-// 128 — the H2D transfer is the hybrid decode's bottleneck, so the host
-// trades one linear pass for ~44% fewer wire bytes (the reference's analog
-// is keeping the host→device handoff inside nvjpeg's pinned buffers,
-// extensions/nvjpeg/cuda_decoder.cpp:539-556). Returns 1 if any coefficient
-// beyond zigzag position 7 falls outside int8 (caller must fall back to the
-// wide int16 wire), else 0.
+// format: per block, lo_len low bytes in ZIGZAG order plus the high bytes
+// of the first 8 zigzag coefficients (where large values live). 72
+// bytes/block (lo_len=64) vs 128 — the H2D transfer is the hybrid decode's
+// bottleneck, so the host trades one linear pass for ~44% fewer wire bytes
+// (the reference's analog is keeping the host→device handoff inside
+// nvjpeg's pinned buffers, extensions/nvjpeg/cuda_decoder.cpp:539-556).
+// This is the progressive-stream route onto the packed wire: refinement
+// scans need int16 read-modify-write, so they decode wide first and pack
+// after. Returns 1 if any coefficient beyond zigzag position 7 falls
+// outside int8, or a coefficient beyond the truncated lo_len is nonzero
+// (caller must fall back to a wider wire), else 0.
 int tic_jpeg_pack_coefficients(const int16_t* coef, int64_t nblocks,
-                               uint8_t* lo, int8_t* hi) {
+                               uint8_t* lo, int32_t lo_len, int8_t* hi) {
   int overflow = 0;
   for (int64_t b = 0; b < nblocks; b++) {
     const int16_t* blk = coef + b * 64;
-    uint8_t* plo = lo + b * 64;
+    uint8_t* plo = lo + b * lo_len;
     int8_t* phi = hi + b * 8;
     for (int k = 0; k < 8; k++) {
       int v = blk[kNat[k]];
       plo[k] = (uint8_t)(v & 0xFF);
       phi[k] = (int8_t)(v >> 8);
     }
-    for (int k = 8; k < 64; k++) {
+    for (int k = 8; k < lo_len; k++) {
       int v = blk[kNat[k]];
       plo[k] = (uint8_t)(v & 0xFF);
       overflow |= (v + 128) & ~255;  // nonzero iff v < -128 or v > 127
     }
+    for (int k = lo_len; k < 64; k++)
+      overflow |= blk[kNat[k]];  // truncated positions must be zero
   }
   return overflow ? 1 : 0;
 }
