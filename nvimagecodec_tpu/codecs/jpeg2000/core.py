@@ -75,6 +75,88 @@ def _synth_gain(band: Band) -> float:
     return base * orient
 
 
+_MSE_GAIN_CACHE: Dict[Tuple[int, int, int], float] = {}
+
+
+def _band_mse_gain(levels: int, r: int, bi: int) -> float:
+    """Squared L2 synthesis gain of one 9/7 coefficient of band (r, bi):
+    pixel-domain energy of a unit coefficient impulse (numeric estimate,
+    cached per levels config). Lets the rate allocator convert per-band
+    quantization error into decoded-pixel MSE without re-encoding — the
+    single-pass analog of nvjpeg2k's native rate allocator
+    (reference: extensions/nvjpeg2k/cuda_encoder.cpp target_psnr)."""
+    key = (levels, r, bi)
+    g = _MSE_GAIN_CACHE.get(key)
+    if g is not None:
+        return g
+    N = 1 << max(6, levels + 4)
+    res = build_resolutions(0, 0, N, N, levels)
+    LL = np.zeros((res[0].bands[0].h, res[0].bands[0].w))
+    bands_f = []
+    for lev in range(1, levels + 1):
+        rr = levels - lev + 1
+        bs = res[rr].bands
+        bands_f.append(tuple(np.zeros((b.h, b.w)) for b in bs))
+    if r == 0:
+        LL[LL.shape[0] // 2, LL.shape[1] // 2] = 1.0
+    else:
+        tgt = bands_f[levels - r][bi]
+        tgt[tgt.shape[0] // 2, tgt.shape[1] // 2] = 1.0
+    px = dwt_ops.idwt2d(LL, bands_f, (N, N), False)
+    g = float(np.sum(px * px))
+    _MSE_GAIN_CACHE[key] = g
+    return g
+
+
+def _rate_control_base_delta(coeffs, border, resolutions0, levels: int,
+                             depth: int, mct: bool, C: int,
+                             target_psnr: float, npix: int) -> float:
+    """Choose the base quantizer step so the ESTIMATED decoded PSNR hits
+    target_psnr — one DWT-domain bisection instead of decode-measure-
+    re-encode loops. coeffs: [(c, (r, bi), float array)] over all tiles.
+    The estimate models the decoder's midpoint reconstruction
+    ((q + 0.5)Δ) per nonzero coefficient and propagates band error to
+    pixel MSE via the numeric synthesis gains (independent-error model;
+    inverse-ICT row norms weight the channels)."""
+    peak = float((1 << depth) - 1)
+    target_mse = peak * peak / (10.0 ** (target_psnr / 10.0))
+    if mct and C == 3:
+        # inverse-ICT row norms: one unit of Y error reaches all three RGB
+        # channels (3x), Cb reaches G+B, Cr reaches R+G; MSE is then taken
+        # over all H*W*C output samples
+        wc = (3.0,
+              0.344136 ** 2 + 1.772 ** 2,
+              1.402 ** 2 + 0.714136 ** 2)
+    else:
+        wc = (1.0,) * C
+    gains = {(r, bi): _band_mse_gain(levels, r, bi) for (r, bi) in border}
+    sg = {(r, bi): _synth_gain(resolutions0[r].bands[bi])
+          for (r, bi) in border}
+
+    def est_mse(s: float) -> float:
+        tot = 0.0
+        for c, (r, bi), arr in coeffs:
+            d = max(1e-9, s / sg[(r, bi)])
+            a = np.abs(arr).ravel()
+            q = np.floor(a / d)
+            err = np.where(q > 0.0, a - (q + 0.5) * d, a)
+            tot += float(np.dot(err, err)) * gains[(r, bi)] * wc[c]
+        return tot / max(1, npix)
+
+    lo, hi = peak * 1e-5, peak * 4.0
+    if est_mse(lo) >= target_mse:
+        return lo
+    if est_mse(hi) <= target_mse:
+        return hi
+    for _ in range(20):
+        mid = math.sqrt(lo * hi)
+        if est_mse(mid) > target_mse:
+            hi = mid
+        else:
+            lo = mid
+    return math.sqrt(lo * hi)
+
+
 def _delta_to_eps_mu(delta: float, rb: int) -> Tuple[int, int]:
     """Δ = 2^(rb - eps) * (1 + mu / 2^11)  →  (eps, mu)."""
     e = math.floor(math.log2(delta))
@@ -122,6 +204,7 @@ def encode_j2k(
     precincts=None,
     ht: bool = False,
     per_comp=None,
+    target_psnr: float = None,
 ) -> bytes:
     """Encode [H, W] or [H, W, C] u8/u16 → JP2/J2K bytes.
 
@@ -144,7 +227,11 @@ def encode_j2k(
     per_comp: {comp: {"cblk": (w, h), "eps_shift": int}} — emit COC (code
     block size) / QCC (quant exponent shift, reversible only) markers for
     those components (T.800 A.6.2/A.6.5; the reference parses these in
-    src/parsers/jpeg2k.cpp:280-356 and nvjpeg2k decodes them natively)."""
+    src/parsers/jpeg2k.cpp:280-356 and nvjpeg2k decodes them natively).
+    target_psnr: single-pass rate control (irreversible only) — the base
+    quantizer step is chosen by a DWT-domain distortion estimate so the
+    decoded PSNR hits the target with ONE T1 encode, like nvjpeg2k's
+    native rate allocator; overrides `quality`."""
     if img.ndim == 2:
         img = img[:, :, None]
     H, W, C = img.shape
@@ -198,21 +285,28 @@ def encode_j2k(
 
     border = _band_order(cp)
     base_delta = quality_to_base_delta(quality, depth)
+    rate_ctl = target_psnr is not None and not reversible
 
     # ---- phase 1: DWT + quantize every tile, track per-band magnitude
     # maxima so Mb (eps + guard - 1) provably bounds every code-block's
-    # bitplane count (a zero-bitplane clamp would corrupt the stream)
+    # bitplane count (a zero-bitplane clamp would corrupt the stream).
+    # With target_psnr the quantization is deferred: the rate allocator
+    # needs the unquantized coefficients of every tile first.
     deltas: Dict[Tuple[int, int], float] = {}
     eps_mu: Dict[Tuple[int, int], Tuple[int, int]] = {}
-    if not reversible:
-        ref_res = build_resolutions(0, 0, siz.tile_w, siz.tile_h, levels)
+    ref_res = build_resolutions(0, 0, siz.tile_w, siz.tile_h, levels)
+
+    def _set_deltas(bd: float) -> None:
         for (r, bi) in border:
             band = ref_res[r].bands[bi]
             rb = depth + band.gain
-            delta = max(1e-9, base_delta / _synth_gain(band))
+            delta = max(1e-9, bd / _synth_gain(band))
             eps, mu = _delta_to_eps_mu(delta, rb)
             eps_mu[(r, bi)] = (eps, mu)
             deltas[(r, bi)] = _eps_mu_to_delta(eps, mu, rb)
+
+    if not reversible and not rate_ctl:
+        _set_deltas(base_delta)
 
     ntiles = siz.tiles_x * siz.tiles_y
     tile_banddata = []  # per tile: (resolutions, {(c,r,bi): int32 array})
@@ -253,6 +347,9 @@ def encode_j2k(
                 arr = band_arrays[(r, bi)]
                 assert arr.shape == (band.h, band.w), (
                     arr.shape, band.h, band.w, r, bi)
+                if rate_ctl:
+                    arrays[(c, r, bi)] = arr  # float; quantized below
+                    continue
                 if not reversible:
                     d = deltas[(r, bi)]
                     arr = (np.sign(arr) * np.floor(np.abs(arr) / d)).astype(
@@ -264,6 +361,22 @@ def encode_j2k(
                 m = int(np.abs(arr).max()) if arr.size else 0
                 max_nbps[(r, bi)] = max(max_nbps[(r, bi)], m.bit_length())
         tile_banddata.append((resolutions, arrays))
+
+    if rate_ctl:
+        coeffs = [(c, (r, bi), arr)
+                  for (_res, arrays) in tile_banddata
+                  for (c, r, bi), arr in arrays.items()]
+        base_delta = _rate_control_base_delta(
+            coeffs, border, ref_res, levels, depth, cp.mct and C == 3, C,
+            float(target_psnr), H * W * C)
+        _set_deltas(base_delta)
+        for _res, arrays in tile_banddata:
+            for (c, r, bi), arr in list(arrays.items()):
+                d = deltas[(r, bi)]
+                q = (np.sign(arr) * np.floor(np.abs(arr) / d)).astype(np.int32)
+                arrays[(c, r, bi)] = q
+                m = int(np.abs(q).max()) if q.size else 0
+                max_nbps[(r, bi)] = max(max_nbps[(r, bi)], m.bit_length())
 
     # ---- choose QCD so Mb >= nbps everywhere (HT: Mb >= Umax = nbps + 1,
     # the magnitude-exponent bound of the T.814 cleanup pass)
