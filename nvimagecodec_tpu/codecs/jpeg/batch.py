@@ -904,7 +904,11 @@ def decode_batch_tpu(data_batch, params: DecodeParams, fancy: bool = True,
     flagged = []
     for fut, subs, nsegs in deferred:
         try:
-            errs_np = fut.result()
+            # bounded wait: a wedged device link (D2H transfers can hang
+            # on the tunneled platform while execution still works) must
+            # degrade to the host re-issue path, never hang the decode
+            errs_np = fut.result(
+                timeout=float(os.environ.get("TIC_ERRCHK_TIMEOUT", "60")))
         except Exception:
             errs_np = None
         for k, (sub, bad) in enumerate(subs):
