@@ -34,6 +34,7 @@ import functools
 import os
 import threading
 from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import TimeoutError as FuturesTimeout
 from typing import Dict, List
 
 import numpy as np
@@ -52,6 +53,13 @@ _PACK_HEAD = 8  # zigzag positions carrying a high byte on the packed wire
 # so steady-state corpora pay the re-decode once per geometry.
 _WIRE_LEVELS = ((48, 32), (64, 64))
 _LEVEL_MEMO: Dict[tuple, int] = {}
+
+# sticky degraded-link latch: set when a device->host error-flag fetch
+# times out (observed failure mode of the tunneled platform: execution and
+# H2D keep working while D2H wedges). Once set, DRI buckets skip the
+# device-entropy route — its validation NEEDS the flag fetch — instead of
+# paying the timeout per bucket; the fetch-free index-scan route stays on.
+_D2H_DEGRADED = False
 _LEVEL_LOCK = threading.Lock()
 
 
@@ -508,6 +516,8 @@ def _try_device_entropy(idxs, frames, raws, results, fancy, to_rgb, to_u8,
     plan = device_entropy_plan(f0)
     if plan is None:
         return None
+    if _D2H_DEGRADED and plan[0] == "dri":
+        return None  # flag fetch would wedge again: host path
     good = [i for i in idxs if i == idxs[0]
             or device_entropy_plan(frames[i]) == plan]
     if len(good) < _min_batch():
@@ -909,6 +919,10 @@ def decode_batch_tpu(data_batch, params: DecodeParams, fancy: bool = True,
             # degrade to the host re-issue path, never hang the decode
             errs_np = fut.result(
                 timeout=float(os.environ.get("TIC_ERRCHK_TIMEOUT", "60")))
+        except FuturesTimeout:
+            global _D2H_DEGRADED
+            _D2H_DEGRADED = True  # skip the DRI device route from now on
+            errs_np = None
         except Exception:
             errs_np = None
         for k, (sub, bad) in enumerate(subs):
