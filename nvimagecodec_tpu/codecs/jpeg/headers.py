@@ -225,20 +225,19 @@ def parse_jpeg_structure(data: bytes) -> JpegFrame:
             se = seg[2 + 2 * ns]
             ahal = seg[3 + 2 * ns]
             data_start = pos + 2 + seglen
-            # entropy data runs to the next non-RST marker; jump between
-            # 0xFF bytes with bytes.find (a per-byte Python loop here costs
-            # ~5 ms per image — it dominated the batch decode hot path)
-            q = data_start
-            while True:
-                q = data.find(b"\xff", q)
-                if q < 0 or q + 1 >= n:
-                    q = n
-                    break
-                m = data[q + 1]
-                if m != 0x00 and not (0xD0 <= m <= 0xD7) and m != 0xFF:
-                    break
-                q += 1 if m == 0xFF else 2
-            data_end = q
+            # entropy data runs to the next non-RST marker. One vectorized
+            # pass: all 0xFF positions and their successors at once (the
+            # find-per-0xFF Python loop before this cost ~0.1 ms per image
+            # — ~20% of the whole per-image host budget at 2000 img/s)
+            arr = np.frombuffer(data, np.uint8)
+            seg_ff = np.flatnonzero(arr[data_start : n - 1] == 0xFF)
+            if seg_ff.size:
+                nxt = arr[data_start + seg_ff + 1]
+                real = seg_ff[(nxt != 0x00) & (nxt != 0xFF)
+                              & ((nxt < 0xD0) | (nxt > 0xD7))]
+                data_end = data_start + int(real[0]) if real.size else n
+            else:
+                data_end = n
             frame.scans.append(
                 ScanInfo(
                     comp_indices, ss, se, ahal >> 4, ahal & 0xF,

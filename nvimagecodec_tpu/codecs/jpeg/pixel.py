@@ -30,7 +30,7 @@ def geometry_key(frame: JpegFrame) -> GeomKey:
     k = getattr(frame, "_geom_key", None)
     if k is None:
         comps = tuple(
-            (c.h, c.v, tuple(int(q) for q in frame.quant[c.tq]))
+            (c.h, c.v, np.asarray(frame.quant[c.tq]).tobytes())
             for c in frame.components
         )
         k = (frame.width, frame.height, frame.precision, comps,
