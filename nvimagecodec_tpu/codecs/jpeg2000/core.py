@@ -205,6 +205,8 @@ def encode_j2k(
     ht: bool = False,
     per_comp=None,
     target_psnr: float = None,
+    sub=None,
+    size=None,
 ) -> bytes:
     """Encode [H, W] or [H, W, C] u8/u16 → JP2/J2K bytes.
 
@@ -231,12 +233,44 @@ def encode_j2k(
     target_psnr: single-pass rate control (irreversible only) — the base
     quantizer step is chosen by a DWT-domain distortion estimate so the
     decoded PSNR hits the target with ONE T1 encode, like nvjpeg2k's
-    native rate allocator; overrides `quality`."""
-    if img.ndim == 2:
-        img = img[:, :, None]
-    H, W, C = img.shape
-    depth = 16 if img.dtype == np.uint16 else 8
-    levels = max(0, min(levels, max(1, int(math.log2(max(1, min(H, W))))) - 1))
+    native rate allocator; overrides `quality`.
+
+    Signed input (i8/i16) encodes with the SIZ sign bit and no DC level
+    shift (T.800 G.1). Subsampled components (T.800 A.5.1, e.g. planar
+    YUV 420): pass `img` as a LIST of per-component planes plus
+    sub=[(dx, dy)] per component (plane c sized ceil(H/dy) x ceil(W/dx))
+    and, when the full grid is not dx*plane dims (odd sizes), size=(H, W).
+    MCT is disabled for planar input (the planes are already in their
+    target colorspace)."""
+    planes_in = None
+    if isinstance(img, (list, tuple)):
+        planes_in = [np.asarray(p) for p in img]
+        C = len(planes_in)
+        sub = [(int(dx), int(dy)) for dx, dy in
+               (sub or [(1, 1)] * C)]
+        if size is not None:
+            H, W = int(size[0]), int(size[1])
+        else:
+            H = planes_in[0].shape[0] * sub[0][1]
+            W = planes_in[0].shape[1] * sub[0][0]
+        for c, p in enumerate(planes_in):
+            need = (ceil_div(H, sub[c][1]), ceil_div(W, sub[c][0]))
+            if p.shape != need:
+                raise ValueError(f"J2K: plane {c} is {p.shape}, want {need}")
+        dtype0 = planes_in[0].dtype
+    else:
+        if img.ndim == 2:
+            img = img[:, :, None]
+        H, W, C = img.shape
+        sub = [(1, 1)] * C
+        dtype0 = img.dtype
+    signed = dtype0 in (np.int8, np.int16)
+    depth = 16 if dtype0 in (np.uint16, np.int16) else 8
+    min_dim = min(min(ceil_div(H, dy), ceil_div(W, dx)) for dx, dy in sub)
+    levels = max(0, min(levels, max(1, int(math.log2(max(1, min_dim)))) - 1))
+    subsampled = any(s != (1, 1) for s in sub)
+    if subsampled and target_psnr is not None:
+        raise ValueError("J2K: target_psnr with subsampling not supported")
     if isinstance(precincts, tuple):
         precincts = [precincts] * (levels + 1)
     if precincts is not None:
@@ -253,16 +287,19 @@ def encode_j2k(
         width=W, height=H, x0=0, y0=0,
         tile_w=tile_size or W, tile_h=tile_size or H,
         tx0=0, ty0=0, ncomp=C,
-        depth=[depth] * C, signed=[False] * C,
-        sub_x=[1] * C, sub_y=[1] * C,
+        depth=[depth] * C, signed=[signed] * C,
+        sub_x=[s[0] for s in sub], sub_y=[s[1] for s in sub],
     )
     if tile_size and tile_size % 2:
         raise ValueError("tile_size must be even (DWT parity)")
+    if tile_size and subsampled and any(
+            tile_size % (2 * s) for s in siz.sub_x + siz.sub_y):
+        raise ValueError("J2K: tile_size must be a multiple of 2*subsampling")
 
     cp = CodingParams(
         levels=levels,
         reversible=reversible,
-        mct=(C == 3),
+        mct=(C == 3 and planes_in is None),
         cblk_w=cblk[0],
         cblk_h=cblk[1],
         prog_order=_PROG_NAMES.get(str(prog_order).upper(), 0)
@@ -309,12 +346,22 @@ def encode_j2k(
         _set_deltas(base_delta)
 
     ntiles = siz.tiles_x * siz.tiles_y
-    tile_banddata = []  # per tile: (resolutions, {(c,r,bi): int32 array})
+    tile_banddata = []  # per tile: ({c: [Resolution]}, {(c,r,bi): array})
     max_nbps: Dict[Tuple[int, int], int] = {k: 0 for k in border}
+    shift0 = 0 if signed else 1 << (depth - 1)
     for t in range(ntiles):
         tx0, ty0, tx1, ty1 = siz.tile_rect(t)
-        tile_img = img[ty0:ty1, tx0:tx1].astype(np.int32)
-        planes = [tile_img[:, :, c] - (1 << (depth - 1)) for c in range(C)]
+        if planes_in is None:
+            tile_img = img[ty0:ty1, tx0:tx1].astype(np.int32)
+            planes = [tile_img[:, :, c] - shift0 for c in range(C)]
+        else:
+            planes = []
+            for c in range(C):
+                dx, dy = sub[c]
+                planes.append(planes_in[c][
+                    ceil_div(ty0, dy):ceil_div(ty1, dy),
+                    ceil_div(tx0, dx):ceil_div(tx1, dx)].astype(np.int32)
+                    - shift0)
         if cp.mct:
             r_, g_, b_ = planes
             if reversible:  # RCT (T.800 G.2)
@@ -331,7 +378,13 @@ def encode_j2k(
         if not reversible:
             planes = [p.astype(np.float64) for p in planes]
 
-        resolutions = build_resolutions(tx0, ty0, tx1, ty1, levels)
+        res_by_c = {
+            c: build_resolutions(ceil_div(tx0, sub[c][0]),
+                                 ceil_div(ty0, sub[c][1]),
+                                 ceil_div(tx1, sub[c][0]),
+                                 ceil_div(ty1, sub[c][1]), levels)
+            for c in range(C)
+        }
         arrays: Dict[Tuple[int, int, int], np.ndarray] = {}
         for c in range(C):
             LL, bands_f = dwt_ops.dwt2d(planes[c], levels, reversible)
@@ -343,7 +396,7 @@ def encode_j2k(
                 band_arrays[(r, 1)] = LH
                 band_arrays[(r, 2)] = HH
             for (r, bi) in border:
-                band = resolutions[r].bands[bi]
+                band = res_by_c[c][r].bands[bi]
                 arr = band_arrays[(r, bi)]
                 assert arr.shape == (band.h, band.w), (
                     arr.shape, band.h, band.w, r, bi)
@@ -360,7 +413,7 @@ def encode_j2k(
                 arrays[(c, r, bi)] = arr
                 m = int(np.abs(arr).max()) if arr.size else 0
                 max_nbps[(r, bi)] = max(max_nbps[(r, bi)], m.bit_length())
-        tile_banddata.append((resolutions, arrays))
+        tile_banddata.append((res_by_c, arrays))
 
     if rate_ctl:
         coeffs = [(c, (r, bi), arr)
@@ -382,7 +435,7 @@ def encode_j2k(
     # the magnitude-exponent bound of the T.814 cleanup pass)
     band_q: List[Tuple[int, int]] = []
     for (r, bi) in border:
-        band = (tile_banddata[0][0])[r].bands[bi]
+        band = ref_res[r].bands[bi]
         rb = depth + band.gain
         need = max_nbps[(r, bi)] + (1 if ht else 0)
         if reversible:
@@ -406,13 +459,12 @@ def encode_j2k(
     pool = ThreadPoolExecutor(max_workers=num_threads or 8)
     tiles = []
     for t in range(ntiles):
-        resolutions, arrays = tile_banddata[t]
-        res_by_c = {c: resolutions for c in range(C)}
+        res_by_c, arrays = tile_banddata[t]
         penc = PacketEncoder(cp, res_by_c, C)
         tx0, ty0, _tx1, _ty1 = siz.tile_rect(t)
         jobs = []  # (c, r, p, bi, k, future)
         for c in range(C):
-            for res in resolutions:
+            for res in res_by_c[c]:
                 r = res.r
                 ppx, ppy = cp.pp(r)
                 npx, npy = precinct_count(res, ppx, ppy)
@@ -425,14 +477,14 @@ def encode_j2k(
                             band, r, ppx, ppy, prect, ccp.cblk_w, ccp.cblk_h
                         )
                         for k, (bx0, by0, bx1, by1) in enumerate(blocks):
-                            sub = np.ascontiguousarray(
+                            blk = np.ascontiguousarray(
                                 arr[by0 - band.y0 : by1 - band.y0,
                                     bx0 - band.x0 : bx1 - band.x0]
                             )
-                            fut = (pool.submit(_ht_encode_or_skip, sub,
+                            fut = (pool.submit(_ht_encode_or_skip, blk,
                                                3 if ht == 3 else 1)
                                    if ht
-                                   else pool.submit(t1_encode, sub,
+                                   else pool.submit(t1_encode, blk,
                                                     band.btype))
                             jobs.append((c, r, p, bi, k, fut))
         results: Dict[Tuple[int, int, int, int], List] = {}
@@ -460,7 +512,8 @@ def encode_j2k(
 
         packets = [
             penc.write_packet(c, r, p, l)
-            for (l, r, c, p) in progression_iter(cp, res_by_c, C, tx0, ty0)
+            for (l, r, c, p) in progression_iter(cp, res_by_c, C, tx0, ty0,
+                                                 sub=sub)
         ]
         tiles.append(b"".join(packets))
     pool.shutdown(wait=False)

@@ -260,3 +260,57 @@ def test_subsampled_through_public_decoder():
     assert out.shape == (H, W, 3)
     assert np.array_equal(out[:, :, 0].astype(np.int32), planes[0])
     assert np.array_equal(out[::2, ::2, 1].astype(np.int32), planes[1])
+
+
+@pytest.mark.parametrize("kw", [
+    dict(),
+    dict(tile_size=64),
+])
+def test_subsampled_encode_both_directions(kw):
+    """Our encoder emits subsampled components (planar input + sub factors,
+    T.800 A.5.1): native decode AND openjpeg decode bit-exact per
+    component. Matches nvjpeg2k's subsampled encode support
+    (extensions/nvjpeg2k/cuda_encoder.cpp chroma_subsampling)."""
+    rng = np.random.default_rng(61)
+    H, W = 96, 128
+    planes = [rng.integers(0, 256, (H, W)).astype(np.uint8),
+              rng.integers(0, 256, (H // 2, W // 2)).astype(np.uint8),
+              rng.integers(0, 256, (H // 2, W // 2)).astype(np.uint8)]
+    data = encode_j2k(planes, sub=[(1, 1), (2, 2), (2, 2)],
+                      reversible=True, levels=3, **kw)
+    got = decode_j2k(data, planar=True)
+    for c, ref in enumerate(planes):
+        assert np.array_equal(got[c].astype(np.int32), ref.astype(np.int32))
+        pl, _prec, _sg, dx, dy, _nc = opj.decode_comp(data, c)
+        assert (dx, dy) == ((1, 1) if c == 0 else (2, 2))
+        assert np.array_equal(pl, ref.astype(np.int32))
+
+
+@pytest.mark.parametrize("dtype,prec", [(np.int8, 8), (np.int16, 16)])
+def test_signed_encode_both_directions(dtype, prec):
+    """Signed samples (SIZ sign bit, no DC level shift, T.800 G.1):
+    roundtrip and openjpeg interop bit-exact."""
+    rng = np.random.default_rng(62)
+    lo, hi = -(1 << (prec - 1)), 1 << (prec - 1)
+    img = rng.integers(lo, hi, (44, 60, 3)).astype(dtype)
+    data = encode_j2k(img, reversible=True, levels=3)
+    got = np.asarray(decode_j2k(data))
+    assert got.dtype == dtype and np.array_equal(got, img)
+    for c in range(3):
+        pl, p, sg, _dx, _dy, _nc = opj.decode_comp(data, c)
+        assert p == prec and sg == 1
+        assert np.array_equal(pl, img[:, :, c].astype(np.int32))
+
+
+def test_subsampled_encode_odd_dims():
+    rng = np.random.default_rng(63)
+    H, W = 37, 53
+    planes = [rng.integers(0, 256, (H, W)).astype(np.uint8),
+              rng.integers(0, 256, ((H + 1) // 2, (W + 1) // 2)).astype(np.uint8)]
+    data = encode_j2k(planes, sub=[(1, 1), (2, 2)], size=(H, W),
+                      reversible=True, levels=2)
+    got = decode_j2k(data, planar=True)
+    for c, ref in enumerate(planes):
+        assert np.array_equal(got[c].astype(np.int32), ref.astype(np.int32))
+        assert np.array_equal(opj.decode_comp(data, c)[0],
+                              ref.astype(np.int32))
