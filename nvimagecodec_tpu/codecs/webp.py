@@ -852,6 +852,96 @@ def encode_webp_lossless(img: np.ndarray) -> bytes:
     return out
 
 
+def encode_webp_lossy(img: np.ndarray, quality: float = 75.0) -> bytes:
+    """Encode [H,W,3] u8 → lossy WebP (native VP8 keyframe encoder,
+    native/webp_vp8_encode.cpp). RGB → BT.601 studio-range YUV420, then the
+    RFC 6386 intra encoder (16x16 modes, default probabilities). Streams
+    decode bit-identically in our native decoder and libwebp. The counter
+    part of the reference's OpenCV lossy-WebP encode
+    (extensions/opencv/opencv_encoder.cpp, IMWRITE_WEBP_QUALITY)."""
+    import ctypes
+    import struct
+
+    from ..native import lib
+
+    if img.ndim == 2:
+        img = np.dstack([img] * 3)
+    if img.shape[-1] != 3 or img.dtype != np.uint8:
+        raise ValueError("lossy WebP encode wants [H,W,3] u8")
+    H, W = img.shape[:2]
+    r = img[:, :, 0].astype(np.int32)
+    g = img[:, :, 1].astype(np.int32)
+    b = img[:, :, 2].astype(np.int32)
+    Y = np.clip(((16839 * r + 33059 * g + 6420 * b + 32768) >> 16) + 16,
+                0, 255).astype(np.uint8)
+    U = np.clip(((-9719 * r - 19081 * g + 28800 * b + 32768) >> 16) + 128,
+                0, 255)
+    V = np.clip(((28800 * r - 24116 * g - 4684 * b + 32768) >> 16) + 128,
+                0, 255)
+
+    def ss(p):  # 2x2 box subsample with rounding
+        pe = np.pad(p, ((0, H % 2), (0, W % 2)), mode="edge")
+        return ((pe[0::2, 0::2] + pe[0::2, 1::2]
+                 + pe[1::2, 0::2] + pe[1::2, 1::2] + 2) >> 2).astype(np.uint8)
+
+    qindex = int(round((100.0 - min(100.0, max(0.0, quality))) * 127 / 100))
+    L = lib()
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    n = ctypes.c_uint64()
+    rc = L.tic_vp8_encode(
+        np.ascontiguousarray(Y).tobytes(), ss(U).tobytes(), ss(V).tobytes(),
+        W, H, qindex, ctypes.byref(out), ctypes.byref(n))
+    if rc != 0:
+        raise ValueError(f"VP8 encode failed rc={rc}")
+    payload = ctypes.string_at(out, n.value)
+    ctypes.CDLL(None).free(out)
+    chunk = b"VP8 " + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+class WebpVp8Encoder(EncoderPlugin):
+    """Lossy WebP encode (native VP8). Takes the bucket when the caller
+    asks for lossy quality (< 95); alpha and the default/lossless request
+    fall through to the VP8L encoder below."""
+
+    codec = "webp"
+    plugin_id = "tpu_webp_vp8_encoder"
+    backend_kind = BackendKind.CPU_ONLY
+    priority = Priority.HIGH
+
+    def can_encode(self, image_batch, info_batch, params):
+        out = []
+        lossy = params is not None and getattr(params, "quality", 95) < 95
+        for img in image_batch:
+            arr = np.asarray(img)
+            ok = (lossy and arr.dtype == np.uint8
+                  and (arr.ndim == 2
+                       or (arr.ndim == 3 and arr.shape[-1] == 3)))
+            out.append(
+                ProcessingStatus.SUCCESS
+                if ok
+                else ProcessingStatus.FAIL | ProcessingStatus.SAMPLE_TYPE_UNSUPPORTED
+            )
+        return out
+
+    def encode_batch(self, image_batch, info_batch, params):
+        q = float(getattr(params, "quality", 75.0) or 75.0)
+        out = []
+        for img in image_batch:
+            try:
+                out.append(
+                    EncodeResult(
+                        ProcessingStatus.SUCCESS,
+                        encode_webp_lossy(np.asarray(img), q),
+                    )
+                )
+            except Exception as e:
+                out.append(EncodeResult(ProcessingStatus.FAIL, error=str(e)))
+        return out
+
+
 class WebpLosslessEncoder(EncoderPlugin):
     codec = "webp"
     plugin_id = "tpu_webp_lossless_encoder"
@@ -982,4 +1072,5 @@ class WebpVp8Decoder(DecoderPlugin):
 def register(registry) -> None:
     registry.codec("webp").register_decoder(WebpLosslessDecoder())
     registry.codec("webp").register_decoder(WebpVp8Decoder())
+    registry.codec("webp").register_encoder(WebpVp8Encoder())
     registry.codec("webp").register_encoder(WebpLosslessEncoder())

@@ -159,6 +159,12 @@ def _declare(L: ctypes.CDLL) -> None:
         ctypes.c_int32,
     ]
     L.tic_vp8_decode.restype = ctypes.c_int
+    L.tic_vp8_encode.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.POINTER(u8p),
+        ctypes.POINTER(ctypes.c_uint64),
+    ]
+    L.tic_vp8_encode.restype = ctypes.c_int
     L.tic_ht_decode_block.argtypes = [
         ctypes.c_char_p, ctypes.c_int32, ctypes.c_char_p, ctypes.c_int32,
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,

@@ -727,7 +727,10 @@ int tic_vp8_decode(const uint8_t* data, size_t len, uint8_t* ybuf,
                 d.left_ctx[4] = d.left_ctx[5] = d.left_ctx[6] =
                     d.left_ctx[7] = 0;
                 tctx[4] = tctx[5] = tctx[6] = tctx[7] = 0;
-                if (!has_y2) {
+                if (has_y2) {
+                    // Y2 context clears only when the skipped MB has a Y2
+                    // block (libwebp: nz_dc = 0 iff !is_i4x4). A skipped
+                    // B_PRED MB leaves it untouched.
                     d.left_ctx[8] = tctx[8] = 0;
                 }
             } else {

@@ -110,18 +110,34 @@ def test_j2k_roi_bit_identical(photo, kw):
     _assert_roi_exact(encode_j2k(photo, **kw))
 
 
-def test_j2k_roi_wallclock_scales():
+def test_j2k_roi_skips_work(monkeypatch):
+    """ROI decode entropy-decodes only code-blocks whose DWT support
+    reaches the region (work counters, not wall clock — the JPEG twin was
+    de-flaked the same way, VERDICT r2 item 7)."""
+    from nvimagecodec_tpu.codecs.jpeg2000 import core as j2kcore
+
     big = make_photo(1024, 1024, seed=6)
     data = encode_j2k(big, reversible=True, tile_size=128, levels=3)
-    dec = nic.Decoder()
-    t0 = time.perf_counter()
-    dec.decode(data)
-    t_full = time.perf_counter() - t0
-    p = nic.DecodeParams(enable_roi=True, region=nic.Region(0, 0, 100, 100))
-    t0 = time.perf_counter()
-    dec.decode(data, p)
-    t_roi = time.perf_counter() - t0
-    assert t_roi < t_full / 3, (t_roi, t_full)
+
+    calls = [0]
+    real_t1 = j2kcore.t1_decode
+
+    def counting_t1(*a, **kw):
+        calls[0] += 1
+        return real_t1(*a, **kw)
+
+    monkeypatch.setattr(j2kcore, "t1_decode", counting_t1)
+    full = np.asarray(j2kcore.decode_j2k(data))
+    n_full = calls[0]
+    calls[0] = 0
+    from nvimagecodec_tpu.core.types import Region
+
+    roi = np.asarray(j2kcore.decode_j2k(
+        data, region=Region(0, 0, 100, 100)))
+    n_roi = calls[0]
+    # region covers 1 of 64 tiles: block count must collapse accordingly
+    assert n_roi * 16 < n_full, (n_roi, n_full)
+    assert np.array_equal(roi, full[:100, :100])
 
 
 def test_roi_fallback_codecs(photo):

@@ -156,3 +156,74 @@ def test_vp8_corrupt_stream_fails_cleanly():
     out = nic.Decoder().decode(bytes(data))
     if out is not None:  # fallback may still manage; never crash
         assert np.asarray(out).ndim == 3
+
+
+@pytest.mark.parametrize("q", [20, 50, 75, 90])
+def test_vp8_encode_bit_exact_across_decoders(q):
+    """Our native VP8 ENCODER's streams decode bit-identically in libwebp
+    and in our native decoder, across the quality range (reference analog:
+    OpenCV imencode .webp + IMWRITE_WEBP_QUALITY,
+    extensions/opencv/opencv_encoder.cpp)."""
+    from nvimagecodec_tpu.codecs.webp import (
+        decode_webp_lossy,
+        encode_webp_lossy,
+    )
+
+    img = make_photo(90, 140, seed=13)
+    data = encode_webp_lossy(img, q)
+    ours = decode_webp_lossy(data)
+    theirs = oracle.webp_decode_rgba(data)[:, :, :3]
+    assert np.array_equal(ours, theirs)
+
+
+def test_vp8_encode_quality_ladder():
+    """Higher quality → larger stream and higher PSNR (through libwebp)."""
+    from nvimagecodec_tpu.codecs.webp import encode_webp_lossy
+
+    img = make_photo(120, 180, seed=14)
+    prev_size, prev_psnr = 0, 0.0
+    for q in (25, 60, 90):
+        data = encode_webp_lossy(img, q)
+        rec = oracle.webp_decode_rgba(data)[:, :, :3].astype(np.float64)
+        p = 10 * np.log10(255.0 ** 2 / np.mean((rec - img) ** 2))
+        assert len(data) > prev_size and p > prev_psnr, (q, len(data), p)
+        prev_size, prev_psnr = len(data), p
+    assert prev_psnr > 33.0  # q90 floor on the photo corpus
+
+
+def test_vp8_encode_public_api():
+    """quality < 95 routes to the native VP8 encoder; default stays
+    lossless (bit-exact roundtrip contract)."""
+    import nvimagecodec_tpu as nic
+    from nvimagecodec_tpu.core.interfaces import EncodeParams
+
+    img = make_photo(64, 100, seed=15)
+    enc, dec = nic.Encoder(), nic.Decoder()
+    lossy = enc.encode(img, codec="webp", params=EncodeParams(quality=75))
+    assert lossy[:4] == b"RIFF" and b"VP8 " in lossy[:20]
+    out = np.asarray(dec.decode(lossy))
+    assert out.shape == img.shape
+    p = 10 * np.log10(255.0 ** 2 / np.mean(
+        (out.astype(np.float64) - img) ** 2))
+    assert p > 30.0
+    # default: lossless VP8L, exact roundtrip
+    lossless = enc.encode(img, codec="webp")
+    assert b"VP8L" in lossless[:20]
+    assert np.array_equal(np.asarray(dec.decode(lossless)), img)
+
+
+def test_vp8_encode_odd_sizes_and_gray():
+    from nvimagecodec_tpu.codecs.webp import (
+        decode_webp_lossy,
+        encode_webp_lossy,
+    )
+
+    for shape, seed in (((17, 31), 1), ((16, 16), 2), ((33, 47), 3)):
+        img = make_photo(*shape, seed=seed)
+        data = encode_webp_lossy(img, 70)
+        assert np.array_equal(decode_webp_lossy(data),
+                              oracle.webp_decode_rgba(data)[:, :, :3])
+    g = make_photo(40, 52, seed=4)[..., 0]
+    data = encode_webp_lossy(g, 70)  # gray → replicated channels
+    assert np.array_equal(decode_webp_lossy(data),
+                          oracle.webp_decode_rgba(data)[:, :, :3])
