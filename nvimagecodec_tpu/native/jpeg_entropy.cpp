@@ -541,110 +541,134 @@ void Decoder::decode_scan(Scan& s) {
 // only DC predictors tracked. Sets index_nsegs / index_dlen, or error:
 // 1 = malformed entropy data, -2 = max_segs capacity, -3 = stream shape
 // outside the on-device kernel's support (caller routes to host decode).
+// one block of the light Huffman pass: DC decoded into pred (predictors
+// seed the device kernel), AC value bits skipped. Inlined into both the
+// solo walk and the 2-stream interleaved walk.
+static inline void idx_block(DBitReader& br, const HuffTable& dct,
+                             const HuffTable& act, int& pred, int& error) {
+  // ensure31 covers code (<=16) + value bits (<=15) in one check
+  br.ensure31();
+  int idx = br.peek9_nc();
+  int t, len = dct.lut_len[idx];
+  if (len) {
+    t = dct.lut_sym[idx];
+    br.nbits -= len;
+  } else {
+    int code = br.peek16_nc();
+    t = -1;
+    for (int l = 10; l <= 16; l++) {
+      int cd = code >> (16 - l);
+      if (cd <= dct.maxcode[l]) {
+        br.nbits -= l;
+        t = dct.values[dct.valptr[l] + (cd - dct.mincode[l])];
+        break;
+      }
+    }
+  }
+  if (t < 0 || t > 15) { error = 1; return; }
+  pred += extend(br.take_nc(t), t);
+  int k = 1;
+  while (k < 64) {
+    br.ensure31();
+    int ai = br.peek9_nc();
+    int sym, alen = act.lut_len[ai];
+    if (alen) {
+      sym = act.lut_sym[ai];
+      br.nbits -= alen;
+    } else {
+      int code = br.peek16_nc();
+      sym = -1;
+      for (int l = 10; l <= 16; l++) {
+        int cd = code >> (16 - l);
+        if (cd <= act.maxcode[l]) {
+          br.nbits -= l;
+          sym = act.values[act.valptr[l] + (cd - act.mincode[l])];
+          break;
+        }
+      }
+      if (sym < 0) { error = 1; return; }
+    }
+    int r = sym >> 4, sz = sym & 15;
+    if (sz == 0) {
+      if (r == 15) { k += 16; continue; }
+      break;
+    }
+    k += r;
+    if (k > 63) { error = 1; return; }
+    br.nbits -= sz;  // value bits: covered by ensure31
+    k++;
+  }
+}
+
+// prepared index scan: destuffed stream + the scan it belongs to (the walk
+// runs either solo or interleaved with a second image's walk)
+struct IdxCursor {
+  const Scan* s = nullptr;
+  Decoder* d = nullptr;
+
+  bool prepare(Decoder& dec, Scan& sc) {
+    d = &dec;
+    s = &sc;
+    // destuff the scan (memcpy runs between 0xFF bytes)
+    const uint8_t* p = sc.data_start;
+    const uint8_t* end = sc.data_end;
+    int64_t n = 0;
+    while (p < end) {
+      const uint8_t* ff = (const uint8_t*)memchr(p, 0xFF, (size_t)(end - p));
+      const uint8_t* run_end = ff ? ff : end;
+      int64_t run = run_end - p;
+      if (n + run > dec.index_cap) { dec.error = -2; return false; }
+      memcpy(dec.index_dst + n, p, (size_t)run);
+      n += run;
+      if (!ff) break;
+      if (ff + 1 < end && ff[1] == 0x00) {
+        if (n + 1 > dec.index_cap) { dec.error = -2; return false; }
+        dec.index_dst[n++] = 0xFF;
+        p = ff + 2;
+      } else {
+        break;  // marker terminates the scan
+      }
+    }
+    dec.index_dlen = n;
+    return true;
+  }
+};
+
+// solo walk: local bit reader + tight loops (state stays in registers)
+static void idx_walk_solo(Decoder& d, const Scan& s) {
+  DBitReader br;
+  br.init(d.index_dst, d.index_dst + d.index_dlen);
+  int pred[4] = {0, 0, 0, 0};
+  int nseg = 0;
+  for (long my = 0; my < d.mcus_y; my++) {
+    if (my % d.index_rows == 0) {
+      if (nseg >= d.index_max_segs) { d.error = -2; return; }
+      d.index_bits[nseg] = br.bitpos();
+      for (int j = 0; j < 4; j++) d.index_preds[nseg * 4 + j] = pred[j];
+      nseg++;
+    }
+    for (long mx = 0; mx < d.mcus_x; mx++) {
+      for (int j = 0; j < s.ncomp; j++) {
+        int nb = d.comps[s.comp_idx[j]].h * d.comps[s.comp_idx[j]].v;
+        for (int b = 0; b < nb; b++) {
+          idx_block(br, s.dc[j], s.ac[j], pred[j], d.error);
+          if (d.error) return;
+        }
+      }
+    }
+  }
+  d.index_nsegs = nseg;
+}
+
 void Decoder::index_scan(Scan& s) {
   if (progressive || s.restart_interval > 0 || index_nsegs >= 0 ||
       s.ncomp != ncomp) {
     error = -3;  // multi-scan / progressive / DRI (DRI has its own split)
     return;
   }
-  // destuff the scan (memcpy runs between 0xFF bytes)
-  const uint8_t* p = s.data_start;
-  const uint8_t* end = s.data_end;
-  int64_t n = 0;
-  while (p < end) {
-    const uint8_t* ff =
-        (const uint8_t*)memchr(p, 0xFF, (size_t)(end - p));
-    const uint8_t* run_end = ff ? ff : end;
-    int64_t run = run_end - p;
-    if (n + run > index_cap) { error = -2; return; }
-    memcpy(index_dst + n, p, (size_t)run);
-    n += run;
-    if (!ff) break;
-    if (ff + 1 < end && ff[1] == 0x00) {
-      if (n + 1 > index_cap) { error = -2; return; }
-      index_dst[n++] = 0xFF;
-      p = ff + 2;
-    } else {
-      break;  // marker terminates the scan
-    }
-  }
-  index_dlen = n;
-
-  DBitReader br;
-  br.init(index_dst, index_dst + n);
-  int pred[4] = {0, 0, 0, 0};
-  int nseg = 0;
-  for (long my = 0; my < mcus_y; my++) {
-    if (my % index_rows == 0) {
-      if (nseg >= index_max_segs) { error = -2; return; }
-      index_bits[nseg] = br.bitpos();
-      for (int j = 0; j < 4; j++) index_preds[nseg * 4 + j] = pred[j];
-      nseg++;
-    }
-    for (long mx = 0; mx < mcus_x; mx++) {
-      for (int j = 0; j < s.ncomp; j++) {
-        Component& c = comps[s.comp_idx[j]];
-        const HuffTable& dct = s.dc[j];
-        const HuffTable& act = s.ac[j];
-        int nb = c.h * c.v;
-        for (int b = 0; b < nb; b++) {
-          // ensure31 covers code (<=16) + value bits (<=15) in one check
-          br.ensure31();
-          int idx = br.peek9_nc();
-          int t, len = dct.lut_len[idx];
-          if (len) {
-            t = dct.lut_sym[idx];
-            br.nbits -= len;
-          } else {
-            int code = br.peek16_nc();
-            t = -1;
-            for (int l = 10; l <= 16; l++) {
-              int cd = code >> (16 - l);
-              if (cd <= dct.maxcode[l]) {
-                br.nbits -= l;
-                t = dct.values[dct.valptr[l] + (cd - dct.mincode[l])];
-                break;
-              }
-            }
-          }
-          if (t < 0 || t > 15) { error = 1; return; }
-          pred[j] += extend(br.take_nc(t), t);
-          int k = 1;
-          while (k < 64) {
-            br.ensure31();
-            int ai = br.peek9_nc();
-            int sym, alen = act.lut_len[ai];
-            if (alen) {
-              sym = act.lut_sym[ai];
-              br.nbits -= alen;
-            } else {
-              int code = br.peek16_nc();
-              sym = -1;
-              for (int l = 10; l <= 16; l++) {
-                int cd = code >> (16 - l);
-                if (cd <= act.maxcode[l]) {
-                  br.nbits -= l;
-                  sym = act.values[act.valptr[l] + (cd - act.mincode[l])];
-                  break;
-                }
-              }
-              if (sym < 0) { error = 1; return; }
-            }
-            int r = sym >> 4, sz = sym & 15;
-            if (sz == 0) {
-              if (r == 15) { k += 16; continue; }
-              break;
-            }
-            k += r;
-            if (k > 63) { error = 1; return; }
-            br.nbits -= sz;  // value bits: covered by ensure31
-            k++;
-          }
-        }
-      }
-    }
-  }
-  index_nsegs = nseg;
+  IdxCursor cur;
+  if (!cur.prepare(*this, s)) return;
+  idx_walk_solo(*this, s);
 }
 
 // Advance past an RST marker between restart segments.
