@@ -12,6 +12,7 @@
 // so intra prediction references match the decoder bit-for-bit and the
 // output stream decodes identically in our native decoder and libwebp
 // (validated in tests/test_webp.py).
+#include <math.h>
 #include <stdint.h>
 #include <stdlib.h>
 #include <string.h>
@@ -305,86 +306,152 @@ inline int quantize(int v, int q) {
     return v < 0 ? -r : r;
 }
 
-// tokenize one block's scan-order levels [first..15] with context ctx.
+// tokenize one block's scan-order levels [first..15] with context ctx,
+// through an emitter E: TokenWriter bool-encodes, TokenCounter collects
+// per-node branch statistics (the adaptive-probability counting pass).
 // Returns 1 if any coefficient was coded (nz), 0 for immediate EOB.
-int write_coeffs(BoolEnc& be, const uint8_t probs[8][3][11], int ctx,
-                 int first, const int16_t* lv) {
+template <class E>
+int emit_coeffs(E& e, int t, int ctx, int first, const int16_t* lv) {
     int last = -1;
     for (int i = first; i < 16; ++i)
         if (lv[i]) last = i;
-    int n = first;
-    const uint8_t* p = probs[kBands[n]][ctx];
+    int n = first, bi = kBands[n], ri = ctx;
     if (last < first) {
-        be.put(0, p[0]);  // EOB up front
+        e.node(0, t, bi, ri, 0);  // EOB up front
         return 0;
     }
     bool can_eob = true;
     while (n <= last) {
-        if (can_eob) be.put(1, p[0]);  // "not EOB"
+        if (can_eob) e.node(1, t, bi, ri, 0);  // "not EOB"
         int v = lv[n];
         if (v == 0) {
-            be.put(0, p[1]);
+            e.node(0, t, bi, ri, 1);
             ++n;
-            p = probs[kBands[n < 16 ? n : 15]][0];
+            bi = kBands[n < 16 ? n : 15];
+            ri = 0;
             can_eob = false;
             continue;
         }
-        be.put(1, p[1]);
+        e.node(1, t, bi, ri, 1);
         int a = v < 0 ? -v : v;
         int nctx;
         if (a == 1) {
-            be.put(0, p[2]);
+            e.node(0, t, bi, ri, 2);
             nctx = 1;
         } else {
-            be.put(1, p[2]);
+            e.node(1, t, bi, ri, 2);
             if (a <= 4) {
-                be.put(0, p[3]);
+                e.node(0, t, bi, ri, 3);
                 if (a == 2) {
-                    be.put(0, p[4]);
+                    e.node(0, t, bi, ri, 4);
                 } else {
-                    be.put(1, p[4]);
-                    be.put(a - 3, p[5]);
+                    e.node(1, t, bi, ri, 4);
+                    e.node(a - 3, t, bi, ri, 5);
                 }
             } else {
-                be.put(1, p[3]);
+                e.node(1, t, bi, ri, 3);
                 if (a <= 10) {
-                    be.put(0, p[6]);
+                    e.node(0, t, bi, ri, 6);
                     if (a <= 6) {
-                        be.put(0, p[7]);
-                        be.put(a - 5, 159);
+                        e.node(0, t, bi, ri, 7);
+                        e.fixed(a - 5, 159);
                     } else {
-                        be.put(1, p[7]);
+                        e.node(1, t, bi, ri, 7);
                         int x = a - 7;
-                        be.put((x >> 1) & 1, 165);
-                        be.put(x & 1, 145);
+                        e.fixed((x >> 1) & 1, 165);
+                        e.fixed(x & 1, 145);
                     }
                 } else {
-                    be.put(1, p[6]);
+                    e.node(1, t, bi, ri, 6);
                     int cat = a < kCatBase[3] ? 2
                               : a < kCatBase[4] ? 3
                               : a < kCatBase[5] ? 4 : 5;
                     if (cat <= 3) {
-                        be.put(0, p[8]);
-                        be.put(cat - 2, p[9]);
+                        e.node(0, t, bi, ri, 8);
+                        e.node(cat - 2, t, bi, ri, 9);
                     } else {
-                        be.put(1, p[8]);
-                        be.put(cat - 4, p[10]);
+                        e.node(1, t, bi, ri, 8);
+                        e.node(cat - 4, t, bi, ri, 10);
                     }
                     int x = a - kCatBase[cat];
                     const uint8_t* cp = kCatProbs[cat];
                     for (int i = 0; i < kCatBits[cat]; ++i)
-                        be.put((x >> (kCatBits[cat] - 1 - i)) & 1, cp[i]);
+                        e.fixed((x >> (kCatBits[cat] - 1 - i)) & 1, cp[i]);
                 }
             }
             nctx = 2;
         }
-        be.put(v < 0 ? 1 : 0, 128);
+        e.fixed(v < 0 ? 1 : 0, 128);
         ++n;
-        p = probs[kBands[n < 16 ? n : 15]][nctx];
+        bi = kBands[n < 16 ? n : 15];
+        ri = nctx;
         can_eob = true;
     }
-    if (n < 16) be.put(0, p[0]);  // EOB after the last nonzero
+    if (n < 16) e.node(0, t, bi, ri, 0);  // EOB after the last nonzero
     return 1;
+}
+
+struct TokenWriter {
+    BoolEnc& be;
+    const uint8_t (*probs)[8][3][11];
+    inline void node(int bit, int t, int b, int c, int i) {
+        be.put(bit, probs[t][b][c][i]);
+    }
+    inline void fixed(int bit, int prob) { be.put(bit, prob); }
+};
+
+struct TokenCounter {
+    uint32_t (*cnt)[8][3][11][2];  // [4][8][3][11][2]
+    inline void node(int bit, int t, int b, int c, int i) {
+        cnt[t][b][c][i][bit]++;
+    }
+    inline void fixed(int, int) {}
+};
+
+struct MBData;  // fwd (defined below)
+
+// one full pass over all macroblocks' token streams with left/top nonzero
+// context tracking — shared by the counting pass and the writing pass so
+// their contexts (and therefore probability rows) agree exactly
+template <class E, class MBVec>
+void token_pass(E& e, MBVec& mbs, int mb_w, int mb_h) {
+    std::vector<uint8_t> top_ctx(size_t(mb_w) * 9, 0);
+    for (int my = 0; my < mb_h; ++my) {
+        uint8_t left_ctx[9];
+        memset(left_ctx, 0, sizeof(left_ctx));
+        for (int mx = 0; mx < mb_w; ++mx) {
+            auto& mb = mbs[size_t(my) * mb_w + mx];
+            uint8_t* tctx = &top_ctx[size_t(mx) * 9];
+            if (mb.skip) {
+                // skipped MB: every nonzero context clears, INCLUDING Y2
+                // when the mode has one (libwebp: nz_dc = 0 iff !is_i4x4;
+                // all our MBs are 16x16 modes)
+                memset(left_ctx, 0, 9);
+                memset(tctx, 0, 9);
+                continue;
+            }
+            {  // Y2
+                int ctx = left_ctx[8] + tctx[8];
+                int nz = emit_coeffs(e, 1, ctx, 0, mb.lv[24]);
+                left_ctx[8] = tctx[8] = uint8_t(nz);
+            }
+            for (int b = 0; b < 16; ++b) {
+                int sx = b & 3, sy = b >> 2;
+                int ctx = left_ctx[sy] + tctx[sx];
+                int nz = emit_coeffs(e, 0, ctx, 1, mb.lv[b]);
+                left_ctx[sy] = tctx[sx] = uint8_t(nz);
+            }
+            for (int pl = 0; pl < 2; ++pl)
+                for (int b = 0; b < 4; ++b) {
+                    int sx = b & 1, sy = b >> 1;
+                    int li = 4 + 2 * pl + sy, ti = 4 + 2 * pl + sx;
+                    int ctx = left_ctx[li] + tctx[ti];
+                    int nz = emit_coeffs(e, 2, ctx, 0,
+                                         mb.lv[16 + 4 * pl + b]);
+                    left_ctx[li] = tctx[ti] = uint8_t(nz);
+                }
+        }
+    }
 }
 
 }  // namespace
@@ -612,8 +679,43 @@ int tic_vp8_encode(const uint8_t* ysrc, const uint8_t* usrc,
     p0.put_bit(0);        // dq_uv_dc
     p0.put_bit(0);        // dq_uv_ac
     p0.put_bit(0);        // refresh entropy (ignored on keyframes)
-    for (int i = 0; i < 4 * 8 * 3 * 11; ++i)
-        p0.put(0, kCoeffUpdateProba[i]);  // keep default coeff probs
+    // --- adaptive coefficient probabilities: count every token's tree
+    // branches (TokenCounter), then keep an update only where it saves
+    // more token bits than its own header cost (flag + 8-bit literal)
+    static_assert(sizeof(kCoeffProba0) == 4 * 8 * 3 * 11, "prob table");
+    uint8_t probs_u[4][8][3][11];
+    memcpy(probs_u, kCoeffProba0, sizeof(probs_u));
+    {
+        std::vector<uint32_t> counts(4 * 8 * 3 * 11 * 2, 0);
+        TokenCounter tc{(uint32_t(*)[8][3][11][2])counts.data()};
+        token_pass(tc, mbs, mb_w, mb_h);
+        const uint8_t* defp = kCoeffProba0;
+        const uint8_t* up = kCoeffUpdateProba;
+        uint8_t* newp = &probs_u[0][0][0][0];
+        for (int i = 0; i < 4 * 8 * 3 * 11; ++i) {
+            uint32_t c0 = counts[2 * i], c1 = counts[2 * i + 1];
+            if (!c0 && !c1) continue;
+            int cand = int((255ull * c0 + (c0 + c1) / 2) / (c0 + c1));
+            if (cand < 1) cand = 1;
+            if (cand > 255) cand = 255;
+            if (cand == defp[i]) continue;
+            auto bits = [&](int p) {
+                double b = 0.0;
+                if (c0) b -= c0 * log2(p / 256.0);
+                if (c1) b -= c1 * log2((256 - p) / 256.0);
+                return b;
+            };
+            // header delta: flag 1 instead of 0 at prob up[i], + 8 bits
+            double hdr = -log2((256 - up[i]) / 256.0) + log2(up[i] / 256.0)
+                         + 8.0;
+            if (bits(defp[i]) - bits(cand) > hdr) newp[i] = uint8_t(cand);
+        }
+        for (int i = 0; i < 4 * 8 * 3 * 11; ++i) {
+            int upd = newp[i] != defp[i];
+            p0.put(upd, up[i]);
+            if (upd) p0.literal(newp[i], 8);
+        }
+    }
     p0.put_bit(1);        // mb_no_skip_coeff enabled
     p0.literal(skip_prob, 8);
     for (auto& m : mbs) {
@@ -624,48 +726,9 @@ int tic_vp8_encode(const uint8_t* ysrc, const uint8_t* usrc,
     p0.flush();
 
     // ---- pass B2: token partition with left/top nonzero contexts
-    typedef const uint8_t (*ProbSet)[8][3][11];
-    ProbSet probs = (ProbSet)kCoeffProba0;
     BoolEnc tp;
-    std::vector<uint8_t> top_ctx(size_t(mb_w) * 9, 0);
-    for (int my = 0; my < mb_h; ++my) {
-        uint8_t left_ctx[9];
-        memset(left_ctx, 0, sizeof(left_ctx));
-        for (int mx = 0; mx < mb_w; ++mx) {
-            MBData& mb = mbs[size_t(my) * mb_w + mx];
-            uint8_t* tctx = &top_ctx[size_t(mx) * 9];
-            if (mb.skip) {
-                // skipped MB: every nonzero context clears, INCLUDING Y2
-                // when the mode has one (libwebp: nz_dc = 0 iff !is_i4x4;
-                // all our MBs are 16x16 modes)
-                memset(left_ctx, 0, 9);
-                memset(tctx, 0, 9);
-                continue;
-            }
-            {  // Y2
-                int ctx = left_ctx[8] + tctx[8];
-                int nz = write_coeffs(tp, probs[1], ctx, 0,
-                                      mb.lv[24]);
-                left_ctx[8] = tctx[8] = uint8_t(nz);
-            }
-            for (int b = 0; b < 16; ++b) {
-                int sx = b & 3, sy = b >> 2;
-                int ctx = left_ctx[sy] + tctx[sx];
-                int nz = write_coeffs(tp, probs[0], ctx, 1,
-                                      mb.lv[b]);
-                left_ctx[sy] = tctx[sx] = uint8_t(nz);
-            }
-            for (int pl = 0; pl < 2; ++pl)
-                for (int b = 0; b < 4; ++b) {
-                    int sx = b & 1, sy = b >> 1;
-                    int li = 4 + 2 * pl + sy, ti = 4 + 2 * pl + sx;
-                    int ctx = left_ctx[li] + tctx[ti];
-                    int nz = write_coeffs(tp, probs[2], ctx, 0,
-                                          mb.lv[16 + 4 * pl + b]);
-                    left_ctx[li] = tctx[ti] = uint8_t(nz);
-                }
-        }
-    }
+    TokenWriter tw{tp, (const uint8_t(*)[8][3][11])probs_u};
+    token_pass(tw, mbs, mb_w, mb_h);
     tp.flush();
 
     // ---- assemble: frame tag + start code + dims + partitions
