@@ -884,13 +884,17 @@ def encode_webp_lossy(img: np.ndarray, quality: float = 75.0) -> bytes:
         return ((pe[0::2, 0::2] + pe[0::2, 1::2]
                  + pe[1::2, 0::2] + pe[1::2, 1::2] + 2) >> 2).astype(np.uint8)
 
+    import os
+
     qindex = int(round((100.0 - min(100.0, max(0.0, quality))) * 127 / 100))
     L = lib()
     out = ctypes.POINTER(ctypes.c_uint8)()
     n = ctypes.c_uint64()
+    stats = (ctypes.c_int32 * 2)()
     rc = L.tic_vp8_encode(
         np.ascontiguousarray(Y).tobytes(), ss(U).tobytes(), ss(V).tobytes(),
-        W, H, qindex, ctypes.byref(out), ctypes.byref(n))
+        W, H, qindex, ctypes.byref(out), ctypes.byref(n),
+        1 if os.environ.get("TIC_VP8_NO_BPRED") else 0, stats)
     if rc != 0:
         raise ValueError(f"VP8 encode failed rc={rc}")
     payload = ctypes.string_at(out, n.value)

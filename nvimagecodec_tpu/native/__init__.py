@@ -162,7 +162,8 @@ def _declare(L: ctypes.CDLL) -> None:
     L.tic_vp8_encode.argtypes = [
         ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.POINTER(u8p),
-        ctypes.POINTER(ctypes.c_uint64),
+        ctypes.POINTER(ctypes.c_uint64), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int32),
     ]
     L.tic_vp8_encode.restype = ctypes.c_int
     L.tic_ht_decode_block.argtypes = [

@@ -295,9 +295,123 @@ int64_t sse_block(const Plane& src, int x0, int y0, int n,
 
 struct MBData {
     uint8_t ymode, uvmode, skip;
+    uint8_t bmodes[16];  // 4x4 modes (implied for 16x16 ymodes, RFC 11.3)
     int16_t lv[25][16];  // quantized levels, SCAN (zigzag) order: 16 Y
-                         // (AC from 1), 8 UV, Y2 at 24
+                         // (AC from 1 for 16x16 modes, 0 for B_PRED),
+                         // 8 UV, Y2 at 24 (16x16 modes only)
 };
+
+const int8_t kBModeTree[18] = {~0, 2,  ~1, 4,  ~2, 6,  8,  12, ~3,
+                               10, ~5, ~6, ~4, 14, ~7, 16, ~8, ~9};
+
+// 4x4 intra prediction (RFC 12.3) — IDENTICAL to the decoder's pred_b.
+void pred_b4(uint8_t mode, const uint8_t* A, const uint8_t* L, uint8_t TL,
+             uint8_t out[4][4]) {
+    auto avg3 = [](int a, int b, int c) {
+        return uint8_t((a + 2 * b + c + 2) >> 2);
+    };
+    auto avg2 = [](int a, int b) { return uint8_t((a + b + 1) >> 1); };
+    switch (mode) {
+        case 0: {  // B_DC
+            int s = 4;
+            for (int i = 0; i < 4; ++i) s += A[i] + L[i];
+            uint8_t dc = uint8_t(s >> 3);
+            for (int y = 0; y < 4; ++y)
+                for (int x = 0; x < 4; ++x) out[y][x] = dc;
+            break;
+        }
+        case 1:  // B_TM
+            for (int y = 0; y < 4; ++y)
+                for (int x = 0; x < 4; ++x)
+                    out[y][x] = clip255(L[y] + A[x] - TL);
+            break;
+        case 2: {  // B_VE
+            uint8_t r[4];
+            r[0] = avg3(TL, A[0], A[1]);
+            r[1] = avg3(A[0], A[1], A[2]);
+            r[2] = avg3(A[1], A[2], A[3]);
+            r[3] = avg3(A[2], A[3], A[4]);
+            for (int y = 0; y < 4; ++y) memcpy(out[y], r, 4);
+            break;
+        }
+        case 3:  // B_HE
+            out[0][0] = out[0][1] = out[0][2] = out[0][3] =
+                avg3(TL, L[0], L[1]);
+            out[1][0] = out[1][1] = out[1][2] = out[1][3] =
+                avg3(L[0], L[1], L[2]);
+            out[2][0] = out[2][1] = out[2][2] = out[2][3] =
+                avg3(L[1], L[2], L[3]);
+            out[3][0] = out[3][1] = out[3][2] = out[3][3] =
+                avg3(L[2], L[3], L[3]);
+            break;
+        case 4:  // B_LD
+            out[0][0] = avg3(A[0], A[1], A[2]);
+            out[0][1] = out[1][0] = avg3(A[1], A[2], A[3]);
+            out[0][2] = out[1][1] = out[2][0] = avg3(A[2], A[3], A[4]);
+            out[0][3] = out[1][2] = out[2][1] = out[3][0] =
+                avg3(A[3], A[4], A[5]);
+            out[1][3] = out[2][2] = out[3][1] = avg3(A[4], A[5], A[6]);
+            out[2][3] = out[3][2] = avg3(A[5], A[6], A[7]);
+            out[3][3] = avg3(A[6], A[7], A[7]);
+            break;
+        case 5:  // B_RD
+            out[3][0] = avg3(L[3], L[2], L[1]);
+            out[2][0] = out[3][1] = avg3(L[2], L[1], L[0]);
+            out[1][0] = out[2][1] = out[3][2] = avg3(L[1], L[0], TL);
+            out[0][0] = out[1][1] = out[2][2] = out[3][3] =
+                avg3(L[0], TL, A[0]);
+            out[0][1] = out[1][2] = out[2][3] = avg3(TL, A[0], A[1]);
+            out[0][2] = out[1][3] = avg3(A[0], A[1], A[2]);
+            out[0][3] = avg3(A[1], A[2], A[3]);
+            break;
+        case 6:  // B_VR
+            out[3][0] = avg3(L[2], L[1], L[0]);
+            out[2][0] = avg3(L[1], L[0], TL);
+            out[1][0] = out[3][1] = avg3(L[0], TL, A[0]);
+            out[0][0] = out[2][1] = avg2(TL, A[0]);
+            out[1][1] = out[3][2] = avg3(TL, A[0], A[1]);
+            out[0][1] = out[2][2] = avg2(A[0], A[1]);
+            out[1][2] = out[3][3] = avg3(A[0], A[1], A[2]);
+            out[0][2] = out[2][3] = avg2(A[1], A[2]);
+            out[1][3] = avg3(A[1], A[2], A[3]);
+            out[0][3] = avg2(A[2], A[3]);
+            break;
+        case 7:  // B_VL
+            out[0][0] = avg2(A[0], A[1]);
+            out[1][0] = avg3(A[0], A[1], A[2]);
+            out[2][0] = out[0][1] = avg2(A[1], A[2]);
+            out[1][1] = out[3][0] = avg3(A[1], A[2], A[3]);
+            out[2][1] = out[0][2] = avg2(A[2], A[3]);
+            out[3][1] = out[1][2] = avg3(A[2], A[3], A[4]);
+            out[2][2] = out[0][3] = avg2(A[3], A[4]);
+            out[3][2] = out[1][3] = avg3(A[3], A[4], A[5]);
+            out[2][3] = avg3(A[4], A[5], A[6]);
+            out[3][3] = avg3(A[5], A[6], A[7]);
+            break;
+        case 8:  // B_HD
+            out[3][0] = avg2(L[3], L[2]);
+            out[3][1] = avg3(L[3], L[2], L[1]);
+            out[2][0] = out[3][2] = avg2(L[2], L[1]);
+            out[2][1] = out[3][3] = avg3(L[2], L[1], L[0]);
+            out[1][0] = out[2][2] = avg2(L[1], L[0]);
+            out[1][1] = out[2][3] = avg3(L[1], L[0], TL);
+            out[0][0] = out[1][2] = avg2(L[0], TL);
+            out[0][1] = out[1][3] = avg3(L[0], TL, A[0]);
+            out[0][2] = avg3(TL, A[0], A[1]);
+            out[0][3] = avg3(A[0], A[1], A[2]);
+            break;
+        default:  // 9: B_HU
+            out[0][0] = avg2(L[0], L[1]);
+            out[0][1] = avg3(L[0], L[1], L[2]);
+            out[0][2] = out[1][0] = avg2(L[1], L[2]);
+            out[0][3] = out[1][1] = avg3(L[1], L[2], L[3]);
+            out[1][2] = out[2][0] = avg2(L[2], L[3]);
+            out[1][3] = out[2][1] = avg3(L[2], L[3], L[3]);
+            out[2][2] = out[2][3] = out[3][0] = out[3][1] = out[3][2] =
+                out[3][3] = L[3];
+            break;
+    }
+}
 
 inline int quantize(int v, int q) {
     int a = v < 0 ? -v : v;
@@ -422,23 +536,27 @@ void token_pass(E& e, MBVec& mbs, int mb_w, int mb_h) {
         for (int mx = 0; mx < mb_w; ++mx) {
             auto& mb = mbs[size_t(my) * mb_w + mx];
             uint8_t* tctx = &top_ctx[size_t(mx) * 9];
+            bool has_y2 = mb.ymode != 4;
             if (mb.skip) {
-                // skipped MB: every nonzero context clears, INCLUDING Y2
-                // when the mode has one (libwebp: nz_dc = 0 iff !is_i4x4;
-                // all our MBs are 16x16 modes)
-                memset(left_ctx, 0, 9);
-                memset(tctx, 0, 9);
+                // skipped MB: nonzero contexts clear; the Y2 context only
+                // when the mode has a Y2 block (libwebp: nz_dc = 0 iff
+                // !is_i4x4) — a skipped B_PRED MB leaves it untouched
+                memset(left_ctx, 0, 8);
+                memset(tctx, 0, 8);
+                if (has_y2) left_ctx[8] = tctx[8] = 0;
                 continue;
             }
-            {  // Y2
+            if (has_y2) {  // Y2
                 int ctx = left_ctx[8] + tctx[8];
                 int nz = emit_coeffs(e, 1, ctx, 0, mb.lv[24]);
                 left_ctx[8] = tctx[8] = uint8_t(nz);
             }
+            int ytype = has_y2 ? 0 : 3;
+            int yfirst = has_y2 ? 1 : 0;
             for (int b = 0; b < 16; ++b) {
                 int sx = b & 3, sy = b >> 2;
                 int ctx = left_ctx[sy] + tctx[sx];
-                int nz = emit_coeffs(e, 0, ctx, 1, mb.lv[b]);
+                int nz = emit_coeffs(e, ytype, ctx, yfirst, mb.lv[b]);
                 left_ctx[sy] = tctx[sx] = uint8_t(nz);
             }
             for (int pl = 0; pl < 2; ++pl)
@@ -461,10 +579,13 @@ extern "C" {
 // Encode YUV420 planes as a WebP lossy (VP8 keyframe) stream.
 // y: [h, w] (stride = w); u, v: [ceil(h/2), ceil(w/2)].
 // qindex: 0 (finest) .. 127 (coarsest), the RFC 6386 y_ac_qi.
+// flags: bit0 = disable B_PRED (16x16 modes only, for A/B tests).
+// stats: optional int32[2] out — [0] B_PRED MB count, [1] total MBs.
 // out: malloc'd stream (caller frees with free()); returns 0 ok.
 int tic_vp8_encode(const uint8_t* ysrc, const uint8_t* usrc,
                    const uint8_t* vsrc, int w, int h, int qindex,
-                   uint8_t** outbuf, uint64_t* outlen) {
+                   uint8_t** outbuf, uint64_t* outlen, int flags,
+                   int32_t* stats) {
     if (w <= 0 || h <= 0 || w > 0x3FFF || h > 0x3FFF) return 1;
     qindex = clampq(qindex);
     const int mb_w = (w + 15) >> 4, mb_h = (h + 15) >> 4;
@@ -570,9 +691,11 @@ int tic_vp8_encode(const uint8_t* ysrc, const uint8_t* usrc,
             }
             mb.uvmode = uint8_t(bestc);
 
-            // --- luma residual: 16 fDCTs, DC terms through the WHT
+            // --- luma candidate 1 (16x16 mode): fDCTs, DC through the WHT
             int16_t res[16], coef[16], dcs[16], y2q[16];
             int16_t acde[16][16];  // dequantized AC (natural order)
+            int16_t lv16[25][16];
+            memset(lv16, 0, sizeof(lv16));
             for (int b = 0; b < 16; ++b) {
                 int bx = (b & 3) * 4, by = (b >> 2) * 4;
                 for (int y = 0; y < 4; ++y)
@@ -584,7 +707,7 @@ int tic_vp8_encode(const uint8_t* ysrc, const uint8_t* usrc,
                 dcs[b] = coef[0];
                 for (int n = 1; n < 16; ++n) {
                     int q = quantize(coef[kZigzag[n]], y1_ac);
-                    mb.lv[b][n] = int16_t(q);
+                    lv16[b][n] = int16_t(q);
                     acde[b][kZigzag[n]] = int16_t(q * y1_ac);
                 }
                 acde[b][0] = 0;
@@ -594,21 +717,113 @@ int tic_vp8_encode(const uint8_t* ysrc, const uint8_t* usrc,
             int16_t y2de[16];
             for (int n = 0; n < 16; ++n) {
                 int q = quantize(wht[kZigzag[n]], n ? y2_ac : y2_dc);
-                mb.lv[24][n] = int16_t(q);
+                lv16[24][n] = int16_t(q);
                 y2q[kZigzag[n]] = int16_t(q * (n ? y2_ac : y2_dc));
             }
             iwht4x4(y2q, y2de);  // decoder-side DC per luma block
 
-            // reconstruct luma exactly as the decoder will
+            // reconstruct into r16 exactly as the decoder will
+            uint8_t r16[16][16];
+            int64_t sse16 = 0;
             for (int b = 0; b < 16; ++b) {
                 int bx = (b & 3) * 4, by = (b >> 2) * 4;
                 acde[b][0] = y2de[b];
                 int16_t px[16];
                 idct4x4(acde[b], px);
                 for (int y = 0; y < 4; ++y)
+                    for (int x = 0; x < 4; ++x) {
+                        uint8_t v = clip255(pred[(by + y) * 16 + bx + x] +
+                                            px[y * 4 + x]);
+                        r16[by + y][bx + x] = v;
+                        int dd = int(v) - int(SY.at(x0 + bx + x, y0 + by + y));
+                        sse16 += dd * dd;
+                    }
+            }
+
+            // --- luma candidate 2 (B_PRED): per-4x4 mode search with
+            // decoder-exact sequential reconstruction IN the frame plane
+            // (subblock prediction reads earlier subblocks' recon)
+            int16_t lv4[16][16];
+            uint8_t bm4[16];
+            int64_t sse4 = 0;
+            for (int b = 0; b < 16; ++b) {
+                int sxr = (b & 3), syr = (b >> 2);
+                int sx = x0 + sxr * 4, sy = y0 + syr * 4;
+                uint8_t A[8], L[4], TL;
+                for (int i = 0; i < 4; ++i) {
+                    L[i] = PY.at(sx - 1, sy + i);
+                    A[i] = PY.at(sx + i, sy - 1);
+                }
+                TL = PY.at(sx - 1, sy - 1);
+                bool right_col = sxr == 3;
+                int ary = right_col ? y0 - 1 : sy - 1;
+                int arx = sx + 4;
+                bool last_mb = mx == mb_w - 1;
+                for (int i = 0; i < 4; ++i) {
+                    if (right_col && last_mb)
+                        A[4 + i] = my > 0 ? PY.at(x0 + 15, y0 - 1) : 127;
+                    else
+                        A[4 + i] = PY.at(arx + i, ary);
+                }
+                // pick the min-SSE mode for this subblock
+                uint8_t bp[4][4], bestp[4][4];
+                int bmode = 0;
+                int64_t bsse = -1;
+                for (int m = 0; m < 10; ++m) {
+                    pred_b4(uint8_t(m), A, L, TL, bp);
+                    int64_t s = 0;
+                    for (int y = 0; y < 4; ++y)
+                        for (int x = 0; x < 4; ++x) {
+                            int dd = int(SY.at(sx + x, sy + y)) - bp[y][x];
+                            s += dd * dd;
+                        }
+                    if (bsse < 0 || s < bsse) {
+                        bsse = s;
+                        bmode = m;
+                        memcpy(bestp, bp, 16);
+                    }
+                }
+                bm4[b] = uint8_t(bmode);
+                // residual: full 16-coefficient block (no Y2 for B_PRED)
+                for (int y = 0; y < 4; ++y)
                     for (int x = 0; x < 4; ++x)
-                        PY.at(x0 + bx + x, y0 + by + y) = clip255(
-                            pred[(by + y) * 16 + bx + x] + px[y * 4 + x]);
+                        res[y * 4 + x] = int16_t(
+                            int(SY.at(sx + x, sy + y)) - bestp[y][x]);
+                fdct4x4(res, coef);
+                int16_t de[16];
+                for (int n = 0; n < 16; ++n) {
+                    int q = quantize(coef[kZigzag[n]], n ? y1_ac : y1_dc);
+                    lv4[b][n] = int16_t(q);
+                    de[kZigzag[n]] = int16_t(q * (n ? y1_ac : y1_dc));
+                }
+                int16_t px[16];
+                idct4x4(de, px);
+                for (int y = 0; y < 4; ++y)
+                    for (int x = 0; x < 4; ++x) {
+                        uint8_t v = clip255(bestp[y][x] + px[y * 4 + x]);
+                        PY.at(sx + x, sy + y) = v;
+                        int dd = int(v) - int(SY.at(sx + x, sy + y));
+                        sse4 += dd * dd;
+                    }
+            }
+
+            // --- decide: B_PRED costs ~16 sub-mode symbols + denser tokens;
+            // charge it a lambda-scaled bit penalty (step ~ y1_ac/8 pixels,
+            // lambda ~ step^2 -> penalty = bits * y1_ac^2 / 64)
+            int64_t penalty4 = int64_t(45) * y1_ac * y1_ac / 64;
+            if ((flags & 1) || sse16 <= sse4 + penalty4) {
+                // replay the 16x16 reconstruction over the B_PRED recon
+                for (int y = 0; y < 16; ++y)
+                    for (int x = 0; x < 16; ++x)
+                        PY.at(x0 + x, y0 + y) = r16[y][x];
+                memcpy(mb.lv, lv16, sizeof(lv16));
+                static const uint8_t imp[4] = {0, 2, 3, 1};  // DC,V,H,TM
+                memset(mb.bmodes, imp[mb.ymode], 16);
+            } else {
+                mb.ymode = 4;  // B_PRED
+                memset(mb.lv, 0, sizeof(mb.lv));
+                memcpy(mb.lv, lv4, sizeof(lv4));
+                memcpy(mb.bmodes, bm4, 16);
             }
 
             // --- chroma residuals
@@ -650,6 +865,13 @@ int tic_vp8_encode(const uint8_t* ysrc, const uint8_t* usrc,
                         break;
                     }
         }
+    }
+
+    if (stats) {
+        int nb = 0;
+        for (auto& m : mbs) nb += (m.ymode == 4);
+        stats[0] = nb;
+        stats[1] = int32_t(mbs.size());
     }
 
     // skip probability: P(not skipped) per RFC 9.11 semantics is
@@ -718,10 +940,36 @@ int tic_vp8_encode(const uint8_t* ysrc, const uint8_t* usrc,
     }
     p0.put_bit(1);        // mb_no_skip_coeff enabled
     p0.literal(skip_prob, 8);
-    for (auto& m : mbs) {
-        p0.put(m.skip, skip_prob);
-        tree_write(p0, kKfYModeTree, kKfYModeProbs, m.ymode);
-        tree_write(p0, kUVModeTree, kKfUVModeProbs, m.uvmode);
+    {
+        // per-MB modes; B_PRED sub-modes code with the above/left 4x4
+        // mode contexts (RFC 11.2, kKfBModesProba[above][left])
+        std::vector<uint8_t> top_modes(size_t(mb_w) * 4, 0);
+        for (int my = 0; my < mb_h; ++my) {
+            uint8_t left_modes[4] = {0, 0, 0, 0};
+            for (int mx = 0; mx < mb_w; ++mx) {
+                MBData& m = mbs[size_t(my) * mb_w + mx];
+                p0.put(m.skip, skip_prob);
+                tree_write(p0, kKfYModeTree, kKfYModeProbs, m.ymode);
+                if (m.ymode == 4) {
+                    for (int sy = 0; sy < 4; ++sy)
+                        for (int sx = 0; sx < 4; ++sx) {
+                            int am = sy > 0 ? m.bmodes[(sy - 1) * 4 + sx]
+                                            : top_modes[size_t(mx) * 4 + sx];
+                            int lm = sx > 0 ? m.bmodes[sy * 4 + sx - 1]
+                                            : left_modes[sy];
+                            tree_write(
+                                p0, kBModeTree,
+                                &kKfBModesProba[(am * 10 + lm) * 9],
+                                m.bmodes[sy * 4 + sx]);
+                        }
+                }
+                for (int sy = 0; sy < 4; ++sy)
+                    left_modes[sy] = m.bmodes[sy * 4 + 3];
+                for (int sx = 0; sx < 4; ++sx)
+                    top_modes[size_t(mx) * 4 + sx] = m.bmodes[12 + sx];
+                tree_write(p0, kUVModeTree, kKfUVModeProbs, m.uvmode);
+            }
+        }
     }
     p0.flush();
 
