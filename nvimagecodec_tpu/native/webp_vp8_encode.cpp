@@ -889,8 +889,14 @@ int tic_vp8_encode(const uint8_t* ysrc, const uint8_t* usrc,
     p0.put_bit(0);        // color space
     p0.put_bit(0);        // clamping
     p0.put_bit(0);        // segmentation off
-    p0.put_bit(0);        // filter_type
-    p0.literal(0, 6);     // filter_level 0 (no in-loop filtering)
+    // in-loop deblocking: a post-recon pass in every decoder (ours applies
+    // it after all MBs, so intra prediction is unaffected) — signalling a
+    // q-scaled level costs nothing here and deblocks the decoded output
+    int filter_level = qindex >> 1;
+    if (filter_level > 63) filter_level = 63;
+    if (flags & 2) filter_level = 0;
+    p0.put_bit(0);        // filter_type: normal
+    p0.literal(filter_level, 6);
     p0.literal(0, 3);     // sharpness
     p0.put_bit(0);        // no lf deltas
     p0.literal(0, 2);     // log2(token partitions) = 0 → one partition
