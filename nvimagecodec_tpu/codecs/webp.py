@@ -886,7 +886,17 @@ def encode_webp_lossy(img: np.ndarray, quality: float = 75.0) -> bytes:
 
     import os
 
-    qindex = int(round((100.0 - min(100.0, max(0.0, quality))) * 127 / 100))
+    # quality -> qindex calibrated so stream sizes track libwebp's at the
+    # same quality setting (piecewise-linear through size-matched points on
+    # the photo corpus; libwebp's own curve is nonlinear in qindex)
+    q = min(100.0, max(0.0, quality))
+    pts = [(0.0, 127), (25.0, 68), (50.0, 56), (75.0, 40), (90.0, 12),
+           (100.0, 0)]
+    qindex = 0
+    for (q0, v0), (q1, v1) in zip(pts, pts[1:]):
+        if q <= q1:
+            qindex = int(round(v0 + (v1 - v0) * (q - q0) / (q1 - q0)))
+            break
     L = lib()
     out = ctypes.POINTER(ctypes.c_uint8)()
     n = ctypes.c_uint64()
