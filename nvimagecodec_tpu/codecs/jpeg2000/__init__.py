@@ -85,11 +85,26 @@ class Jpeg2kHybridDecoder(DecoderPlugin):
                and self.discard_levels == 0 else None)
 
         def one(data):
-            img = decode_j2k(bytes(data), num_threads=self.num_parallel_tiles,
+            raw = bytes(data)
+            img = decode_j2k(raw, num_threads=self.num_parallel_tiles,
                              use_jax=use_jax and roi is None,
                              discard_levels=self.discard_levels,
                              mesh=self.mesh if roi is None else None,
                              region=roi)
+            # sYCC-tagged JP2 (our subsampled encodes): convert the
+            # upsampled YCbCr back to RGB (the reference treats SYCC the
+            # same way through its conversion stage)
+            from .codestream import jp2_colorspace
+
+            if (jp2_colorspace(raw) == 18
+                    and getattr(img, "ndim", 0) == 3 and img.shape[2] == 3):
+                from ...ops.color import ycbcr_to_rgb_i32
+
+                arr = np.asarray(img)
+                maxv = 65535 if arr.dtype == np.uint16 else 255
+                r, g, b = ycbcr_to_rgb_i32(
+                    arr[:, :, 0], arr[:, :, 1], arr[:, :, 2], maxval=maxv)
+                img = np.stack([r, g, b], axis=-1).astype(arr.dtype)
             if not params.allow_any_depth and str(img.dtype) == "uint16":
                 img = (img >> 8).astype(
                     np.uint8 if isinstance(img, np.ndarray) else "uint8"
@@ -180,12 +195,7 @@ class Jpeg2kEncoder(EncoderPlugin):
                 a = np.asarray(img)
                 q = quality
 
-                # single-pass rate control: target_psnr drives the
-                # DWT-domain rate allocator inside encode_j2k (ONE T1
-                # encode, like nvjpeg2k's native allocator — replaces the
-                # old decode-measure-re-encode loop, VERDICT r2 weak 7)
-                data = encode_j2k(
-                    a,
+                kw = dict(
                     reversible=jp.reversible or q >= 100,
                     levels=jp.num_resolutions - 1,
                     quality=q,
@@ -195,10 +205,44 @@ class Jpeg2kEncoder(EncoderPlugin):
                     prog_order=getattr(jp, "prog_order", "LRCP"),
                     precincts=getattr(jp, "precincts", None),
                     ht=getattr(jp, "ht", False),
+                    # single-pass rate control: target_psnr drives the
+                    # DWT-domain rate allocator inside encode_j2k (ONE T1
+                    # encode, like nvjpeg2k's native allocator)
                     target_psnr=(psnr_target
                                  if not jp.reversible and psnr_target
                                  and q < 100 else None),
                 )
+                # chroma_subsampling: RGB → BT.601 YCbCr planes, box-filter
+                # chroma, encode subsampled planar components with MCT off
+                # (the reference's nvjpeg2k encoder accepts 444/422/420
+                # image-info subsampling, cuda_encoder.cpp:100-104)
+                css = params.chroma_subsampling
+                sub = None
+                if css is not None and a.ndim == 3 and a.shape[2] == 3:
+                    name = getattr(css, "name", str(css))
+                    sub = {"CSS_420": (2, 2), "CSS_422": (2, 1),
+                           "420": (2, 2), "422": (2, 1)}.get(
+                        name.replace("ChromaSubsampling.", ""), None)
+                if sub is not None:
+                    from ...ops.color import rgb_to_ycbcr_i32
+                    from ...ops.resample import (
+                        downsample_h2v1,
+                        downsample_h2v2,
+                    )
+
+                    maxv = 65535 if a.dtype == np.uint16 else 255
+                    y, cb, cr = rgb_to_ycbcr_i32(
+                        a[:, :, 0], a[:, :, 1], a[:, :, 2], maxval=maxv)
+                    ds = downsample_h2v2 if sub == (2, 2) else downsample_h2v1
+                    cb, cr = ds(cb), ds(cr)
+                    dt = a.dtype
+                    kw.pop("target_psnr", None)  # planar path: quality knob
+                    data = encode_j2k(
+                        [y.astype(dt), cb.astype(dt), cr.astype(dt)],
+                        sub=[(1, 1), sub, sub], size=a.shape[:2],
+                        colorspace="sycc", **kw)
+                else:
+                    data = encode_j2k(a, **kw)
                 out.append(EncodeResult(ProcessingStatus.SUCCESS, data))
             except Exception as e:
                 out.append(EncodeResult(ProcessingStatus.FAIL, error=str(e)))

@@ -656,8 +656,11 @@ def iter_tile_parts(data: bytes, pos: int):
 
 
 # ---------------------------------------------------------------- JP2 boxes
-def wrap_jp2(codestream: bytes, siz: SizInfo) -> bytes:
-    """Minimal JP2 container: signature, ftyp, jp2h(ihdr+colr), jp2c."""
+def wrap_jp2(codestream: bytes, siz: SizInfo,
+             colorspace: str = None) -> bytes:
+    """Minimal JP2 container: signature, ftyp, jp2h(ihdr+colr), jp2c.
+    colorspace: None (sRGB for 3 comps, grey otherwise) or "sycc"
+    (EnumCS 18 — subsampled YCbCr encodes, ISO 15444-1 I.5.3.3)."""
 
     def box(btype: bytes, body: bytes) -> bytes:
         return struct.pack(">I", len(body) + 8) + btype + body
@@ -665,7 +668,8 @@ def wrap_jp2(codestream: bytes, siz: SizInfo) -> bytes:
     ihdr = struct.pack(
         ">IIHBBBB", siz.height, siz.width, siz.ncomp, siz.depth[0] - 1, 7, 0, 0
     )
-    colr = b"\x01\x00\x00" + struct.pack(">I", 16 if siz.ncomp == 3 else 17)
+    enum_cs = 18 if colorspace == "sycc" else (16 if siz.ncomp == 3 else 17)
+    colr = b"\x01\x00\x00" + struct.pack(">I", enum_cs)
     jp2h = box(b"ihdr", ihdr) + box(b"colr", colr)
     return (
         JP2_SIG
@@ -695,3 +699,17 @@ def unwrap_jp2(data: bytes) -> bytes:
             return data[body_off:end]
         pos += ln if ln else n
     raise ValueError("JP2: no codestream box")
+
+
+def jp2_colorspace(data: bytes):
+    """EnumCS of the JP2 colr box (16 sRGB / 17 grey / 18 sYCC), or None
+    for raw codestreams / missing box."""
+    if data[:4] == b"\xff\x4f\xff\x51":
+        return None
+    pos = data.find(b"colr")
+    if pos < 0 or pos + 11 > len(data):
+        return None
+    meth = data[pos + 4]
+    if meth != 1:
+        return None
+    return struct.unpack_from(">I", data, pos + 7)[0]

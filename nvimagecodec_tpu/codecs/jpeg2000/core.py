@@ -207,6 +207,7 @@ def encode_j2k(
     target_psnr: float = None,
     sub=None,
     size=None,
+    colorspace: str = None,
 ) -> bytes:
     """Encode [H, W] or [H, W, C] u8/u16 → JP2/J2K bytes.
 
@@ -541,7 +542,8 @@ def encode_j2k(
         out += tdata
     out += struct.pack(">H", EOC)
     cs = bytes(out)
-    return wrap_jp2(cs, siz) if stream_type == "jp2" else cs
+    return (wrap_jp2(cs, siz, colorspace)
+            if stream_type == "jp2" else cs)
 
 
 # ------------------------------------------------------------------ decode

@@ -225,3 +225,32 @@ def test_jax_pixel_stage_matches_numpy_paths():
     assert np.array_equal(
         np.asarray(decode_j2k(d2, use_jax=True)), decode_j2k(d2, use_jax=False)
     )
+
+
+def test_chroma_subsampling_public_encode():
+    """EncodeParams.chroma_subsampling drives subsampled J2K encode
+    (RGB -> sYCC-tagged JP2 with 420/422 components; the reference's
+    nvjpeg2k encoder accepts 444/422/420 image-info subsampling,
+    extensions/nvjpeg2k/cuda_encoder.cpp:100-104). Decode converts back
+    to RGB via the sYCC colr box."""
+    import nvimagecodec_tpu as nic
+    from nvimagecodec_tpu.core.interfaces import EncodeParams, Jpeg2kEncodeParams
+    from nvimagecodec_tpu.core.types import ChromaSubsampling
+
+    img = make_photo(120, 160, seed=30)
+    enc, dec = nic.Encoder(), nic.Decoder()
+    d444 = enc.encode(img, codec="jp2", params=EncodeParams(
+        quality=90, jpeg2k=Jpeg2kEncodeParams(reversible=False)))
+    d420 = enc.encode(img, codec="jp2", params=EncodeParams(
+        quality=90, chroma_subsampling=ChromaSubsampling.CSS_420,
+        jpeg2k=Jpeg2kEncodeParams(reversible=False)))
+    assert len(d420) < len(d444) * 0.7
+    out = np.asarray(dec.decode(d420))
+    assert out.shape == img.shape
+    assert psnr(img, out) > 33.0
+    # the stream really is subsampled (SIZ XRsiz/YRsiz = 2 for comps 1..2)
+    from nvimagecodec_tpu.codecs.jpeg2000.codestream import (
+        parse_main_header, unwrap_jp2,
+    )
+    siz, _cp, _ = parse_main_header(unwrap_jp2(d420), 0)
+    assert siz.sub_x == [1, 2, 2] and siz.sub_y == [1, 2, 2]
