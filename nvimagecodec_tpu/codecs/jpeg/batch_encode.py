@@ -136,9 +136,12 @@ def encode_batch_tpu(image_batch, params: Optional[EncodeParams],
         use_device = env not in ("0", "false", "")
     else:
         # CPU backend: the "device" is this host — no transfer, keep the
-        # batched stage. Real accelerator: needs a healthy readback path.
+        # batched stage. Real accelerator: needs a readback path fast
+        # enough that 0.6 MB/img of coefficients beats the ~1.7 ms/img
+        # all-host pipeline (>= ~800 MB/s; PCIe-attached chips qualify,
+        # tunneled dev chips do not)
         use_device = (jax.default_backend() == "cpu"
-                      or _d2h_mb_per_s() > 300.0)
+                      or _d2h_mb_per_s() > 800.0)
     if not use_device and not jp.progressive:
         # host pixel stage, per-sample over the pool. The full pipeline
         # (color + downsample + fDCT/quant + Huffman) runs in native C++
