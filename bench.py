@@ -105,6 +105,94 @@ def main() -> None:
     log(f"tpu decode: best of 3 passes -> {ips:.1f} img/s "
         f"(all: {[round(p, 1) for p in tpu_passes]})")
 
+    # --- encode throughput + libjpeg-turbo 1-thread encode baseline --------
+    encode_ips = encode_vs = None
+    try:
+        # host pipeline outright: the device-stage probe fetches D2H, which
+        # can hang when the tunnel wedges (and the tunneled readback never
+        # clears the break-even threshold anyway)
+        os.environ.setdefault("TIC_ENCODE_DEVICE", "0")
+        from nvimagecodec_tpu import Encoder
+        from nvimagecodec_tpu.core.interfaces import EncodeParams
+
+        enc = Encoder()
+        eparams = EncodeParams(quality=85, chroma_subsampling="420")
+        enc.encode(base, codec="jpeg", params=eparams)  # warm
+
+        def enc_pass():
+            t0 = time.perf_counter()
+            outs = enc.encode(base * 8, codec="jpeg", params=eparams)
+            n_ok = sum(o is not None for o in outs)
+            assert n_ok == len(base) * 8
+            return n_ok / (time.perf_counter() - t0)
+
+        enc_passes = [enc_pass() for _ in range(3)]
+        encode_ips = max(enc_passes)
+        log(f"jpeg encode: best of 3 -> {encode_ips:.1f} img/s "
+            f"(all: {[round(p, 1) for p in enc_passes]})")
+        if have_oracle:
+            def enc_base_pass():
+                t0 = time.perf_counter()
+                for img in base * 8:
+                    oracle.jpeg_encode(img, 85, "420")
+                return len(base) * 8 / (time.perf_counter() - t0)
+
+            eb_passes = [enc_base_pass() for _ in range(3)]
+            log(f"libjpeg-turbo 1-thread encode: best of 3 -> "
+                f"{max(eb_passes):.1f} img/s "
+                f"(all: {[round(p, 1) for p in eb_passes]})")
+            encode_vs = encode_ips / max(eb_passes)
+            log(f"encode vs baseline: {encode_vs:.3f}")
+    except Exception as e:
+        log("encode bench skipped:", e)
+
+    # --- baseline: libjpeg-turbo single-thread -----------------------------
+    # symmetric de-noising: best-of-3 on both sides, spreads in the JSON
+    vs = None
+    base_passes = []
+    if have_oracle:
+        import oracle
+
+        def base_pass():
+            t0 = time.perf_counter()
+            for j in jpgs[:256]:
+                oracle.jpeg_decode(j)
+            return 256 / (time.perf_counter() - t0)
+
+        base_passes = [base_pass() for _ in range(3)]
+        base_ips = max(base_passes)
+        log(f"libjpeg-turbo 1-thread: best of 3 -> {base_ips:.1f} img/s "
+            f"(all: {[round(p, 1) for p in base_passes]})")
+        vs = ips / base_ips
+
+    print(
+        json.dumps(
+            {
+                "metric": "jpeg420_decode_imagenet_size",
+                "value": round(ips, 1),
+                "unit": "images/s/chip",
+                "vs_baseline": round(vs, 3) if vs else None,
+                "passes": [round(p, 1) for p in tpu_passes],
+                "baseline_passes": [round(p, 1) for p in base_passes],
+                "encode_value": round(encode_ips, 1) if encode_ips else None,
+                "encode_vs_baseline": round(encode_vs, 3) if encode_vs else None,
+            }
+        )
+    )
+
+
+    # --- informational sections (stderr only) run AFTER the headline JSON;
+    # a watchdog hard-exits if a wedged device link hangs one of them (the
+    # driver already has the JSON by then)
+    sys.stdout.flush()
+    import threading as _th
+
+    _watchdog = _th.Timer(420.0, lambda: (log("watchdog: informational "
+                                              "section hung; exiting"),
+                                          os._exit(0)))
+    _watchdog.daemon = True
+    _watchdog.start()
+
     # --- informational: on-device entropy decode (stderr only) -------------
     # restart-interval corpus routes through the Pallas entropy kernel (the
     # host only splits segments); same pixels, different entropy engine
@@ -165,62 +253,6 @@ def main() -> None:
     except Exception as e:
         log("index-scan isolation skipped:", e)
 
-    # --- encode throughput + libjpeg-turbo 1-thread encode baseline --------
-    encode_ips = encode_vs = None
-    try:
-        from nvimagecodec_tpu import Encoder
-        from nvimagecodec_tpu.core.interfaces import EncodeParams
-
-        enc = Encoder()
-        eparams = EncodeParams(quality=85, chroma_subsampling="420")
-        enc.encode(base, codec="jpeg", params=eparams)  # warm
-
-        def enc_pass():
-            t0 = time.perf_counter()
-            outs = enc.encode(base * 8, codec="jpeg", params=eparams)
-            n_ok = sum(o is not None for o in outs)
-            assert n_ok == len(base) * 8
-            return n_ok / (time.perf_counter() - t0)
-
-        enc_passes = [enc_pass() for _ in range(3)]
-        encode_ips = max(enc_passes)
-        log(f"jpeg encode: best of 3 -> {encode_ips:.1f} img/s "
-            f"(all: {[round(p, 1) for p in enc_passes]})")
-        if have_oracle:
-            def enc_base_pass():
-                t0 = time.perf_counter()
-                for img in base * 8:
-                    oracle.jpeg_encode(img, 85, "420")
-                return len(base) * 8 / (time.perf_counter() - t0)
-
-            eb_passes = [enc_base_pass() for _ in range(3)]
-            log(f"libjpeg-turbo 1-thread encode: best of 3 -> "
-                f"{max(eb_passes):.1f} img/s "
-                f"(all: {[round(p, 1) for p in eb_passes]})")
-            encode_vs = encode_ips / max(eb_passes)
-            log(f"encode vs baseline: {encode_vs:.3f}")
-    except Exception as e:
-        log("encode bench skipped:", e)
-
-    # --- baseline: libjpeg-turbo single-thread -----------------------------
-    # symmetric de-noising: best-of-3 on both sides, spreads in the JSON
-    vs = None
-    base_passes = []
-    if have_oracle:
-        import oracle
-
-        def base_pass():
-            t0 = time.perf_counter()
-            for j in jpgs[:256]:
-                oracle.jpeg_decode(j)
-            return 256 / (time.perf_counter() - t0)
-
-        base_passes = [base_pass() for _ in range(3)]
-        base_ips = max(base_passes)
-        log(f"libjpeg-turbo 1-thread: best of 3 -> {base_ips:.1f} img/s "
-            f"(all: {[round(p, 1) for p in base_passes]})")
-        vs = ips / base_ips
-
     # --- scaling audit (virtual 8-device CPU mesh, stderr only) -------------
     try:
         import subprocess
@@ -237,21 +269,7 @@ def main() -> None:
     except Exception as e:
         log("scaling audit skipped:", e)
 
-    print(
-        json.dumps(
-            {
-                "metric": "jpeg420_decode_imagenet_size",
-                "value": round(ips, 1),
-                "unit": "images/s/chip",
-                "vs_baseline": round(vs, 3) if vs else None,
-                "passes": [round(p, 1) for p in tpu_passes],
-                "baseline_passes": [round(p, 1) for p in base_passes],
-                "encode_value": round(encode_ips, 1) if encode_ips else None,
-                "encode_vs_baseline": round(encode_vs, 3) if encode_vs else None,
-            }
-        )
-    )
-
+    _watchdog.cancel()
 
 if __name__ == "__main__":
     main()

@@ -54,12 +54,14 @@ _PACK_HEAD = 8  # zigzag positions carrying a high byte on the packed wire
 _WIRE_LEVELS = ((48, 32), (64, 64))
 _LEVEL_MEMO: Dict[tuple, int] = {}
 
-# sticky degraded-link latch: set when a device->host error-flag fetch
-# times out (observed failure mode of the tunneled platform: execution and
-# H2D keep working while D2H wedges). Once set, DRI buckets skip the
-# device-entropy route — its validation NEEDS the flag fetch — instead of
-# paying the timeout per bucket; the fetch-free index-scan route stays on.
+# sticky degraded-link latches (observed failure modes of the tunneled
+# platform). _D2H_DEGRADED: a device->host error-flag fetch timed out while
+# execution and H2D kept working — DRI buckets skip the device-entropy
+# route (their validation NEEDS the flag fetch); the fetch-free index-scan
+# route stays on. _LINK_DEGRADED: an H2D put timed out — the whole
+# device-entropy route is off for the process.
 _D2H_DEGRADED = False
+_LINK_DEGRADED = False
 _LEVEL_LOCK = threading.Lock()
 
 
@@ -512,12 +514,14 @@ def _try_device_entropy(idxs, frames, raws, results, fancy, to_rgb, to_u8,
     down the host entropy path. Returns None to decline the whole bucket."""
     from .device_entropy import device_entropy_plan
 
+    global _D2H_DEGRADED, _LINK_DEGRADED
+
     f0 = frames[idxs[0]]
     plan = device_entropy_plan(f0)
     if plan is None:
         return None
-    if _D2H_DEGRADED and plan[0] == "dri":
-        return None  # flag fetch would wedge again: host path
+    if _LINK_DEGRADED or (_D2H_DEGRADED and plan[0] == "dri"):
+        return None  # a wedged link already latched: host path
     good = [i for i in idxs if i == idxs[0]
             or device_entropy_plan(frames[i]) == plan]
     if len(good) < _min_batch():
@@ -555,10 +559,31 @@ def _try_device_entropy(idxs, frames, raws, results, fancy, to_rgb, to_u8,
         # XLA orders them by data dependency; a block_until_ready here costs
         # a ~40 ms stream flush per chunk on the tunneled device. Host words
         # buffers return to the pool only after the err fetch proves the
-        # whole chain (transfers included) executed.
-        for sub, bad, wkey, words, skey, side, wfut, sfut in pending:
-            res = call(f0, wfut.result(), sfut.result())
+        # whole chain (transfers included) executed. The H2D futures get a
+        # bounded wait: a wedged link latches the degraded flag and the
+        # remaining samples continue down the host path.
+        timed_out = False
+        for pi, (sub, bad, wkey, words, skey, side, wfut, sfut) in enumerate(
+                pending):
+            try:
+                wdev = wfut.result(
+                    timeout=float(os.environ.get("TIC_LINK_TIMEOUT", "90")))
+                sdev = sfut.result(
+                    timeout=float(os.environ.get("TIC_LINK_TIMEOUT", "90")))
+            except FuturesTimeout:
+                _LINK_DEGRADED = True
+                timed_out = True
+                for rsub, rbad, *_rest in ([ (sub, bad) ] +
+                                           [(p[0], p[1])
+                                            for p in pending[pi + 1:]]):
+                    for j, i in enumerate(rsub):
+                        if j not in rbad:
+                            leftover.append(i)
+                break
+            res = call(f0, wdev, sdev)
             outs.append((sub, bad, res[:-1], res[-1]))
+        if timed_out and not outs:
+            return leftover
 
     if kind == "idx":
         # the host index scan already walked every Huffman symbol of every
@@ -626,6 +651,11 @@ def _try_device_entropy(idxs, frames, raws, results, fancy, to_rgb, to_u8,
             results[i] = None
             leftover.append(i)
     return leftover
+
+
+def _mark_d2h_degraded() -> None:
+    global _D2H_DEGRADED
+    _D2H_DEGRADED = True
 
 
 def _chunk_plan(bpad: int) -> int:
@@ -920,8 +950,7 @@ def decode_batch_tpu(data_batch, params: DecodeParams, fancy: bool = True,
             errs_np = fut.result(
                 timeout=float(os.environ.get("TIC_ERRCHK_TIMEOUT", "60")))
         except FuturesTimeout:
-            global _D2H_DEGRADED
-            _D2H_DEGRADED = True  # skip the DRI device route from now on
+            _mark_d2h_degraded()  # skip the DRI device route from now on
             errs_np = None
         except Exception:
             errs_np = None
