@@ -240,14 +240,17 @@ def main() -> None:
                 decoded += len(outs)
             return decoded / (time.perf_counter() - t0)
 
+        # idx route FIRST: the host route's wide wire registers much larger
+        # host buffers with the transport, which degrades transfer latency
+        # for the rest of the process (ordering penalty measured ~2x)
+        dec.decode(jpgs[:BATCH])
+        idx_ips = max(main_pass() for _ in range(2))
         os.environ["TIC_NO_DEVICE_ENTROPY"] = "1"
         try:
             dec.decode(jpgs[:BATCH])  # warm the host-route jits
             host_ips = max(main_pass() for _ in range(2))
         finally:
             os.environ.pop("TIC_NO_DEVICE_ENTROPY", None)
-        dec.decode(jpgs[:BATCH])
-        idx_ips = max(main_pass() for _ in range(2))
         log(f"index-scan route: {idx_ips:.1f} img/s vs full host entropy: "
             f"{host_ips:.1f} img/s (wire win x{idx_ips / host_ips:.2f})")
     except Exception as e:
