@@ -256,6 +256,39 @@ def main() -> None:
     except Exception as e:
         log("index-scan isolation skipped:", e)
 
+    # --- informational: JPEG2000 + HTJ2K decode vs single-thread openjpeg --
+    # host-vs-host comparison (our native EBCOT/HT T1 over the thread pool
+    # vs libopenjp2); the reference gets these codecs from nvjpeg2k
+    try:
+        import time as _time
+
+        from nvimagecodec_tpu.codecs.jpeg2000.core import decode_j2k, encode_j2k
+        from nvimagecodec_tpu.native import opj_bridge
+
+        big = make_photo(1024, 1024, seed=3)
+        for label, kw in (("j2k", {}), ("htj2k", {"ht": True})):
+            stream = encode_j2k(big, reversible=True, levels=5,
+                                stream_type="j2k", **kw)
+            decode_j2k(stream)  # warm
+            t0 = _time.perf_counter()
+            n = 0
+            while _time.perf_counter() - t0 < 3.0:
+                decode_j2k(stream)
+                n += 1
+            ours_ips = n / (_time.perf_counter() - t0)
+            opj_bridge.decode(stream)  # warm + validates it decodes there
+            t0 = _time.perf_counter()
+            n = 0
+            while _time.perf_counter() - t0 < 3.0:
+                opj_bridge.decode(stream)
+                n += 1
+            opj_ips = n / (_time.perf_counter() - t0)
+            log(f"{label} decode 1024x1024 rev: ours {ours_ips:.2f} img/s "
+                f"vs openjpeg-1t {opj_ips:.2f} img/s "
+                f"(x{ours_ips / opj_ips:.2f})")
+    except Exception as e:
+        log("j2k bench skipped:", e)
+
     # --- scaling audit (virtual 8-device CPU mesh, stderr only) -------------
     try:
         import subprocess

@@ -48,23 +48,45 @@ constexpr int kNumCtx = 19;
 constexpr int CTX_UNI = 18;   // uniform
 constexpr int CTX_RUN = 17;   // run-length
 
+// Linked-state MQ decoder: (state index, MPS sense) pairs pre-linked into
+// one node graph, so a decision is one pointer load + follow (no repeated
+// kQe[] loads, no MPS-switch branch) — the classic software-MQ structure.
+struct MqState {
+  uint32_t qe;
+  uint32_t mps;  // decision value on the MPS path
+  const MqState* nmps;
+  const MqState* nlps;
+};
+MqState kMq[47 * 2];
+struct MqInit {
+  MqInit() {
+    for (int i = 0; i < 47; i++)
+      for (int m = 0; m < 2; m++) {
+        MqState& s = kMq[2 * i + m];
+        s.qe = kQe[i].qe;
+        s.mps = (uint32_t)m;
+        s.nmps = &kMq[2 * kQe[i].nmps + m];
+        s.nlps = &kMq[2 * kQe[i].nlps + (kQe[i].sw ? 1 - m : m)];
+      }
+  }
+};
+const MqInit kMqInit;
+
 struct MQDecoder {
   const uint8_t* bp;
   const uint8_t* end;
   uint32_t c;
   uint32_t a;
   int ct;
-  uint8_t idx[kNumCtx];  // state index per context
-  uint8_t mps[kNumCtx];
+  const MqState* ctx[kNumCtx];
 
   void init(const uint8_t* data, int len) {
     bp = data;
     end = data + len;
-    std::memset(idx, 0, sizeof(idx));
-    std::memset(mps, 0, sizeof(mps));
-    idx[CTX_UNI] = 46;
-    idx[CTX_RUN] = 3;
-    idx[0] = 4;  // first ZC context starts at state 4 (T.800 D.2)
+    for (int i = 0; i < kNumCtx; i++) ctx[i] = &kMq[0];
+    ctx[CTX_UNI] = &kMq[2 * 46];
+    ctx[CTX_RUN] = &kMq[2 * 3];
+    ctx[0] = &kMq[2 * 4];  // first ZC context starts at state 4 (T.800 D.2)
     c = (uint32_t)(bp < end ? *bp : 0xFF) << 16;
     bytein();
     c <<= 7;
@@ -89,22 +111,21 @@ struct MQDecoder {
     }
   }
 
-  int decode(int cx) {
-    int d;
-    uint32_t qe = kQe[idx[cx]].qe;
+  inline int decode(int cxi) {
+    const MqState* s = ctx[cxi];
+    uint32_t qe = s->qe;
+    uint32_t d;
     a -= qe;
     if (((c >> 16) & 0xFFFF) < qe) {
       // LPS exchange path
       if (a < qe) {
-        d = mps[cx];
-        idx[cx] = kQe[idx[cx]].nmps;
+        d = s->mps;
+        ctx[cxi] = s->nmps;
       } else {
-        d = 1 - mps[cx];
-        if (kQe[idx[cx]].sw) mps[cx] = 1 - mps[cx];
-        idx[cx] = kQe[idx[cx]].nlps;
+        d = 1 - s->mps;
+        ctx[cxi] = s->nlps;
       }
       a = qe;
-      // renorm
       do {
         if (ct == 0) bytein();
         a <<= 1;
@@ -116,12 +137,11 @@ struct MQDecoder {
       if ((a & 0x8000) == 0) {
         // MPS exchange path
         if (a < qe) {
-          d = 1 - mps[cx];
-          if (kQe[idx[cx]].sw) mps[cx] = 1 - mps[cx];
-          idx[cx] = kQe[idx[cx]].nlps;
+          d = 1 - s->mps;
+          ctx[cxi] = s->nlps;
         } else {
-          d = mps[cx];
-          idx[cx] = kQe[idx[cx]].nmps;
+          d = s->mps;
+          ctx[cxi] = s->nmps;
         }
         do {
           if (ct == 0) bytein();
@@ -130,10 +150,10 @@ struct MQDecoder {
           ct--;
         } while (a < 0x8000);
       } else {
-        d = mps[cx];
+        d = s->mps;
       }
     }
-    return d;
+    return (int)d;
   }
 };
 
@@ -296,25 +316,84 @@ static void sc_context(int hc, int vc, int* cx, int* xorbit) {
 }
 
 // ----------------------------------------------------------- block state
+// Per-coefficient FLAG WORDS with cached neighbor state (the classic T1
+// speed structure, same idea as openjpeg's flags): when a coefficient
+// becomes significant it pushes its significance/sign into the flag words
+// of its 8 neighbors, so every context lookup is one load + one LUT index
+// instead of a 6-load neighborhood walk and a decision tree.
+enum : uint32_t {
+  F_SIG = 1u << 0,      // self significant
+  F_VISITED = 1u << 1,  // coded in this bitplane's SPP
+  F_REFINED = 1u << 2,  // refined at least once
+  // cardinal neighbor significance (W/E/N/S) at bits 4..7
+  F_SIG_W = 1u << 4,
+  F_SIG_E = 1u << 5,
+  F_SIG_N = 1u << 6,
+  F_SIG_S = 1u << 7,
+  // cardinal neighbor negativity at bits 8..11 (valid when sig bit set)
+  F_NEG_W = 1u << 8,
+  F_NEG_E = 1u << 9,
+  F_NEG_N = 1u << 10,
+  F_NEG_S = 1u << 11,
+  // diagonal neighbor significance at bits 12..15
+  F_SIG_NW = 1u << 12,
+  F_SIG_NE = 1u << 13,
+  F_SIG_SW = 1u << 14,
+  F_SIG_SE = 1u << 15,
+};
+constexpr uint32_t F_NBR = 0xF0F0u;  // any neighbor significant
+
+uint8_t kZcLut[3][256];  // [cls][sigWENS | diag4<<4] -> ZC context
+uint8_t kScLut[256];     // [sigWENS | negWENS<<4] -> cx | xorbit<<5
+
+struct T1Luts {          // fills the plain global tables once at load
+  T1Luts() {
+    const int bands[3] = {0, 1, 3};  // cls 0: LL/LH, 1: HL, 2: HH
+    for (int idx = 0; idx < 256; idx++) {
+      int hsum = (idx & 1) + ((idx >> 1) & 1);
+      int vsum = ((idx >> 2) & 1) + ((idx >> 3) & 1);
+      int d = ((idx >> 4) & 1) + ((idx >> 5) & 1) + ((idx >> 6) & 1) +
+              ((idx >> 7) & 1);
+      for (int c = 0; c < 3; c++)
+        kZcLut[c][idx] = (uint8_t)zc_context(bands[c], hsum, vsum, d);
+      auto contrib = [&](int sig, int neg) {
+        return sig ? (neg ? -1 : 1) : 0;
+      };
+      int hs = contrib(idx & 1, (idx >> 4) & 1) +
+               contrib((idx >> 1) & 1, (idx >> 5) & 1);
+      int vs = contrib((idx >> 2) & 1, (idx >> 6) & 1) +
+               contrib((idx >> 3) & 1, (idx >> 7) & 1);
+      int hc = hs > 0 ? 1 : hs < 0 ? -1 : 0;
+      int vc = vs > 0 ? 1 : vs < 0 ? -1 : 0;
+      int cx, xorbit;
+      sc_context(hc, vc, &cx, &xorbit);
+      kScLut[idx] = (uint8_t)(cx | (xorbit << 5));
+    }
+  }
+};
+const T1Luts kLutInit;
+
+inline int zc_idx(uint32_t f) {
+  return (int)(((f >> 4) & 0xF) | (((f >> 12) & 0xF) << 4));
+}
+inline int sc_idx(uint32_t f) {
+  return (int)(((f >> 4) & 0xF) | (((f >> 8) & 0xF) << 4));
+}
+
 struct T1 {
-  int w, h, band;
-  int ws;                        // padded stride = w + 2
-  std::vector<uint8_t> sig;      // significance, (w+2)x(h+2) zero border
-  std::vector<int8_t> sgnc;      // sign contribution: 0 insig, +1, -1 (padded)
-  std::vector<uint8_t> visited;  // coded in current bitplane's SPP
-  std::vector<uint8_t> refined;  // has been refined at least once
+  int w, h, band, cls;
+  int ws;                     // padded stride = w + 2
+  std::vector<uint32_t> F;    // flags, (w+2)x(h+2) zero border
   std::vector<int32_t> mag;
-  std::vector<uint8_t> sgn;      // sign bit per pixel (unpadded)
+  std::vector<uint8_t> sgn;   // sign bit per pixel (unpadded)
 
   void reset(int w_, int h_, int band_) {
     w = w_;
     h = h_;
     band = band_;
+    cls = band_ == 1 ? 1 : band_ == 3 ? 2 : 0;
     ws = w + 2;
-    sig.assign((size_t)ws * (h + 2), 0);
-    sgnc.assign((size_t)ws * (h + 2), 0);
-    visited.assign((size_t)w * h, 0);
-    refined.assign((size_t)w * h, 0);
+    F.assign((size_t)ws * (h + 2), 0);
     mag.assign((size_t)w * h, 0);
     sgn.assign((size_t)w * h, 0);
   }
@@ -323,28 +402,21 @@ struct T1 {
     return (size_t)(y + 1) * ws + (x + 1);
   }
 
-  inline bool is_sig(int x, int y) const { return sig[pi(x, y)] != 0; }
-
+  // becoming significant: set own SIG and push sig/sign into the 8
+  // neighbors' flag words (pad ring absorbs border writes)
   inline void mark_sig(int x, int y, int negative) {
-    sig[pi(x, y)] = 1;
-    sgnc[pi(x, y)] = negative ? -1 : 1;
+    uint32_t* p = &F[pi(x, y)];
+    p[0] |= F_SIG;
+    uint32_t neg = negative ? 1u : 0u;
+    p[-1] |= F_SIG_E | (neg << 9);        // west cell sees us as East
+    p[1] |= F_SIG_W | (neg << 8);
+    p[-ws] |= F_SIG_S | (neg << 11);      // north cell sees us as South
+    p[ws] |= F_SIG_N | (neg << 10);
+    p[-ws - 1] |= F_SIG_SE;
+    p[-ws + 1] |= F_SIG_SW;
+    p[ws - 1] |= F_SIG_NE;
+    p[ws + 1] |= F_SIG_NW;
     sgn[(size_t)y * w + x] = (uint8_t)negative;
-  }
-
-  // padded unchecked neighbor sums (border cells are zero)
-  inline void neighborhood(int x, int y, int* hs, int* vs, int* ds) const {
-    const uint8_t* c = &sig[pi(x, y)];
-    *hs = c[-1] + c[1];
-    *vs = c[-ws] + c[ws];
-    *ds = c[-ws - 1] + c[-ws + 1] + c[ws - 1] + c[ws + 1];
-  }
-
-  inline void sign_contrib(int x, int y, int* hc, int* vc) const {
-    const int8_t* c = &sgnc[pi(x, y)];
-    int hsum = c[-1] + c[1];
-    int vsum = c[-ws] + c[ws];
-    *hc = hsum > 0 ? 1 : hsum < 0 ? -1 : 0;
-    *vc = vsum > 0 ? 1 : vsum < 0 ? -1 : 0;
   }
 };
 
@@ -352,31 +424,23 @@ struct T1 {
 struct T1Decoder : T1 {
   MQDecoder mq;
 
-  void decode_sign(int x, int y) {
-    int hc, vc, cx, xorbit;
-    sign_contrib(x, y, &hc, &vc);
-    sc_context(hc, vc, &cx, &xorbit);
-    int bit = mq.decode(cx);
-    sgnc[pi(x, y)] = (int8_t)((bit ^ xorbit) ? -1 : 1);
-    sgn[(size_t)y * w + x] = (uint8_t)(bit ^ xorbit);
+  inline void decode_sign(int x, int y) {
+    uint8_t v = kScLut[sc_idx(F[pi(x, y)])];
+    int bit = mq.decode(v & 0x1F);
+    mark_sig(x, y, bit ^ (v >> 5));
   }
 
   void sig_prop_pass(int bp) {
     for (int y0 = 0; y0 < h; y0 += 4)
       for (int x = 0; x < w; x++)
         for (int y = y0; y < y0 + 4 && y < h; y++) {
-          size_t i = (size_t)y * w + x;
-          if (sig[pi(x, y)]) continue;
-          int hs, vs, ds;
-          neighborhood(x, y, &hs, &vs, &ds);
-          if (hs + vs + ds == 0) continue;
-          int cx = zc_context(band, hs, vs, ds);
-          if (mq.decode(cx)) {
-            sig[pi(x, y)] = 1;
-            mag[i] |= (int32_t)1 << bp;
+          uint32_t f = F[pi(x, y)];
+          if ((f & F_SIG) || !(f & F_NBR)) continue;
+          if (mq.decode(kZcLut[cls][zc_idx(f)])) {
+            mag[(size_t)y * w + x] |= (int32_t)1 << bp;
             decode_sign(x, y);
           }
-          visited[i] = 1;
+          F[pi(x, y)] |= F_VISITED;
         }
   }
 
@@ -384,19 +448,11 @@ struct T1Decoder : T1 {
     for (int y0 = 0; y0 < h; y0 += 4)
       for (int x = 0; x < w; x++)
         for (int y = y0; y < y0 + 4 && y < h; y++) {
-          size_t i = (size_t)y * w + x;
-          if (!sig[pi(x, y)] || visited[i]) continue;
-          int cx;
-          if (!refined[i]) {
-            int hs, vs, ds;
-            neighborhood(x, y, &hs, &vs, &ds);
-            cx = (hs + vs + ds > 0) ? 15 : 14;
-          } else {
-            cx = 16;
-          }
-          if (mq.decode(cx)) mag[i] |= (int32_t)1 << bp;
-          refined[i] = 1;
-          visited[i] = 1;
+          uint32_t& f = F[pi(x, y)];
+          if (!(f & F_SIG) || (f & F_VISITED)) continue;
+          int cx = (f & F_REFINED) ? 16 : (f & F_NBR) ? 15 : 14;
+          if (mq.decode(cx)) mag[(size_t)y * w + x] |= (int32_t)1 << bp;
+          f |= F_REFINED | F_VISITED;
         }
   }
 
@@ -408,44 +464,35 @@ struct T1Decoder : T1 {
         // significant neighbors, not visited
         if (y0 + 4 <= h) {
           bool rl = true;
-          for (int yy = y0; yy < y0 + 4; yy++) {
-            size_t i = (size_t)yy * w + x;
-            int hs, vs, ds;
-            neighborhood(x, yy, &hs, &vs, &ds);
-            if (sig[pi(x, yy)] || visited[i] || hs + vs + ds != 0) {
+          for (int yy = y0; yy < y0 + 4; yy++)
+            if (F[pi(x, yy)] & (F_SIG | F_VISITED | F_NBR)) {
               rl = false;
               break;
             }
-          }
           if (rl) {
             if (mq.decode(CTX_RUN) == 0) {
               for (int yy = y0; yy < y0 + 4; yy++)
-                visited[(size_t)yy * w + x] = 0;
+                F[pi(x, yy)] &= ~F_VISITED;
               continue;  // whole column stays zero
             }
             int r = (mq.decode(CTX_UNI) << 1) | mq.decode(CTX_UNI);
             y = y0 + r;
-            sig[pi(x, y)] = 1;
             mag[(size_t)y * w + x] |= (int32_t)1 << bp;
             decode_sign(x, y);
             y++;
           }
         }
         for (; y < y0 + 4 && y < h; y++) {
-          size_t i = (size_t)y * w + x;
-          if (!sig[pi(x, y)] && !visited[i]) {
-            int hs, vs, ds;
-            neighborhood(x, y, &hs, &vs, &ds);
-            int cx = zc_context(band, hs, vs, ds);
-            if (mq.decode(cx)) {
-              sig[pi(x, y)] = 1;
-              mag[i] |= (int32_t)1 << bp;
+          uint32_t f = F[pi(x, y)];
+          if (!(f & (F_SIG | F_VISITED))) {
+            if (mq.decode(kZcLut[cls][zc_idx(f)])) {
+              mag[(size_t)y * w + x] |= (int32_t)1 << bp;
               decode_sign(x, y);
             }
           }
         }
         for (int yy = y0; yy < y0 + 4 && yy < h; yy++)
-          visited[(size_t)yy * w + x] = 0;
+          F[pi(x, yy)] &= ~F_VISITED;
       }
   }
 };
@@ -454,32 +501,23 @@ struct T1Decoder : T1 {
 struct T1Encoder : T1 {
   MQEncoder mq;
 
-  void encode_sign(int x, int y) {
-    int hc, vc, cx, xorbit;
-    sign_contrib(x, y, &hc, &vc);
-    sc_context(hc, vc, &cx, &xorbit);
+  inline void encode_sign(int x, int y) {
+    uint8_t v = kScLut[sc_idx(F[pi(x, y)])];
     int neg = sgn[(size_t)y * w + x];
-    mq.encode(cx, neg ^ xorbit);
-    sgnc[pi(x, y)] = (int8_t)(neg ? -1 : 1);
+    mq.encode(v & 0x1F, neg ^ (v >> 5));
+    mark_sig(x, y, neg);
   }
 
   void sig_prop_pass(int bp) {
     for (int y0 = 0; y0 < h; y0 += 4)
       for (int x = 0; x < w; x++)
         for (int y = y0; y < y0 + 4 && y < h; y++) {
-          size_t i = (size_t)y * w + x;
-          if (sig[pi(x, y)]) continue;
-          int hs, vs, ds;
-          neighborhood(x, y, &hs, &vs, &ds);
-          if (hs + vs + ds == 0) continue;
-          int cx = zc_context(band, hs, vs, ds);
-          int bit = (mag[i] >> bp) & 1;
-          mq.encode(cx, bit);
-          if (bit) {
-            sig[pi(x, y)] = 1;
-            encode_sign(x, y);
-          }
-          visited[i] = 1;
+          uint32_t f = F[pi(x, y)];
+          if ((f & F_SIG) || !(f & F_NBR)) continue;
+          int bit = (mag[(size_t)y * w + x] >> bp) & 1;
+          mq.encode(kZcLut[cls][zc_idx(f)], bit);
+          if (bit) encode_sign(x, y);
+          F[pi(x, y)] |= F_VISITED;
         }
   }
 
@@ -487,19 +525,11 @@ struct T1Encoder : T1 {
     for (int y0 = 0; y0 < h; y0 += 4)
       for (int x = 0; x < w; x++)
         for (int y = y0; y < y0 + 4 && y < h; y++) {
-          size_t i = (size_t)y * w + x;
-          if (!sig[pi(x, y)] || visited[i]) continue;
-          int cx;
-          if (!refined[i]) {
-            int hs, vs, ds;
-            neighborhood(x, y, &hs, &vs, &ds);
-            cx = (hs + vs + ds > 0) ? 15 : 14;
-          } else {
-            cx = 16;
-          }
-          mq.encode(cx, (mag[i] >> bp) & 1);
-          refined[i] = 1;
-          visited[i] = 1;
+          uint32_t& f = F[pi(x, y)];
+          if (!(f & F_SIG) || (f & F_VISITED)) continue;
+          int cx = (f & F_REFINED) ? 16 : (f & F_NBR) ? 15 : 14;
+          mq.encode(cx, (mag[(size_t)y * w + x] >> bp) & 1);
+          f |= F_REFINED | F_VISITED;
         }
   }
 
@@ -509,15 +539,11 @@ struct T1Encoder : T1 {
         int y = y0;
         if (y0 + 4 <= h) {
           bool rl = true;
-          for (int yy = y0; yy < y0 + 4; yy++) {
-            size_t i = (size_t)yy * w + x;
-            int hs, vs, ds;
-            neighborhood(x, yy, &hs, &vs, &ds);
-            if (sig[pi(x, yy)] || visited[i] || hs + vs + ds != 0) {
+          for (int yy = y0; yy < y0 + 4; yy++)
+            if (F[pi(x, yy)] & (F_SIG | F_VISITED | F_NBR)) {
               rl = false;
               break;
             }
-          }
           if (rl) {
             int first = -1;
             for (int yy = y0; yy < y0 + 4; yy++)
@@ -528,34 +554,27 @@ struct T1Encoder : T1 {
             if (first < 0) {
               mq.encode(CTX_RUN, 0);
               for (int yy = y0; yy < y0 + 4; yy++)
-                visited[(size_t)yy * w + x] = 0;
+                F[pi(x, yy)] &= ~F_VISITED;
               continue;
             }
             mq.encode(CTX_RUN, 1);
             int r = first - y0;
             mq.encode(CTX_UNI, (r >> 1) & 1);
             mq.encode(CTX_UNI, r & 1);
-            sig[pi(x, first)] = 1;
             encode_sign(x, first);
             y = first + 1;
           }
         }
         for (; y < y0 + 4 && y < h; y++) {
-          size_t i = (size_t)y * w + x;
-          if (!sig[pi(x, y)] && !visited[i]) {
-            int hs, vs, ds;
-            neighborhood(x, y, &hs, &vs, &ds);
-            int cx = zc_context(band, hs, vs, ds);
-            int bit = (mag[i] >> bp) & 1;
-            mq.encode(cx, bit);
-            if (bit) {
-              sig[pi(x, y)] = 1;
-              encode_sign(x, y);
-            }
+          uint32_t f = F[pi(x, y)];
+          if (!(f & (F_SIG | F_VISITED))) {
+            int bit = (mag[(size_t)y * w + x] >> bp) & 1;
+            mq.encode(kZcLut[cls][zc_idx(f)], bit);
+            if (bit) encode_sign(x, y);
           }
         }
         for (int yy = y0; yy < y0 + 4 && yy < h; yy++)
-          visited[(size_t)yy * w + x] = 0;
+          F[pi(x, yy)] &= ~F_VISITED;
       }
   }
 };
