@@ -22,18 +22,33 @@ class TagTree:
                 break
             lw = (lw + 1) // 2
             lh = (lh + 1) // 2
-        n = sum(lw * lh for lw, lh in self.levels)
+        self.offs = [0] * len(self.levels)  # cumulative level offsets
+        acc = 0
+        for l, (lw, lh) in enumerate(self.levels):
+            self.offs[l] = acc
+            acc += lw * lh
+        n = acc
         self.value = [0] * n      # encoder: node value (min of children)
         self.low = [0] * n        # coding state: lower bound known so far
         self.coded = [False] * n  # fully coded flag
+        self._paths: List = [None] * (w * h)  # per-leaf root→leaf indices
 
     def _index(self, level: int, x: int, y: int) -> int:
-        off = 0
-        for l in range(level):
-            lw, lh = self.levels[l]
-            off += lw * lh
-        lw, _ = self.levels[level]
-        return off + y * lw + x
+        return self.offs[level] + y * self.levels[level][0] + x
+
+    def _path(self, x: int, y: int):
+        li = y * self.w + x
+        p = self._paths[li]
+        if p is None:
+            p = []
+            lx, ly = x, y
+            for level in range(len(self.levels)):
+                p.append(self.offs[level] + ly * self.levels[level][0] + lx)
+                lx //= 2
+                ly //= 2
+            p.reverse()
+            self._paths[li] = p
+        return p
 
     def reset(self) -> None:
         self.low = [0] * len(self.low)
@@ -69,17 +84,8 @@ class TagTree:
     def encode(self, bw, x: int, y: int, threshold: int) -> None:
         """Emit bits so the decoder learns whether leaf (x,y) < threshold
         (and its exact value once reached)."""
-        # path from root down to leaf
-        path = []
-        lx, ly = x, y
-        for level in range(len(self.levels)):
-            path.append((level, lx, ly))
-            lx //= 2
-            ly //= 2
-        path.reverse()  # root first
         low = 0
-        for level, lx, ly in path:
-            i = self._index(level, lx, ly)
+        for i in self._path(x, y):
             if self.low[i] < low:
                 self.low[i] = low
             v = self.value[i]
@@ -96,27 +102,23 @@ class TagTree:
     def decode(self, br, x: int, y: int, threshold: int) -> bool:
         """Returns True iff leaf value < threshold; consumes bits
         symmetrically to encode()."""
-        path = []
-        lx, ly = x, y
-        for level in range(len(self.levels)):
-            path.append((level, lx, ly))
-            lx //= 2
-            ly //= 2
-        path.reverse()
         low = 0
-        for level, lx, ly in path:
-            i = self._index(level, lx, ly)
-            if self.low[i] < low:
-                self.low[i] = low
-            while not self.coded[i] and self.low[i] < threshold:
-                if br.get_bit():
-                    self.coded[i] = True
+        lows = self.low
+        coded = self.coded
+        get_bit = br.get_bit
+        i = 0
+        for i in self._path(x, y):
+            if lows[i] < low:
+                lows[i] = low
+            while not coded[i] and lows[i] < threshold:
+                if get_bit():
+                    coded[i] = True
                 else:
-                    self.low[i] += 1
-            low = self.low[i]
+                    lows[i] += 1
+            low = lows[i]
         # leaf decided below threshold only if its node was fully coded
-        i = self._index(0, x, y)
-        return self.coded[i] and self.low[i] < threshold
+        # (the last path entry IS the leaf index)
+        return coded[i] and low < threshold
 
     def leaf_value(self, x: int, y: int) -> int:
         """Decoder: exact value of a fully-coded leaf."""
