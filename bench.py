@@ -222,7 +222,15 @@ def main() -> None:
                 return decoded / (time.perf_counter() - t0)
 
             dri = max(dri_pass() for _ in range(3))
-            log(f"device-entropy decode (DRI corpus): {dri:.1f} img/s")
+            os.environ["TIC_NO_DEVICE_ENTROPY"] = "1"
+            try:
+                dec.decode(dri_jpgs[:BATCH])
+                dri_host = max(dri_pass() for _ in range(2))
+            finally:
+                os.environ.pop("TIC_NO_DEVICE_ENTROPY", None)
+            log(f"device-entropy decode (DRI corpus): {dri:.1f} img/s "
+                f"vs host route on the same corpus: {dri_host:.1f} img/s "
+                f"(x{dri / max(dri_host, 1e-9):.2f})")
     except Exception as e:
         log("device-entropy bench skipped:", e)
 
