@@ -314,3 +314,36 @@ def test_subsampled_encode_odd_dims():
         assert np.array_equal(got[c].astype(np.int32), ref.astype(np.int32))
         assert np.array_equal(opj.decode_comp(data, c)[0],
                               ref.astype(np.int32))
+
+
+def test_feature_intersections_ht_sub_signed_coc():
+    """The round-3 features compose: HT block coder x subsampled planar
+    input, HT x signed samples, HT x per-component COC — every combination
+    roundtrips natively AND decodes bit-exact in openjpeg."""
+    rng = np.random.default_rng(77)
+    H, W = 64, 96
+    planes = [rng.integers(0, 256, (H, W)).astype(np.uint8),
+              rng.integers(0, 256, (H // 2, W // 2)).astype(np.uint8),
+              rng.integers(0, 256, (H // 2, W // 2)).astype(np.uint8)]
+    d = encode_j2k(planes, sub=[(1, 1), (2, 2), (2, 2)], reversible=True,
+                   levels=3, ht=True)
+    got = decode_j2k(d, planar=True)
+    for c in range(3):
+        assert np.array_equal(got[c].astype(np.int32),
+                              planes[c].astype(np.int32))
+        assert np.array_equal(opj.decode_comp(d, c)[0],
+                              planes[c].astype(np.int32))
+
+    S = rng.integers(-2048, 2048, (48, 60, 3)).astype(np.int16)
+    d = encode_j2k(S, reversible=True, levels=3, ht=True)
+    assert np.array_equal(np.asarray(decode_j2k(d)), S)
+    for c in range(3):
+        assert np.array_equal(opj.decode_comp(d, c)[0],
+                              S[:, :, c].astype(np.int32))
+
+    img = make_photo(64, 80, seed=9)
+    d = encode_j2k(img, reversible=True, levels=2, ht=True,
+                   per_comp={1: {"cblk": (32, 32)}})
+    assert np.array_equal(decode_j2k(d), img)
+    assert np.array_equal(opj.decode(d)[0].reshape(img.shape),
+                          img.astype(np.int32))

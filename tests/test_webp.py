@@ -258,3 +258,20 @@ def test_vp8_encode_bpred_modes(monkeypatch):
     p0 = 10 * np.log10(255.0 ** 2 / np.mean(
         (t0.astype(np.float64) - img) ** 2))
     assert p > p0 and len(data) <= len(d0), (p, p0, len(data), len(d0))
+
+
+@pytest.mark.parametrize("shape", [(1, 1), (3, 5), (15, 17), (16, 33)])
+def test_vp8_encode_tiny_and_odd(shape):
+    """Sub-macroblock and odd dimensions pad to the MB grid and stay
+    bit-exact across decoders."""
+    from nvimagecodec_tpu.codecs.webp import (
+        decode_webp_lossy,
+        encode_webp_lossy,
+    )
+
+    img = np.ascontiguousarray(make_photo(max(shape[0], 16),
+                                          max(shape[1], 16),
+                                          seed=2)[: shape[0], : shape[1]])
+    d = encode_webp_lossy(img, 75)
+    assert np.array_equal(decode_webp_lossy(d),
+                          oracle.webp_decode_rgba(d)[:, :, :3])
