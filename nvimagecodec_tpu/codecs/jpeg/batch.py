@@ -573,11 +573,10 @@ def _try_device_entropy(idxs, frames, raws, results, fancy, to_rgb, to_u8,
             except FuturesTimeout:
                 _LINK_DEGRADED = True
                 timed_out = True
-                for rsub, rbad, *_rest in ([ (sub, bad) ] +
-                                           [(p[0], p[1])
-                                            for p in pending[pi + 1:]]):
-                    for j, i in enumerate(rsub):
-                        if j not in rbad:
+                # this and every remaining sub-bucket: host path
+                for p in pending[pi:]:
+                    for j, i in enumerate(p[0]):
+                        if j not in p[1]:
                             leftover.append(i)
                 break
             res = call(f0, wdev, sdev)
