@@ -11,8 +11,10 @@ sub-byte packing). Lossy VP8 is also native: the RFC 6386 keyframe decoder
 lives in native/webp_vp8.cpp (bool decoder, mode/token trees, dequant,
 inverse WHT/DCT, intra prediction, in-loop deblocking — bit-exact against
 libwebp's YUV output), with libwebp-exact fancy upsampling + fixed-point
-color conversion here. Only lossy+alpha / animated streams fall through to
-the system-libwebp plugin (codecs/system_codecs.py) at lower priority.
+color conversion here, and the ALPH chunk (raw or lossless-coded alpha
+with all four prediction filters) decodes natively as well. Only animated
+streams fall through to the system-libwebp plugin
+(codecs/system_codecs.py) at lower priority.
 """
 from __future__ import annotations
 
@@ -403,16 +405,23 @@ def _sub_image_size(size: int, bits: int) -> int:
     return (size + (1 << bits) - 1) >> bits
 
 
-def decode_vp8l(payload: bytes) -> np.ndarray:
-    """Decode a VP8L chunk payload → [h, w, 4] RGBA uint8."""
+def decode_vp8l(payload: bytes, size=None) -> np.ndarray:
+    """Decode a VP8L chunk payload → [h, w, 4] RGBA uint8.
+
+    size=(w, h): headerless mode — an ALPH chunk's lossless alpha stream
+    has no signature/dims/version (the container supplies the frame size);
+    the stream starts directly at the transform loop."""
     br = BitReader(payload)
-    if br.bits(8) != 0x2F:
-        raise ValueError("VP8L: bad signature")
-    w = br.bits(14) + 1
-    h = br.bits(14) + 1
-    br.bit()  # alpha hint
-    if br.bits(3) != 0:
-        raise ValueError("VP8L: unsupported version")
+    if size is not None:
+        w, h = size
+    else:
+        if br.bits(8) != 0x2F:
+            raise ValueError("VP8L: bad signature")
+        w = br.bits(14) + 1
+        h = br.bits(14) + 1
+        br.bit()  # alpha hint
+        if br.bits(3) != 0:
+            raise ValueError("VP8L: unsupported version")
 
     transforms = []  # applied in reverse order after decode
     xsize = w
@@ -546,18 +555,79 @@ def _yuv_to_rgb(y: np.ndarray, u: np.ndarray, v: np.ndarray) -> np.ndarray:
     return np.stack([r, g, b], axis=-1)
 
 
+def _alpha_unfilter(a: np.ndarray, method: int) -> np.ndarray:
+    """Undo the ALPH chunk's prediction filter (container spec / libwebp
+    dsp/filters.c semantics): 0 none, 1 horizontal, 2 vertical, 3
+    gradient. Row 0 always unfilters horizontally."""
+    if method == 0:
+        return a
+    H, W = a.shape
+    out = np.zeros_like(a, np.int32)
+    src = a.astype(np.int32)
+    # row 0: horizontal
+    out[0] = np.cumsum(src[0], dtype=np.int64) & 0xFF
+    if method == 1:  # horizontal: left predictor, x=0 predicted by above
+        for y in range(1, H):
+            row = src[y].copy()
+            row[0] = (row[0] + out[y - 1, 0]) & 0xFF
+            out[y] = np.cumsum(row, dtype=np.int64) & 0xFF
+    elif method == 2:  # vertical
+        for y in range(1, H):
+            out[y] = (src[y] + out[y - 1]) & 0xFF
+    else:  # gradient
+        for y in range(1, H):
+            prev = out[y - 1]
+            left = int(prev[0])
+            top_left = left
+            row = src[y]
+            dst = out[y]
+            for x in range(W):
+                top = int(prev[x])
+                g = left + top - top_left
+                if g < 0:
+                    g = 0
+                elif g > 255:
+                    g = 255
+                left = (int(row[x]) + g) & 0xFF
+                dst[x] = left
+                top_left = top
+    return out.astype(np.uint8)
+
+
+def _decode_alph(body: bytes, W: int, H: int) -> np.ndarray:
+    """ALPH chunk → [H, W] u8 alpha. Header byte: C (bits 0-1: 0 raw,
+    1 lossless), F filter (2-3), P pre-processing (4-5, no decode
+    action)."""
+    hdr = body[0]
+    comp = hdr & 3
+    filt = (hdr >> 2) & 3
+    if comp == 0:
+        if len(body) < 1 + W * H:
+            raise ValueError("ALPH: short raw alpha")
+        a = np.frombuffer(body, np.uint8, W * H, 1).reshape(H, W)
+    elif comp == 1:
+        rgba = decode_vp8l(body[1:], size=(W, H))
+        a = rgba[:, :, 1]  # alpha rides the green channel
+    else:
+        raise ValueError("ALPH: unknown compression method")
+    return _alpha_unfilter(a, filt)
+
+
 def decode_webp_lossy(data: bytes) -> np.ndarray:
     """RIFF walk → VP8 keyframe payload → native RFC 6386 decode
     (native/webp_vp8.cpp, bit-exact vs libwebp YUV) → fancy upsample +
-    fixed-point color convert (bit-exact vs libwebp RGB)."""
+    fixed-point color convert (bit-exact vs libwebp RGB). An ALPH chunk
+    (raw or lossless alpha, all four prediction filters) decodes natively
+    too → [H, W, 4]."""
     import ctypes
 
     from ..native import lib
 
     payload = None
+    alph = None
     for tag, body in _riff_chunks(data):
         if tag == b"ALPH":
-            raise ValueError("WebP: lossy+alpha handled by fallback")
+            alph = body
         if tag == b"VP8 ":
             payload = body
             break
@@ -584,7 +654,11 @@ def decode_webp_lossy(data: bytes) -> np.ndarray:
     Y = y[: W * H].reshape(H, W)
     U = _fancy_upsample(u[: cw * ch].reshape(ch, cw), H, W)
     V = _fancy_upsample(v[: cw * ch].reshape(ch, cw), H, W)
-    return _yuv_to_rgb(Y, U, V)
+    rgb = _yuv_to_rgb(Y, U, V)
+    if alph is not None:
+        a = _decode_alph(bytes(alph), W, H)
+        return np.dstack([rgb, a])
+    return rgb
 
 
 def decode_webp_lossless(data: bytes) -> np.ndarray:
@@ -866,8 +940,10 @@ def encode_webp_lossy(img: np.ndarray, quality: float = 75.0) -> bytes:
 
     if img.ndim == 2:
         img = np.dstack([img] * 3)
-    if img.shape[-1] != 3 or img.dtype != np.uint8:
-        raise ValueError("lossy WebP encode wants [H,W,3] u8")
+    if img.shape[-1] not in (3, 4) or img.dtype != np.uint8:
+        raise ValueError("lossy WebP encode wants [H,W,3|4] u8")
+    alpha = img[:, :, 3] if img.shape[-1] == 4 else None
+    img = img[:, :, :3]
     H, W = img.shape[:2]
     r = img[:, :, 0].astype(np.int32)
     g = img[:, :, 1].astype(np.int32)
@@ -909,10 +985,21 @@ def encode_webp_lossy(img: np.ndarray, quality: float = 75.0) -> bytes:
         raise ValueError(f"VP8 encode failed rc={rc}")
     payload = ctypes.string_at(out, n.value)
     ctypes.CDLL(None).free(out)
-    chunk = b"VP8 " + struct.pack("<I", len(payload)) + payload
+    chunks = b""
+    if alpha is not None:
+        # extended container: VP8X (alpha flag) + ALPH (method 0: raw
+        # alpha, no filter) before the VP8 frame
+        vp8x = bytes([0x10, 0, 0, 0]) + struct.pack(
+            "<I", W - 1)[:3] + struct.pack("<I", H - 1)[:3]
+        chunks += b"VP8X" + struct.pack("<I", len(vp8x)) + vp8x
+        ab = b"\x00" + np.ascontiguousarray(alpha).tobytes()
+        chunks += b"ALPH" + struct.pack("<I", len(ab)) + ab
+        if len(ab) & 1:
+            chunks += b"\x00"
+    chunks += b"VP8 " + struct.pack("<I", len(payload)) + payload
     if len(payload) & 1:
-        chunk += b"\x00"
-    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+        chunks += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WEBP" + chunks
 
 
 class WebpVp8Encoder(EncoderPlugin):
@@ -932,7 +1019,7 @@ class WebpVp8Encoder(EncoderPlugin):
             arr = np.asarray(img)
             ok = (lossy and arr.dtype == np.uint8
                   and (arr.ndim == 2
-                       or (arr.ndim == 3 and arr.shape[-1] == 3)))
+                       or (arr.ndim == 3 and arr.shape[-1] in (3, 4))))
             out.append(
                 ProcessingStatus.SUCCESS
                 if ok
@@ -1036,8 +1123,9 @@ class WebpLosslessDecoder(DecoderPlugin):
 class WebpVp8Decoder(DecoderPlugin):
     """Native lossy (VP8 keyframe) WebP decoder: RFC 6386 entropy/intra/
     loop-filter in C++ (native/webp_vp8.cpp, bit-exact vs libwebp YUV) with
-    libwebp-exact upsampling + color conversion. Streams with an ALPH chunk
-    or animation decline here and fall to the system-libwebp plugin."""
+    libwebp-exact upsampling + color conversion; ALPH chunks (raw or
+    lossless alpha) decode natively too. Animations decline here and fall
+    to the system-libwebp plugin."""
 
     codec = "webp"
     plugin_id = "tpu_webp_vp8_decoder"
@@ -1052,8 +1140,7 @@ class WebpVp8Decoder(DecoderPlugin):
             if ok:
                 try:
                     tags = [t for t, _ in _riff_chunks(bytes(data))]
-                    ok = b"VP8 " in tags and b"ALPH" not in tags \
-                        and b"ANIM" not in tags
+                    ok = b"VP8 " in tags and b"ANIM" not in tags
                 except Exception:
                     ok = False
             out.append(

@@ -79,6 +79,10 @@ def _sig(L: ctypes.CDLL) -> None:
         ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_float, ctypes.c_int,
         ctypes.POINTER(c_u8p), ctypes.POINTER(ctypes.c_size_t),
     ]
+    L.oracle_webp_encode_rgba.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_float, ctypes.c_int,
+        ctypes.POINTER(c_u8p), ctypes.POINTER(ctypes.c_size_t),
+    ]
     L.oracle_tiff_encode.argtypes = [
         ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
@@ -267,6 +271,23 @@ def webp_encode_rgb(pix: np.ndarray, quality: float = 80.0, lossless: bool = Fal
                                   ctypes.byref(out), ctypes.byref(outlen))
     if rc != 0:
         raise RuntimeError("oracle webp encode failed")
+    data = ctypes.string_at(out, outlen.value)
+    L.oracle_webp_free(out)
+    return data
+
+
+def webp_encode_rgba(pix: np.ndarray, quality: float = 80.0,
+                     lossless: bool = False) -> bytes:
+    L = lib()
+    pix = np.ascontiguousarray(pix, np.uint8)
+    h, w, _ = pix.shape
+    out = c_u8p()
+    outlen = ctypes.c_size_t()
+    rc = L.oracle_webp_encode_rgba(pix.tobytes(), w, h, quality,
+                                   int(lossless), ctypes.byref(out),
+                                   ctypes.byref(outlen))
+    if rc != 0:
+        raise RuntimeError("oracle webp rgba encode failed")
     data = ctypes.string_at(out, outlen.value)
     L.oracle_webp_free(out)
     return data

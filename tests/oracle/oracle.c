@@ -370,6 +370,16 @@ int oracle_webp_encode_rgb_adv(const uint8_t *rgb, int w, int h,
     return 0;
 }
 
+/* RGBA encode (lossy -> VP8 + ALPH chunk, lossless -> VP8L with alpha). */
+int oracle_webp_encode_rgba(const uint8_t *rgba, int w, int h, float quality,
+                            int lossless, uint8_t **out, size_t *outlen) {
+    if (lossless)
+        *outlen = WebPEncodeLosslessRGBA(rgba, w, h, w * 4, out);
+    else
+        *outlen = WebPEncodeRGBA(rgba, w, h, w * 4, quality, out);
+    return *outlen ? 0 : 1;
+}
+
 int oracle_webp_encode_rgb(const uint8_t *rgb, int w, int h, float quality,
                            int lossless, uint8_t **out, size_t *outlen) {
     if (lossless)

@@ -275,3 +275,48 @@ def test_vp8_encode_tiny_and_odd(shape):
     d = encode_webp_lossy(img, 75)
     assert np.array_equal(decode_webp_lossy(d),
                           oracle.webp_decode_rgba(d)[:, :, :3])
+
+
+def test_lossy_alpha_native_decode():
+    """Lossy+alpha (VP8X + ALPH) decodes natively, bit-exact vs libwebp:
+    raw and lossless-coded alpha, all prediction filters libwebp emits."""
+    from nvimagecodec_tpu.codecs.webp import decode_webp_lossy
+
+    img = make_photo(60, 90, seed=4)
+    grad = np.clip((np.arange(60)[:, None] * 3 + np.arange(90)[None, :])
+                   % 256, 0, 255).astype(np.uint8)
+    rng = np.random.default_rng(1)
+    rnd = rng.integers(0, 256, (60, 90)).astype(np.uint8)
+    for a in (grad, rnd, np.full((60, 90), 255, np.uint8)):
+        for q in (60, 85):
+            d = oracle.webp_encode_rgba(np.dstack([img, a]), float(q))
+            ours = decode_webp_lossy(d)
+            theirs = oracle.webp_decode_rgba(d)
+            assert ours.shape[-1] == 4 or (theirs[:, :, 3] == 255).all()
+            if ours.shape[-1] == 4:
+                assert np.array_equal(ours, theirs)
+            else:
+                assert np.array_equal(ours, theirs[:, :, :3])
+
+
+def test_lossy_alpha_encode_roundtrip():
+    """Our RGBA lossy encode (VP8X + raw-alpha ALPH) is libwebp-decodable
+    with exact alpha, and roundtrips through the public API."""
+    import nvimagecodec_tpu as nic
+    from nvimagecodec_tpu.core.interfaces import EncodeParams
+    from nvimagecodec_tpu.codecs.webp import (
+        decode_webp_lossy,
+        encode_webp_lossy,
+    )
+
+    img = make_photo(48, 70, seed=6)
+    a = ((np.arange(48)[:, None] + np.arange(70)[None, :]) * 2
+         % 256).astype(np.uint8)
+    rgba = np.dstack([img, a])
+    d = encode_webp_lossy(rgba, 75)
+    theirs = oracle.webp_decode_rgba(d)
+    assert np.array_equal(theirs[:, :, 3], a)
+    assert np.array_equal(decode_webp_lossy(d), theirs)
+    out = np.asarray(nic.Decoder().decode(nic.Encoder().encode(
+        rgba, codec="webp", params=EncodeParams(quality=70))))
+    assert out.shape == rgba.shape and np.array_equal(out[:, :, 3], a)
