@@ -61,7 +61,10 @@ def corpus(photo, photo_gray):
         return d
     import shutil
 
-    shutil.rmtree(d, ignore_errors=True)
+    # only remove the subdirs this fixture owns — _corpus/htj2k is a
+    # committed conformance corpus (see gen_htj2k_corpus.py), not generated
+    for sub in ("jpeg", "png", "bmp", "pnm", "webp"):
+        shutil.rmtree(d / sub, ignore_errors=True)
     (d / "jpeg" / "exif").mkdir(parents=True, exist_ok=True)
     (d / "png").mkdir(exist_ok=True)
     (d / "bmp").mkdir(exist_ok=True)

@@ -78,12 +78,12 @@ def test_corpus_matches_openjpeg(fname, key):
 def test_refinement_passes_stream():
     """Z=3 stream (cleanup at p=1 + SigProp + MagRef): our decoder must
     agree bit-exactly with openjpeg on every sample, and be near-lossless
-    vs the original (T.814's SigProp reach bounds the loss to |v| <= 1 on
-    isolated sub-plane samples)."""
+    vs the original (T.814's SigProp reach bounds the loss to |v| <= 1 per
+    coefficient; the inverse RCT amplifies that to at most 3 in RGB)."""
     data = open(os.path.join(CORPUS, "photo_z3_passes.jp2"), "rb").read()
     ours = np.asarray(decode_j2k(data)).astype(np.int64)
     orig = _originals()["photo"].astype(np.int64)
-    assert np.abs(ours - orig).max() <= 2
+    assert np.abs(ours - orig).max() <= 3
     assert (ours == orig).mean() > 0.9
     opj = _opj()
     if opj is not None:
