@@ -12,9 +12,10 @@ lives in native/webp_vp8.cpp (bool decoder, mode/token trees, dequant,
 inverse WHT/DCT, intra prediction, in-loop deblocking — bit-exact against
 libwebp's YUV output), with libwebp-exact fancy upsampling + fixed-point
 color conversion here, and the ALPH chunk (raw or lossless-coded alpha
-with all four prediction filters) decodes natively as well. Only animated
-streams fall through to the system-libwebp plugin
-(codecs/system_codecs.py) at lower priority.
+with all four prediction filters) decodes natively as well. Animated
+streams composite natively too (webp_anim.py); the system-libwebp plugin
+(codecs/system_codecs.py) remains only as a lower-priority robustness
+rung.
 """
 from __future__ import annotations
 
@@ -1124,8 +1125,8 @@ class WebpVp8Decoder(DecoderPlugin):
     """Native lossy (VP8 keyframe) WebP decoder: RFC 6386 entropy/intra/
     loop-filter in C++ (native/webp_vp8.cpp, bit-exact vs libwebp YUV) with
     libwebp-exact upsampling + color conversion; ALPH chunks (raw or
-    lossless alpha) decode natively too. Animations decline here and fall
-    to the system-libwebp plugin."""
+    lossless alpha) decode natively too. Animations decline here and are
+    handled by webp_anim.WebpAnimDecoder."""
 
     codec = "webp"
     plugin_id = "tpu_webp_vp8_decoder"
@@ -1171,7 +1172,10 @@ class WebpVp8Decoder(DecoderPlugin):
 
 
 def register(registry) -> None:
+    from .webp_anim import WebpAnimDecoder
+
     registry.codec("webp").register_decoder(WebpLosslessDecoder())
     registry.codec("webp").register_decoder(WebpVp8Decoder())
+    registry.codec("webp").register_decoder(WebpAnimDecoder())
     registry.codec("webp").register_encoder(WebpVp8Encoder())
     registry.codec("webp").register_encoder(WebpLosslessEncoder())

@@ -24,7 +24,7 @@ _lib: Optional[ctypes.CDLL] = None
 def _build() -> None:
     cmd = [
         "cc", "-O2", "-shared", "-fPIC", _SRC, "-o", _SO,
-        "-ljpeg", "-lpng", "-lwebp", "-lz", "-ltiff",
+        "-ljpeg", "-lpng", "-lwebp", "-lwebpdemux", "-lz", "-ltiff",
     ]
     subprocess.run(cmd, check=True, capture_output=True)
 
@@ -74,6 +74,12 @@ def _sig(L: ctypes.CDLL) -> None:
     L.oracle_webp_decode_rgba.argtypes = [
         ctypes.c_char_p, ctypes.c_size_t, ctypes.POINTER(c_u8p),
         ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+    ]
+    L.oracle_webp_anim_decode.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t, ctypes.POINTER(c_u8p),
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ctypes.c_int,
     ]
     L.oracle_webp_encode_rgb.argtypes = [
         ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_float, ctypes.c_int,
@@ -227,6 +233,26 @@ def webp_decode_rgba(data: bytes) -> np.ndarray:
     arr = np.ctypeslib.as_array(out, (h.value * w.value * 4,)).copy()
     L.oracle_webp_free(out)
     return arr.reshape(h.value, w.value, 4)
+
+
+def webp_anim_decode(data: bytes):
+    """Animated WebP → (frames [N,H,W,4] u8, durations_ms list) via
+    libwebpdemux's WebPAnimDecoder — independent compositing oracle."""
+    L = lib()
+    out = c_u8p()
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    n = ctypes.c_int()
+    durs = (ctypes.c_int * 4096)()
+    rc = L.oracle_webp_anim_decode(data, len(data), ctypes.byref(out),
+                                   ctypes.byref(w), ctypes.byref(h),
+                                   ctypes.byref(n), durs, 4096)
+    if rc != 0:
+        raise RuntimeError(f"oracle webp anim decode failed rc={rc}")
+    nf, H, W = n.value, h.value, w.value
+    arr = np.ctypeslib.as_array(out, (nf * H * W * 4,)).copy()
+    ctypes.CDLL(None).free(out)
+    return arr.reshape(nf, H, W, 4), list(durs[:nf])
 
 
 def webp_decode_yuv(data: bytes):

@@ -571,3 +571,39 @@ int oracle_tiff_decode(const uint8_t *data, size_t len, uint8_t **out,
     *ow = (int)w; *oh = (int)h; *och = ch; *obd = bd;
     return 0;
 }
+
+/* ---- animated WebP (libwebpdemux WebPAnimDecoder) ----
+ * Composited RGBA canvas frames — the independent oracle for
+ * nvimagecodec_tpu/codecs/webp_anim.py. */
+#include <webp/demux.h>
+
+int oracle_webp_anim_decode(const uint8_t *data, size_t len, uint8_t **out,
+                            int *w, int *h, int *num_frames,
+                            int *durations /* cap >= frames */, int dur_cap) {
+    WebPData wd = {data, len};
+    WebPAnimDecoderOptions opt;
+    if (!WebPAnimDecoderOptionsInit(&opt)) return -1;
+    opt.color_mode = MODE_RGBA;
+    WebPAnimDecoder *dec = WebPAnimDecoderNew(&wd, &opt);
+    if (!dec) return -2;
+    WebPAnimInfo info;
+    if (!WebPAnimDecoderGetInfo(dec, &info)) { WebPAnimDecoderDelete(dec); return -3; }
+    size_t fsz = (size_t)info.canvas_width * info.canvas_height * 4;
+    uint8_t *buf = (uint8_t *)malloc(fsz * info.frame_count);
+    if (!buf) { WebPAnimDecoderDelete(dec); return -4; }
+    int i = 0, prev_ts = 0;
+    while (WebPAnimDecoderHasMoreFrames(dec) && i < (int)info.frame_count) {
+        uint8_t *frame; int ts;
+        if (!WebPAnimDecoderGetNext(dec, &frame, &ts)) { free(buf); WebPAnimDecoderDelete(dec); return -5; }
+        memcpy(buf + fsz * i, frame, fsz);
+        if (durations && i < dur_cap) durations[i] = ts - prev_ts;
+        prev_ts = ts;
+        i++;
+    }
+    *out = buf;
+    *w = (int)info.canvas_width;
+    *h = (int)info.canvas_height;
+    *num_frames = i;
+    WebPAnimDecoderDelete(dec);
+    return 0;
+}
