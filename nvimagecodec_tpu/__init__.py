@@ -41,10 +41,16 @@ from .core.logger import (  # noqa: F401
 from .core.thread_pool import PriorityThreadPool  # noqa: F401
 from .core.registry import CodecRegistry, global_registry  # noqa: F401
 from .api import Decoder, Encoder  # noqa: F401
+from .codecs.webp_anim import (  # noqa: F401
+    decode_webp_animation,
+    encode_webp_animation,
+)
 from .image import Image, as_image, as_images, from_dlpack  # noqa: F401
 
 __all__ = [
     "__version__",
+    "decode_webp_animation",
+    "encode_webp_animation",
     "Backend",
     "BackendKind",
     "ChromaSubsampling",

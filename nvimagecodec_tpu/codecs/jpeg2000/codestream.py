@@ -5,9 +5,10 @@ reference (extensions/nvjpeg2k/cuda_decoder.cpp; header sniffing in
 src/parsers/jpeg2k.cpp:216-356). Written from ITU-T T.800 Annexes A/B.
 
 Scope (documented restrictions):
-- tile origins must be even (image/tile offsets 0; even tile sizes) so the
-  DWT subband split parity matches ops/dwt.py;
 - default code-block style (no bypass/reset/termall/causal/segsym).
+Arbitrary (incl. odd) image/tile reference-grid origins and odd tile
+sizes are supported both directions — the DWT takes per-level parity
+from the absolute tile-component origin (ops/dwt.py, T.800 F.3.4).
 Precinct partitions, multiple quality layers, and all five progression
 orders (honest precinct-position iteration, T.800 B.12) are supported on
 both encode and decode.

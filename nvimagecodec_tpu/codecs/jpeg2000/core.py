@@ -7,8 +7,7 @@ extensions/nvjpeg2k/cuda_decoder.cpp:601-640), while dequantization,
 inverse DWT, inverse MCT and level shift are vectorized array ops that run
 under numpy (CPU backend) or jax (TPU backend).
 
-Restrictions documented in codestream.py (even tile origins, default
-code-block style, no precinct partitions, single-layer encode).
+Restrictions documented in codestream.py (default code-block style).
 """
 from __future__ import annotations
 
@@ -208,6 +207,7 @@ def encode_j2k(
     sub=None,
     size=None,
     colorspace: str = None,
+    grid_offset: Tuple[int, int] = (0, 0),
 ) -> bytes:
     """Encode [H, W] or [H, W, C] u8/u16 → JP2/J2K bytes.
 
@@ -284,15 +284,22 @@ def encode_j2k(
             if r > 0 and (px < 1 or py < 1):
                 raise ValueError("PPx/PPy must be >= 1 above resolution 0")
 
+    # grid_offset = (XOsiz, YOsiz): pixels live on reference-grid
+    # [ox, ox+W) x [oy, oy+H); the tile grid stays anchored at (0, 0)
+    # (T.800 B.3 requires XTOsiz <= XOsiz), so offset images naturally get
+    # odd-origin interior tiles — the DWT takes per-level parity from the
+    # absolute tile-component origins (ops/dwt.py).
+    ox, oy = grid_offset
+    if (ox < 0 or oy < 0) or (ox or oy) and subsampled:
+        raise ValueError("grid_offset must be >= 0 and is unsupported with "
+                         "subsampled components")
     siz = SizInfo(
-        width=W, height=H, x0=0, y0=0,
-        tile_w=tile_size or W, tile_h=tile_size or H,
+        width=ox + W, height=oy + H, x0=ox, y0=oy,
+        tile_w=tile_size or ox + W, tile_h=tile_size or oy + H,
         tx0=0, ty0=0, ncomp=C,
         depth=[depth] * C, signed=[signed] * C,
         sub_x=[s[0] for s in sub], sub_y=[s[1] for s in sub],
     )
-    if tile_size and tile_size % 2:
-        raise ValueError("tile_size must be even (DWT parity)")
     if tile_size and subsampled and any(
             tile_size % (2 * s) for s in siz.sub_x + siz.sub_y):
         raise ValueError("J2K: tile_size must be a multiple of 2*subsampling")
@@ -353,7 +360,8 @@ def encode_j2k(
     for t in range(ntiles):
         tx0, ty0, tx1, ty1 = siz.tile_rect(t)
         if planes_in is None:
-            tile_img = img[ty0:ty1, tx0:tx1].astype(np.int32)
+            tile_img = img[ty0 - oy:ty1 - oy, tx0 - ox:tx1 - ox].astype(
+                np.int32)
             planes = [tile_img[:, :, c] - shift0 for c in range(C)]
         else:
             planes = []
@@ -388,7 +396,9 @@ def encode_j2k(
         }
         arrays: Dict[Tuple[int, int, int], np.ndarray] = {}
         for c in range(C):
-            LL, bands_f = dwt_ops.dwt2d(planes[c], levels, reversible)
+            LL, bands_f = dwt_ops.dwt2d(
+                planes[c], levels, reversible,
+                origin=(ceil_div(ty0, sub[c][1]), ceil_div(tx0, sub[c][0])))
             band_arrays: Dict[Tuple[int, int], np.ndarray] = {(0, 0): LL}
             for r in range(1, levels + 1):
                 lev = levels - r + 1
@@ -549,7 +559,8 @@ def encode_j2k(
 # ------------------------------------------------------------------ decode
 @functools.lru_cache(maxsize=64)
 def _j2k_device_fn(levels: int, reversible: bool, mct: bool, C: int,
-                   th: int, tw: int, depth: int):
+                   th: int, tw: int, depth: int,
+                   origin: Tuple[int, int] = (0, 0)):
     """Jitted device pixel stage for one tile geometry: batched-over-
     components inverse DWT + inverse MCT + level shift + clip (the role of
     nvjpeg2k's GPU stages). Bands arrive stacked [C, h, w]."""
@@ -557,7 +568,8 @@ def _j2k_device_fn(levels: int, reversible: bool, mct: bool, C: int,
     import jax.numpy as jnp
 
     def fn(LL, bands):
-        plane = dwt_ops.idwt2d(LL, list(bands), (th, tw), reversible)
+        plane = dwt_ops.idwt2d(LL, list(bands), (th, tw), reversible,
+                               origin)
         planes = [plane[c] for c in range(C)]
         if mct and C == 3:
             y, cb_, cr = planes
@@ -715,9 +727,9 @@ def decode_j2k(
     sub = list(zip(siz.sub_x, siz.sub_y))
     subsampled = any(s != (1, 1) for s in sub)
     signed = bool(siz.signed and siz.signed[0])
-    if (siz.tx0 | siz.ty0 | siz.x0 | siz.y0) % 2 or siz.tile_w % 2:
-        if siz.tiles_x * siz.tiles_y > 1:
-            raise ValueError("J2K: odd tile origins not supported")
+    # arbitrary (incl. odd) XOsiz/YOsiz/XTOsiz/YTOsiz and odd tile sizes
+    # are handled: the DWT lifts take per-level parity from the absolute
+    # tile-component origin (ops/dwt.py; T.800 F.3.4's 1D_SR on [i0, i1))
     def _expand_derived(q):
         # scalar derived: expand to per-band (eps decreases with level)
         if q.qcd_style == 1 and len(q.band_q) == 1:
@@ -927,14 +939,16 @@ def decode_j2k(
                 for lev in range(1, cp.levels + 1)
             )
             pool.shutdown(wait=False)
-            if mesh is not None and cp.levels > 0:
+            torigin = (tcr[0][1], tcr[0][0])  # (tcy0, tcx0)
+            if mesh is not None and cp.levels > 0 and torigin == (0, 0):
                 # one tile's inverse DWT rows sharded over "sp" with
                 # ppermute halo exchange (real spatial parallelism)
                 img = _decode_single_tile_sharded(
                     LL, bands_t, (th, tw), cp, C, depth, mesh)
                 return img[:, :, 0] if C == 1 else img
             fn = _j2k_device_fn(
-                cp.levels, cp.reversible, cp.mct and C == 3, C, th, tw, depth
+                cp.levels, cp.reversible, cp.mct and C == 3, C, th, tw,
+                depth, torigin
             )
             img = fn(LL, bands_t)
             return img[:, :, 0] if C == 1 else img
@@ -949,7 +963,9 @@ def decode_j2k(
                 r = cc.levels - lev + 1
                 bands_f.append((decoded[c][(r, 0)], decoded[c][(r, 1)],
                                 decoded[c][(r, 2)]))
-            plane = dwt_ops.idwt2d(LL, bands_f, tdims[c], cc.reversible)
+            plane = dwt_ops.idwt2d(
+                LL, bands_f, tdims[c], cc.reversible,
+                origin=(ceil_div(tcr[c][1], d), ceil_div(tcr[c][0], d)))
             planes.append(plane)
 
         # inverse MCT + level shift (MCT needs equal component grids)

@@ -62,6 +62,14 @@ def _declare(L: ctypes.CDLL) -> None:
         ctypes.POINTER(ctypes.c_uint64),
     ]
     L.tic_opj_encode_planes.restype = ctypes.c_int
+    L.tic_opj_encode_offsets.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.POINTER(ctypes.c_uint64),
+    ]
+    L.tic_opj_encode_offsets.restype = ctypes.c_int
 
 
 def lib() -> ctypes.CDLL:
@@ -136,6 +144,32 @@ def encode_lossless(pix: np.ndarray, stream_type: str = "j2k") -> bytes:
         raise ValueError(f"openjpeg encode failed rc={rc}")
     data = ctypes.string_at(out, n.value)
     # shim allocates with malloc; free through libc
+    ctypes.CDLL(None).free(out)
+    return data
+
+
+def encode_lossless_offsets(pix: np.ndarray, ox: int, oy: int,
+                            tile=None, stream_type: str = "j2k") -> bytes:
+    """Lossless encode with explicit reference-grid offsets (odd XOsiz/
+    YOsiz/XTOsiz/YTOsiz oracle streams for T.800 B.3/B.4 parity tests).
+
+    tile: optional (tx0, ty0, tdx, tdy)."""
+    L = lib()
+    if pix.ndim == 2:
+        pix = pix[:, :, None]
+    h, w, nc = pix.shape
+    prec = 16 if pix.dtype == np.uint16 else 8
+    body = np.ascontiguousarray(pix.astype(np.int32)).tobytes()
+    tx0, ty0, tdx, tdy = tile if tile else (0, 0, 0, 0)
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    n = ctypes.c_uint64()
+    rc = L.tic_opj_encode_offsets(
+        body, w, h, nc, ox, oy, tx0, ty0, tdx, tdy, prec,
+        1 if stream_type == "jp2" else 0, ctypes.byref(out), ctypes.byref(n),
+    )
+    if rc != 0:
+        raise ValueError(f"openjpeg offset encode failed rc={rc}")
+    data = ctypes.string_at(out, n.value)
     ctypes.CDLL(None).free(out)
     return data
 

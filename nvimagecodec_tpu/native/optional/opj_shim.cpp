@@ -386,4 +386,76 @@ int tic_opj_encode_planes(const int32_t* const* planes, int w, int h,
   return 0;
 }
 
+// Lossless encode with explicit reference-grid offsets — oracle for the
+// odd image/tile-origin decode path (T.800 B.3/B.4 arbitrary XOsiz/YOsiz/
+// XTOsiz/YTOsiz). Pixels live on grid [ox, ox+w) x [oy, oy+h); tiles are
+// tdx x tdy anchored at (tx0, ty0) (0 = untiled). Tile fields are the
+// leading five ints of opj_cparameters_t (stable layout across 2.x:
+// tile_size_on, cp_tx0, cp_ty0, cp_tdx, cp_tdy).
+int tic_opj_encode_offsets(const int32_t* pix, int w, int h, int ncomp,
+                           int ox, int oy, int tx0, int ty0, int tdx,
+                           int tdy, int prec, int is_jp2, uint8_t** out,
+                           uint64_t* outlen) {
+  opj_image_cmptparm_t parms[4];
+  memset(parms, 0, sizeof(parms));
+  for (int c = 0; c < ncomp; c++) {
+    parms[c].dx = 1;
+    parms[c].dy = 1;
+    parms[c].w = (uint32_t)w;
+    parms[c].h = (uint32_t)h;
+    parms[c].x0 = (uint32_t)ox;
+    parms[c].y0 = (uint32_t)oy;
+    parms[c].prec = (uint32_t)prec;
+    parms[c].sgnd = 0;
+  }
+  opj_image_t* image = opj_image_create((uint32_t)ncomp, parms,
+                                        ncomp >= 3 ? 1 : 2);
+  if (!image) return 1;
+  image->x0 = (uint32_t)ox;
+  image->y0 = (uint32_t)oy;
+  image->x1 = (uint32_t)(ox + w);
+  image->y1 = (uint32_t)(oy + h);
+  for (int c = 0; c < ncomp; c++)
+    for (int64_t i = 0; i < (int64_t)w * h; i++)
+      image->comps[c].data[i] = pix[i * ncomp + c];
+  void* codec = opj_create_compress(is_jp2 ? 2 : 0);
+  void* params = calloc(1, 1 << 16);
+  opj_set_default_encoder_parameters(params);
+  if (tdx > 0) {
+    int32_t* p = (int32_t*)params;
+    p[0] = 1;  // tile_size_on
+    p[1] = tx0;
+    p[2] = ty0;
+    p[3] = tdx;
+    p[4] = tdy;
+  }
+  if (!opj_setup_encoder(codec, params, image)) {
+    free(params);
+    opj_image_destroy(image);
+    opj_destroy_codec(codec);
+    return 2;
+  }
+  free(params);
+  GrowBuf gb{nullptr, 0, 0, 0};
+  void* stream = opj_stream_create(1 << 20, 0);
+  opj_stream_set_write_function(stream, gb_write);
+  opj_stream_set_skip_function(stream, gb_skip);
+  opj_stream_set_seek_function(stream, gb_seek);
+  opj_stream_set_user_data(stream, &gb, nullptr);
+  int rc = 0;
+  if (!opj_start_compress(codec, image, stream) ||
+      !opj_encode(codec, stream) || !opj_end_compress(codec, stream))
+    rc = 3;
+  opj_stream_destroy(stream);
+  opj_image_destroy(image);
+  opj_destroy_codec(codec);
+  if (rc) {
+    free(gb.data);
+    return rc;
+  }
+  *out = gb.data;
+  *outlen = gb.len;
+  return 0;
+}
+
 }  // extern "C"

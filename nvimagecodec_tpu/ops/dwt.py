@@ -10,9 +10,14 @@ same code. All ops are batch-agnostic (arbitrary leading dims).
 - 9/7 irreversible: float lifting with the standard α β γ δ K constants.
 
 Boundary handling is whole-sample symmetric extension; odd lengths and
-subband parity follow the spec's interleaved formulation (low samples at
-even positions of the reconstructed signal when the segment starts at an
-even coordinate).
+subband parity follow the spec's interleaved formulation. Low-pass samples
+live at even ABSOLUTE reference-grid positions (T.800 F.3.4's 1D_SR on
+[i0, i1)), so every lift takes a `parity` bit — the parity of the
+segment's absolute start coordinate. parity=1 (odd XOsiz/YOsiz/XTOsiz/
+YTOsiz origins) puts high-pass samples at local-even indices and mirrors
+the boundary-extension clamps between the two lifting steps; the
+multi-level drivers derive per-level parities from an `origin` in
+tile-component coordinates.
 """
 from __future__ import annotations
 
@@ -36,34 +41,34 @@ def _xp(a):
 
 
 
-def _split_even_odd(x, axis: int):
+def _split_low_high(x, axis: int, parity: int = 0):
+    """Deinterleave into (low, high): low samples sit at local indices
+    ≡ parity (mod 2) — absolute even positions of a segment whose start
+    has that parity."""
     xp = _xp(x)
     n = x.shape[axis]
-    idx_e = np.arange(0, n, 2)
-    idx_o = np.arange(1, n, 2)
-    return xp.take(x, idx_e, axis=axis), xp.take(x, idx_o, axis=axis)
+    idx_l = np.arange(parity, n, 2)
+    idx_h = np.arange(1 - parity, n, 2)
+    return xp.take(x, idx_l, axis=axis), xp.take(x, idx_h, axis=axis)
 
 
-def _interleave(xp, even, odd, axis: int, n: int):
-    """Merge even/odd samples back into a length-n axis."""
-    shape = list(even.shape)
+def _interleave(xp, low, high, axis: int, n: int, parity: int = 0):
+    """Merge low/high samples back into a length-n axis (low at local
+    indices ≡ parity)."""
+    shape = list(low.shape)
     shape[axis] = n
+    sl_l = [slice(None)] * len(shape)
+    sl_h = [slice(None)] * len(shape)
+    sl_l[axis] = slice(parity, n, 2)
+    sl_h[axis] = slice(1 - parity, n, 2)
     if xp is np:
-        out = np.empty(shape, even.dtype)
-        sl_e = [slice(None)] * out.ndim
-        sl_o = [slice(None)] * out.ndim
-        sl_e[axis] = slice(0, n, 2)
-        sl_o[axis] = slice(1, n, 2)
-        out[tuple(sl_e)] = even
-        out[tuple(sl_o)] = odd
+        out = np.empty(shape, low.dtype)
+        out[tuple(sl_l)] = low
+        out[tuple(sl_h)] = high
         return out
-    out = xp.zeros(shape, even.dtype)
-    sl_e = [slice(None)] * len(shape)
-    sl_o = [slice(None)] * len(shape)
-    sl_e[axis] = slice(0, n, 2)
-    sl_o[axis] = slice(1, n, 2)
-    out = out.at[tuple(sl_e)].set(even)
-    out = out.at[tuple(sl_o)].set(odd)
+    out = xp.zeros(shape, low.dtype)
+    out = out.at[tuple(sl_l)].set(low)
+    out = out.at[tuple(sl_h)].set(high)
     return out
 
 
@@ -104,149 +109,206 @@ def _clamp_len(x, axis: int, out_len: int):
 
 # -- 1D lifting on the interleaved signal ----------------------------------
 
-def _fwd_lift_53(x, axis: int):
-    """Analysis on one axis: returns (L, H) along that axis (integer)."""
+def _fwd_lift_53(x, axis: int, parity: int = 0):
+    """Analysis on one axis: returns (L, H) along that axis (integer).
+
+    parity = absolute parity of the segment start (T.800 F.3.4): high
+    coefficients sit at odd absolute positions, so parity=1 swaps which
+    local comb is high and mirrors the boundary clamps between steps."""
     xp = _xp(x)
     n = x.shape[axis]
     if n == 1:
-        return x, xp.take(x, np.array([], np.int64), axis=axis)
-    # d[i] for odd positions: x[2k+1] - floor((x[2k] + x[2k+2]) / 2)
-    even, odd = _split_even_odd(x, axis)
-    ne = even.shape[axis]
-    no = odd.shape[axis]
-    if no == 0:
-        return even, odd
-    even_c = _ax_slice(even, axis, 0, no)
-    even_r = _shift_left_clamp(even, axis, no)
-    H = odd - ((even_c + even_r) >> 1)
-    # s[k] = x[2k] + floor((d[k-1] + d[k] + 2) / 4); reflect d at both ends
-    H_l = _shift_right_clamp(H, axis, ne)
-    H_c = _clamp_len(H, axis, ne)
-    L = even + ((H_l + H_c + 2) >> 2)
+        empty = xp.take(x, np.array([], np.int64), axis=axis)
+        if parity:
+            return empty, x * 2  # single odd-positioned sample (F.3.7)
+        return x, empty
+    low, high = _split_low_high(x, axis, parity)
+    nl = low.shape[axis]
+    nh = high.shape[axis]
+    if parity == 0:
+        # H[k] at abs 2k+1 ← low[k], low[k+1]; L[k] at abs 2k ← H[k-1], H[k]
+        low_c = _ax_slice(low, axis, 0, nh)
+        low_r = _shift_left_clamp(low, axis, nh)
+        H = high - ((low_c + low_r) >> 1)
+        H_l = _shift_right_clamp(H, axis, nl)
+        H_c = _clamp_len(H, axis, nl)
+        L = low + ((H_l + H_c + 2) >> 2)
+    else:
+        # H[k] at abs i0+2k ← low[k-1], low[k]; L[k] at abs i0+2k+1 ← H[k], H[k+1]
+        low_l = _shift_right_clamp(low, axis, nh)
+        low_c = _clamp_len(low, axis, nh)
+        H = high - ((low_l + low_c) >> 1)
+        H_c = _ax_slice(H, axis, 0, nl)
+        H_r = _shift_left_clamp(H, axis, nl)
+        L = low + ((H_c + H_r + 2) >> 2)
     return L, H
 
 
-def _inv_lift_53(L, H, axis: int, n: int):
+def _inv_lift_53(L, H, axis: int, n: int, parity: int = 0):
     """Synthesis on one axis from subbands (integer, exact inverse)."""
     xp = _xp(L)
-    ne = L.shape[axis]
-    no = H.shape[axis]
-    if no == 0:
+    nl = L.shape[axis]
+    nh = H.shape[axis]
+    if nh == 0:
         return L
-    H_l = _shift_right_clamp(H, axis, ne)
-    H_c = _clamp_len(H, axis, ne)
-    even = L - ((H_l + H_c + 2) >> 2)
-    even_c = _ax_slice(even, axis, 0, no)
-    even_r = _shift_left_clamp(even, axis, no)
-    odd = H + ((even_c + even_r) >> 1)
-    return _interleave(xp, even, odd, axis, n)
+    if nl == 0:
+        return H >> 1  # single odd-positioned sample (F.3.7 inverse)
+    if parity == 0:
+        H_l = _shift_right_clamp(H, axis, nl)
+        H_c = _clamp_len(H, axis, nl)
+        low = L - ((H_l + H_c + 2) >> 2)
+        low_c = _ax_slice(low, axis, 0, nh)
+        low_r = _shift_left_clamp(low, axis, nh)
+        high = H + ((low_c + low_r) >> 1)
+    else:
+        H_c = _ax_slice(H, axis, 0, nl)
+        H_r = _shift_left_clamp(H, axis, nl)
+        low = L - ((H_c + H_r + 2) >> 2)
+        low_l = _shift_right_clamp(low, axis, nh)
+        low_c = _clamp_len(low, axis, nh)
+        high = H + ((low_l + low_c) >> 1)
+    return _interleave(xp, low, high, axis, n, parity)
 
 
-def _fwd_lift_97(x, axis: int):
+def _fwd_lift_97(x, axis: int, parity: int = 0):
     xp = _xp(x)
     n = x.shape[axis]
     if n == 1:
-        return x, xp.take(x, np.array([], np.int64), axis=axis)
-    even, odd = _split_even_odd(x, axis)
-    ne, no = even.shape[axis], odd.shape[axis]
-    if no == 0:
-        return even, odd
-    odd = odd + ALPHA * (
-        _ax_slice(even, axis, 0, no) + _shift_left_clamp(even, axis, no)
-    )
-    even = even + BETA * (
-        _shift_right_clamp(odd, axis, ne) + _clamp_len(odd, axis, ne)
-    )
-    odd = odd + GAMMA * (
-        _ax_slice(even, axis, 0, no) + _shift_left_clamp(even, axis, no)
-    )
-    even = even + DELTA * (
-        _shift_right_clamp(odd, axis, ne) + _clamp_len(odd, axis, ne)
-    )
-    L = even * (1.0 / K)
-    H = odd * K
-    return L, H
+        empty = xp.take(x, np.array([], np.int64), axis=axis)
+        if parity:
+            return empty, x * 2.0  # single odd-positioned sample (F.4.8)
+        return x, empty
+    low, high = _split_low_high(x, axis, parity)
+    nl, nh = low.shape[axis], high.shape[axis]
+
+    if parity == 0:
+        def h_nbrs(lo):  # neighbors of abs-odd positions: low[k], low[k+1]
+            return _ax_slice(lo, axis, 0, nh) + _shift_left_clamp(lo, axis, nh)
+
+        def l_nbrs(hi):  # neighbors of abs-even positions: H[k-1], H[k]
+            return _shift_right_clamp(hi, axis, nl) + _clamp_len(hi, axis, nl)
+    else:
+        def h_nbrs(lo):  # abs i0+2k: low[k-1], low[k]
+            return _shift_right_clamp(lo, axis, nh) + _clamp_len(lo, axis, nh)
+
+        def l_nbrs(hi):  # abs i0+2k+1: H[k], H[k+1]
+            return _ax_slice(hi, axis, 0, nl) + _shift_left_clamp(hi, axis, nl)
+
+    high = high + ALPHA * h_nbrs(low)
+    low = low + BETA * l_nbrs(high)
+    high = high + GAMMA * h_nbrs(low)
+    low = low + DELTA * l_nbrs(high)
+    return low * (1.0 / K), high * K
 
 
-def _inv_lift_97(L, H, axis: int, n: int):
+def _inv_lift_97(L, H, axis: int, n: int, parity: int = 0):
     xp = _xp(L)
-    ne = L.shape[axis]
-    no = H.shape[axis]
-    if no == 0:
+    nl = L.shape[axis]
+    nh = H.shape[axis]
+    if nh == 0:
         return L
-    even = L * K
-    odd = H * (1.0 / K)
-    even = even - DELTA * (
-        _shift_right_clamp(odd, axis, ne) + _clamp_len(odd, axis, ne)
-    )
-    odd = odd - GAMMA * (
-        _ax_slice(even, axis, 0, no) + _shift_left_clamp(even, axis, no)
-    )
-    even = even - BETA * (
-        _shift_right_clamp(odd, axis, ne) + _clamp_len(odd, axis, ne)
-    )
-    odd = odd - ALPHA * (
-        _ax_slice(even, axis, 0, no) + _shift_left_clamp(even, axis, no)
-    )
-    return _interleave(xp, even, odd, axis, n)
+    if nl == 0:
+        return H * 0.5  # single odd-positioned sample (F.4.8 inverse)
+
+    if parity == 0:
+        def h_nbrs(lo):
+            return _ax_slice(lo, axis, 0, nh) + _shift_left_clamp(lo, axis, nh)
+
+        def l_nbrs(hi):
+            return _shift_right_clamp(hi, axis, nl) + _clamp_len(hi, axis, nl)
+    else:
+        def h_nbrs(lo):
+            return _shift_right_clamp(lo, axis, nh) + _clamp_len(lo, axis, nh)
+
+        def l_nbrs(hi):
+            return _ax_slice(hi, axis, 0, nl) + _shift_left_clamp(hi, axis, nl)
+
+    low = L * K
+    high = H * (1.0 / K)
+    low = low - DELTA * l_nbrs(high)
+    high = high - GAMMA * h_nbrs(low)
+    low = low - BETA * l_nbrs(high)
+    high = high - ALPHA * h_nbrs(low)
+    return _interleave(xp, low, high, axis, n, parity)
 
 
 # -- 2D separable, single level --------------------------------------------
 
-def dwt2d_level(x, reversible: bool):
+def dwt2d_level(x, reversible: bool, parity: Tuple[int, int] = (0, 0)):
     """One analysis level on [..., H, W] → (LL, HL, LH, HH).
 
     T.800 order: COLUMNS are filtered first, then rows (integer lifting
     does not commute, so the order is normative — validated bit-exact
     against openjpeg). HL = horizontally-highpass (X high, Y low), LH =
     vertically-highpass, matching the spec's subband naming.
+    parity = (y0 & 1, x0 & 1) of the segment's absolute start.
     """
     f = _fwd_lift_53 if reversible else _fwd_lift_97
-    Ly, Hy = f(x, -2)
-    LL, HL = f(Ly, -1)
-    LH, HH = f(Hy, -1)
+    Ly, Hy = f(x, -2, parity[0])
+    LL, HL = f(Ly, -1, parity[1])
+    LH, HH = f(Hy, -1, parity[1])
     return LL, HL, LH, HH
 
 
-def idwt2d_level(LL, HL, LH, HH, out_h: int, out_w: int, reversible: bool):
+def idwt2d_level(LL, HL, LH, HH, out_h: int, out_w: int, reversible: bool,
+                 parity: Tuple[int, int] = (0, 0)):
     """Inverse of dwt2d_level for a [..., out_h, out_w] target."""
     g = _inv_lift_53 if reversible else _inv_lift_97
-    Ly = g(LL, HL, -1, out_w)
-    Hy = g(LH, HH, -1, out_w)
-    return g(Ly, Hy, -2, out_h)
+    Ly = g(LL, HL, -1, out_w, parity[1])
+    Hy = g(LH, HH, -1, out_w, parity[1])
+    return g(Ly, Hy, -2, out_h, parity[0])
 
 
-def subband_dims(h: int, w: int, levels: int) -> List[Tuple[int, int]]:
-    """[(h, w)] of the LL at each level 0..levels (level 0 = original)."""
-    dims = [(h, w)]
-    for _ in range(levels):
-        h = (h + 1) // 2
-        w = (w + 1) // 2
-        dims.append((h, w))
+def subband_dims(h: int, w: int, levels: int,
+                 origin: Tuple[int, int] = (0, 0)) -> List[Tuple[int, int]]:
+    """[(h, w)] of the LL at each level 0..levels (level 0 = original).
+
+    origin = (y0, x0) of the segment in tile-component coordinates; the
+    level-s signal occupies [ceil(c0/2^s), ceil(c1/2^s)) on each axis
+    (T.800 B.5), which differs from plain halving when the origin is odd.
+    """
+    y0, x0 = origin
+    y1, x1 = y0 + h, x0 + w
+    dims = []
+    for s in range(levels + 1):
+        d = 1 << s
+        dims.append((-(-y1 // d) - (-(-y0 // d)),
+                     -(-x1 // d) - (-(-x0 // d))))
     return dims
 
 
-def dwt2d(x, levels: int, reversible: bool):
+def _level_parity(origin: Tuple[int, int], s: int) -> Tuple[int, int]:
+    """Parity of the level-s signal's start coordinates."""
+    y0, x0 = origin
+    d = 1 << s
+    return ((-(-y0 // d)) & 1, (-(-x0 // d)) & 1)
+
+
+def dwt2d(x, levels: int, reversible: bool,
+          origin: Tuple[int, int] = (0, 0)):
     """Multi-level analysis. Returns (LL, [(HL, LH, HH) per level,
-    finest-first])."""
+    finest-first]). origin = (y0, x0) tile-component coordinates."""
     bands = []
     cur = x
-    for _ in range(levels):
-        LL, HL, LH, HH = dwt2d_level(cur, reversible)
+    for s in range(levels):
+        LL, HL, LH, HH = dwt2d_level(cur, reversible,
+                                     _level_parity(origin, s))
         bands.append((HL, LH, HH))
         cur = LL
     return cur, bands
 
 
-def idwt2d(LL, bands, out_shape: Tuple[int, int], reversible: bool):
+def idwt2d(LL, bands, out_shape: Tuple[int, int], reversible: bool,
+           origin: Tuple[int, int] = (0, 0)):
     """Inverse of dwt2d. bands finest-first; out_shape = (H, W)."""
     levels = len(bands)
-    dims = subband_dims(out_shape[0], out_shape[1], levels)
+    dims = subband_dims(out_shape[0], out_shape[1], levels, origin)
     cur = LL
     for lev in range(levels - 1, -1, -1):
         HL, LH, HH = bands[lev]
         h, w = dims[lev]
-        cur = idwt2d_level(cur, HL, LH, HH, h, w, reversible)
+        cur = idwt2d_level(cur, HL, LH, HH, h, w, reversible,
+                           _level_parity(origin, lev))
     return cur
 
 

@@ -347,3 +347,58 @@ def test_feature_intersections_ht_sub_signed_coc():
     assert np.array_equal(decode_j2k(d), img)
     assert np.array_equal(opj.decode(d)[0].reshape(img.shape),
                           img.astype(np.int32))
+
+
+# ---- arbitrary (odd) reference-grid origins: T.800 B.3/B.4 + F.3.4 ----
+# nvjpeg2k decodes arbitrary XOsiz/YOsiz/XTOsiz/YTOsiz natively; the DWT
+# lifts take per-level parity from the absolute tile-component origin
+# (ops/dwt.py). openjpeg is the independent oracle in both directions.
+
+@pytest.mark.parametrize("off", [(1, 0), (0, 1), (3, 5), (7, 9), (15, 1)])
+def test_odd_image_origin_openjpeg_encodes_we_decode(off):
+    from nvimagecodec_tpu.native.opj_bridge import encode_lossless_offsets
+
+    img = make_photo(40, 51, seed=sum(off))
+    data = encode_lossless_offsets(img, off[0], off[1])
+    ref, _, _ = opj.decode(data)
+    assert np.array_equal(ref.reshape(img.shape), img)  # oracle sanity
+    assert np.array_equal(np.asarray(decode_j2k(data)), img)
+
+
+def test_odd_tile_origin_multi_tile_openjpeg_stream():
+    """Tile grid anchored at (1,1) with image offset (3,5): interior tiles
+    get odd tile-component origins on both axes."""
+    from nvimagecodec_tpu.native.opj_bridge import encode_lossless_offsets
+
+    img = make_photo(96, 80, seed=4)
+    data = encode_lossless_offsets(img, 3, 5, tile=(1, 1, 32, 32))
+    ref, _, _ = opj.decode(data)
+    assert np.array_equal(ref.reshape(img.shape), img)  # oracle sanity
+    assert np.array_equal(np.asarray(decode_j2k(data)), img)
+
+
+@pytest.mark.parametrize("off,ts", [((1, 0), None), ((3, 5), 33),
+                                    ((7, 1), 41), ((0, 1), 32)])
+def test_odd_origin_we_encode_both_decoders_exact(off, ts):
+    """Our encoder emits odd XOsiz/YOsiz (+ odd tile sizes → odd interior
+    tile origins); both our decoder and openjpeg reproduce the pixels."""
+    img = make_photo(51, 77, seed=off[0] + (ts or 0))
+    data = encode_j2k(img, reversible=True, levels=3, tile_size=ts,
+                      stream_type="j2k", grid_offset=off)
+    assert np.array_equal(np.asarray(decode_j2k(data)), img)
+    ref, _, _ = opj.decode(data)
+    assert np.array_equal(ref.reshape(img.shape), img)
+
+
+def test_odd_origin_ht_and_irreversible():
+    img = make_photo(64, 80, seed=9)
+    d = encode_j2k(img, reversible=True, levels=3, ht=True, tile_size=33,
+                   stream_type="j2k", grid_offset=(3, 5))
+    assert np.array_equal(np.asarray(decode_j2k(d)), img)
+    assert np.array_equal(opj.decode(d)[0].reshape(img.shape), img)
+    d = encode_j2k(img, reversible=False, quality=95, levels=3,
+                   stream_type="j2k", grid_offset=(1, 1))
+    ours = np.asarray(decode_j2k(d)).astype(np.int64)
+    ref = opj.decode(d)[0].reshape(img.shape).astype(np.int64)
+    assert np.abs(ours - ref).max() <= 1  # same float-rounding envelope
+    assert psnr(ours, img.astype(np.int64)) > 45.0
