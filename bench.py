@@ -294,6 +294,22 @@ def main() -> None:
             log(f"{label} decode 1024x1024 rev: ours {ours_ips:.2f} img/s "
                 f"vs openjpeg-1t {opj_ips:.2f} img/s "
                 f"(x{ours_ips / opj_ips:.2f})")
+            t0 = _time.perf_counter()
+            n = 0
+            while _time.perf_counter() - t0 < 3.0:
+                encode_j2k(big, reversible=True, levels=5,
+                           stream_type="j2k", **kw)
+                n += 1
+            enc_ips = n / (_time.perf_counter() - t0)
+            t0 = _time.perf_counter()
+            n = 0
+            while _time.perf_counter() - t0 < 3.0:
+                opj_bridge.encode_lossless(big)
+                n += 1
+            openc_ips = n / (_time.perf_counter() - t0)
+            log(f"{label} encode 1024x1024 rev: ours {enc_ips:.2f} img/s "
+                f"vs openjpeg {openc_ips:.2f} img/s "
+                f"(x{enc_ips / openc_ips:.2f})")
     except Exception as e:
         log("j2k bench skipped:", e)
 

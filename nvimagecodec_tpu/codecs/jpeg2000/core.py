@@ -49,7 +49,8 @@ from .codestream import (
     write_siz,
 )
 from .codestream import write_cap
-from .t1_bridge import ht_decode, ht_encode, t1_decode, t1_encode
+from .t1_bridge import (BlockBatch, EncodeBatch, ht_decode, ht_encode,
+                        idwt53, t1_decode, t1_encode)
 from .t2 import PacketDecoder, PacketEncoder, plan_layers, plan_layers_ht
 
 _PROG_LRCP, _PROG_RLCP, _PROG_RPCL, _PROG_PCRL, _PROG_CPRL = range(5)
@@ -467,13 +468,12 @@ def encode_j2k(
         o.guard_bits = cp.guard_bits
 
     # ---- phase 2: T1 encode + packet assembly (precinct- and layer-aware)
-    pool = ThreadPoolExecutor(max_workers=num_threads or 8)
     tiles = []
     for t in range(ntiles):
         res_by_c, arrays = tile_banddata[t]
         penc = PacketEncoder(cp, res_by_c, C)
         tx0, ty0, _tx1, _ty1 = siz.tile_rect(t)
-        jobs = []  # (c, r, p, bi, k, future)
+        ebatch = EncodeBatch(bool(ht), 3 if ht == 3 else 1)
         for c in range(C):
             for res in res_by_c[c]:
                 r = res.r
@@ -488,19 +488,12 @@ def encode_j2k(
                             band, r, ppx, ppy, prect, ccp.cblk_w, ccp.cblk_h
                         )
                         for k, (bx0, by0, bx1, by1) in enumerate(blocks):
-                            blk = np.ascontiguousarray(
-                                arr[by0 - band.y0 : by1 - band.y0,
-                                    bx0 - band.x0 : bx1 - band.x0]
-                            )
-                            fut = (pool.submit(_ht_encode_or_skip, blk,
-                                               3 if ht == 3 else 1)
-                                   if ht
-                                   else pool.submit(t1_encode, blk,
-                                                    band.btype))
-                            jobs.append((c, r, p, bi, k, fut))
+                            blk = arr[by0 - band.y0 : by1 - band.y0,
+                                      bx0 - band.x0 : bx1 - band.x0]
+                            ebatch.add((c, r, p, bi, k), blk, band.btype)
         results: Dict[Tuple[int, int, int, int], List] = {}
-        for c, r, p, bi, k, fut in jobs:
-            results.setdefault((c, r, p, bi), []).append((k, fut.result()))
+        for (c, r, p, bi, k), rv in ebatch.run(num_threads):
+            results.setdefault((c, r, p, bi), []).append((k, rv))
 
         for (c, r, p, bi), rows in results.items():
             ccp = cp.for_comp(c)
@@ -527,7 +520,6 @@ def encode_j2k(
                                                  sub=sub)
         ]
         tiles.append(b"".join(packets))
-    pool.shutdown(wait=False)
 
     # assemble codestream
     out = bytearray(struct.pack(">H", SOC))
@@ -795,7 +787,6 @@ def decode_j2k(
             dtype,
         )
 
-    pool = ThreadPoolExecutor(max_workers=num_threads or 8)
     border = _band_order(cp)
 
     ntiles_total = siz.tiles_x * siz.tiles_y
@@ -843,7 +834,7 @@ def decode_j2k(
 
         # T1 decode all codeblocks in parallel, then dequant + IDWT
         planes = []
-        jobs = []
+        batch = BlockBatch()
         borders = [_band_order(ccs[c]) for c in range(C)]
         kepts = [[(r, bi) for (r, bi) in borders[c]
                   if r <= ccs[c].levels - discard_levels]
@@ -870,20 +861,16 @@ def decode_j2k(
                     if cc.cblk_style & 0x40:  # HT (T.814) block coder
                         cup = cb.segments[0] if cb.segments else b""
                         ref = b"".join(cb.segments[1:])
-                        jobs.append((c, r, bi, cb,
-                                     pool.submit(ht_decode, cup, ref,
-                                                 cb.num_passes,
-                                                 cb.x1 - cb.x0,
-                                                 cb.y1 - cb.y0,
-                                                 mb - cb.zero_bps,
-                                                 cb.zero_bps + 1)))
+                        batch.add_ht((c, r, bi, cb), cup, ref,
+                                     cb.num_passes, cb.x1 - cb.x0,
+                                     cb.y1 - cb.y0, mb - cb.zero_bps,
+                                     cb.zero_bps + 1)
                         continue
                     seg = b"".join(cb.segments)
                     nbps = max(0, mb - cb.zero_bps)
-                    jobs.append((c, r, bi, cb,
-                                 pool.submit(t1_decode, seg,
-                                             cb.x1 - cb.x0, cb.y1 - cb.y0,
-                                             band.btype, nbps, cb.num_passes)))
+                    batch.add_t1((c, r, bi, cb), seg,
+                                 cb.x1 - cb.x0, cb.y1 - cb.y0,
+                                 band.btype, nbps, cb.num_passes)
         decoded: Dict[int, Dict[Tuple[int, int], np.ndarray]] = {
             c: {} for c in range(C)
         }
@@ -892,9 +879,8 @@ def decode_j2k(
                 band = resolutions[c][r].bands[bi]
                 fdtype = np.int32 if ccs[c].reversible else np.float64
                 decoded[c][(r, bi)] = np.zeros((band.h, band.w), fdtype)
-        for c, r, bi, cb, fut in jobs:
+        for (c, r, bi, cb), blk in batch.run(num_threads):
             band = resolutions[c][r].bands[bi]
-            blk = fut.result()
             if not ccs[c].reversible:
                 eps, mu = ccs[c].band_q[borders[c].index((r, bi))]
                 rb = depth + band.gain
@@ -938,7 +924,6 @@ def decode_j2k(
                 )
                 for lev in range(1, cp.levels + 1)
             )
-            pool.shutdown(wait=False)
             torigin = (tcr[0][1], tcr[0][0])  # (tcy0, tcx0)
             if mesh is not None and cp.levels > 0 and torigin == (0, 0):
                 # one tile's inverse DWT rows sharded over "sp" with
@@ -963,9 +948,13 @@ def decode_j2k(
                 r = cc.levels - lev + 1
                 bands_f.append((decoded[c][(r, 0)], decoded[c][(r, 1)],
                                 decoded[c][(r, 2)]))
-            plane = dwt_ops.idwt2d(
-                LL, bands_f, tdims[c], cc.reversible,
-                origin=(ceil_div(tcr[c][1], d), ceil_div(tcr[c][0], d)))
+            corigin = (ceil_div(tcr[c][1], d), ceil_div(tcr[c][0], d))
+            if cc.reversible:
+                # native multi-level 5/3 synthesis (bit-identical fast path)
+                plane = idwt53(LL, bands_f, tdims[c], corigin)
+            else:
+                plane = dwt_ops.idwt2d(LL, bands_f, tdims[c], False,
+                                       origin=corigin)
             planes.append(plane)
 
         # inverse MCT + level shift (MCT needs equal component grids)
@@ -1005,7 +994,6 @@ def decode_j2k(
                 oy0 = ry0 - ceil_div(siz.y0, d)
                 ox0 = rx0 - ceil_div(siz.x0, d)
                 out[oy0 : oy0 + th, ox0 : ox0 + tw, c] = p
-    pool.shutdown(wait=False)
 
     if uniform_grid and len(tile_stacks) == ntiles_total:
         th_, tw_ = siz.tile_h, siz.tile_w

@@ -105,87 +105,131 @@ def _build_precinct_states(cp: CodingParams, res: Resolution):
 
 class PacketDecoder:
     """Decodes the packet sequence of one tile into per-codeblock segment
-    lists."""
+    lists. The bit-level header parse (tag trees, pass counts, Lblock,
+    segment lengths) runs in native code (native/j2k_t2.cpp) with state
+    held per tile in a native context — semantics identical to the
+    commented Python at the top of this file's git history; geometry and
+    the progression iteration stay here."""
+
+    _ERRORS = {
+        -1: "J2K: runaway zero-bitplane tree",
+        -2: "J2K: runaway Lblock",
+        -3: "J2K: absurd segment length field",
+        -4: "J2K: packet body past end of tile data",
+        -5: "J2K: packet overflows segment capacity",
+    }
 
     def __init__(self, siz: SizInfo, cp: CodingParams,
                  resolutions: Dict[int, List[Resolution]]):
+        import ctypes
+
+        from ...native import lib
+
         self.siz = siz
         self.cp = cp
         self.resolutions = resolutions  # comp -> [Resolution]
-        # state per (comp, res, precinct, band)
-        self.state: Dict[Tuple[int, int, int, int], PrecinctState] = {}
+        self._L = lib()
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        self._L.tic_t2_create.restype = ctypes.c_void_p
+        self._L.tic_t2_free.argtypes = [ctypes.c_void_p]
+        self._L.tic_t2_add_precband.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int]
+        self._L.tic_t2_add_precband.restype = ctypes.c_int
+        self._L.tic_t2_read_packet.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64, i64p,
+            ctypes.c_int, i32p, ctypes.c_int, ctypes.c_int, i64p,
+            ctypes.c_int]
+        self._L.tic_t2_read_packet.restype = ctypes.c_int
+        self._L.tic_t2_dump.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, i32p, i32p, i32p]
+        self._ctx = ctypes.c_void_p(self._L.tic_t2_create())
         self.nprec: Dict[Tuple[int, int], int] = {}
+        # (c, r, p, bi) -> (band_id, [block geometry])
+        self._bands: Dict[Tuple[int, int, int, int], Tuple[int, list]] = {}
+        self._segs: Dict[int, list] = {}   # global cb id -> [bytes]
+        self._cb_base: Dict[int, int] = {}  # band_id -> first global cb id
+        ncb_total = 0
         for c, res_list in resolutions.items():
+            ccp = cp.for_comp(c)
             for res in res_list:
-                np_, states = _build_precinct_states(cp.for_comp(c), res)
-                self.nprec[(c, res.r)] = np_
-                for (p, bi), ps in states.items():
-                    self.state[(c, res.r, p, bi)] = ps
+                ppx, ppy = ccp.pp(res.r)
+                npx, npy = precinct_count(res, ppx, ppy)
+                self.nprec[(c, res.r)] = npx * npy
+                for p in range(npx * npy):
+                    prect, _ = precinct_rect(res, ppx, ppy, p)
+                    for bi, band in enumerate(res.bands):
+                        nx, ny, blocks = cblk_grid_precinct(
+                            band, res.r, ppx, ppy, prect,
+                            ccp.cblk_w, ccp.cblk_h)
+                        bid = self._L.tic_t2_add_precband(
+                            self._ctx, nx, ny)
+                        self._bands[(c, res.r, p, bi)] = (bid, blocks)
+                        self._cb_base[bid] = ncb_total
+                        ncb_total += nx * ny
+
+    def __del__(self):
+        try:
+            self._L.tic_t2_free(self._ctx)
+        except Exception:
+            pass
 
     def band_cblks(self, c: int, r: int, bi: int) -> List[CblkState]:
         """All code-blocks of one band, concatenated over its precincts."""
+        import ctypes
+
+        import numpy as _np
+
         out: List[CblkState] = []
         for p in range(self.nprec.get((c, r), 0)):
-            out.extend(self.state[(c, r, p, bi)].cblks)
+            bid, blocks = self._bands[(c, r, p, bi)]
+            n = len(blocks)
+            if n == 0:
+                continue
+            incl = _np.zeros(n, _np.int32)
+            zbps = _np.zeros(n, _np.int32)
+            npasses = _np.zeros(n, _np.int32)
+            i32p = ctypes.POINTER(ctypes.c_int32)
+            self._L.tic_t2_dump(self._ctx, bid,
+                                incl.ctypes.data_as(i32p),
+                                zbps.ctypes.data_as(i32p),
+                                npasses.ctypes.data_as(i32p))
+            base = self._cb_base[bid]
+            for i, b in enumerate(blocks):
+                cb = CblkState(*b)
+                cb.included = bool(incl[i])
+                cb.zero_bps = int(zbps[i])
+                cb.num_passes = int(npasses[i])
+                cb.segments = self._segs.get(base + i, [])
+                out.append(cb)
         return out
 
     def read_packet(self, br: HeaderBitReader, c: int, r: int, layer: int,
                     p: int = 0) -> None:
-        if not br.get_bit():  # empty packet
-            br.align()
-            return
+        import ctypes
+
         res = self.resolutions[c][r]
-        body_reads: List[Tuple[CblkState, int]] = []
-        for bi, _band in enumerate(res.bands):
-            ps = self.state[(c, r, p, bi)]
-            for idx, cb in enumerate(ps.cblks):
-                x, y = idx % max(ps.nx, 1), idx // max(ps.nx, 1)
-                if not cb.included:
-                    inc = ps.incl.decode(br, x, y, layer + 1)
-                else:
-                    inc = bool(br.get_bit())
-                if not inc:
-                    continue
-                if not cb.included:
-                    # zero bitplanes: raise threshold until resolved
-                    # (bounded — exhausted data reads as zeros and would
-                    # otherwise chase the threshold forever)
-                    k = 1
-                    while not ps.zbp.decode(br, x, y, k):
-                        k += 1
-                        if k > 64:
-                            raise ValueError("J2K: runaway zero-bitplane tree")
-                    cb.zero_bps = ps.zbp.leaf_value(x, y)
-                    cb.included = True
-                npasses = _npasses_read(br)
-                # length-indicator increments (bounded: corrupted headers
-                # must not spin or produce absurd lengths)
-                while br.get_bit():
-                    cb.lblock += 1
-                    if cb.lblock > 32:
-                        raise ValueError("J2K: runaway Lblock")
-                # HT blocks (T.814): the cleanup pass is always its own
-                # terminated codeword segment; SigProp+MagRef share one.
-                # A contribution that starts at pass 0 and carries more
-                # passes therefore signals TWO lengths.
-                if (self.cp.for_comp(c).cblk_style & 0x40
-                        and cb.num_passes == 0 and npasses > 1):
-                    seg_groups = [1, npasses - 1]
-                else:
-                    seg_groups = [npasses]
-                for np_ in seg_groups:
-                    nbits = cb.lblock + _floor_log2(np_)
-                    if nbits > 32:
-                        raise ValueError("J2K: absurd segment length field")
-                    seg_len = br.get_bits(nbits)
-                    body_reads.append((cb, seg_len))
-                cb.num_passes += npasses
-        br.align()
-        for cb, seg_len in body_reads:
-            if br.pos + seg_len > len(br.data):
-                raise ValueError("J2K: packet body past end of tile data")
-            cb.segments.append(br.data[br.pos : br.pos + seg_len])
-            br.pos += seg_len
+        nb = len(res.bands)
+        entries = [self._bands[(c, r, p, bi)] for bi in range(nb)]
+        band_ids = (ctypes.c_int32 * nb)(*[e[0] for e in entries])
+        ht = 1 if (self.cp.for_comp(c).cblk_style & 0x40) else 0
+        # worst case: two codeword segments per code-block in the precinct
+        cap = 8 + 2 * sum(len(e[1]) for e in entries)
+        out = (ctypes.c_int64 * (3 * cap))()
+        pos = ctypes.c_int64(br.pos)
+        n = self._L.tic_t2_read_packet(
+            self._ctx, br.data, len(br.data), ctypes.byref(pos),
+            layer, band_ids, nb, ht, out, cap)
+        if n < 0:
+            raise ValueError(self._ERRORS.get(n, f"J2K: packet parse rc={n}"))
+        data = br.data
+        segs = self._segs
+        for i in range(n):
+            cb_id = out[3 * i]
+            off = out[3 * i + 1]
+            ln = out[3 * i + 2]
+            segs.setdefault(cb_id, []).append(data[off:off + ln])
+        br.pos = pos.value
 
 
 @dataclass

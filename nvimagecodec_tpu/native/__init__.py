@@ -35,7 +35,7 @@ def _needs_build() -> bool:
 def build() -> None:
     cmd = [
         "c++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-        *_sources(), "-o", _SO,
+        "-pthread", *_sources(), "-o", _SO,
     ]
     r = subprocess.run(cmd, capture_output=True, text=True)
     if r.returncode != 0:

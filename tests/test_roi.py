@@ -120,13 +120,13 @@ def test_j2k_roi_skips_work(monkeypatch):
     data = encode_j2k(big, reversible=True, tile_size=128, levels=3)
 
     calls = [0]
-    real_t1 = j2kcore.t1_decode
+    real_add = j2kcore.BlockBatch.add_t1
 
-    def counting_t1(*a, **kw):
+    def counting_add(self, *a, **kw):
         calls[0] += 1
-        return real_t1(*a, **kw)
+        return real_add(self, *a, **kw)
 
-    monkeypatch.setattr(j2kcore, "t1_decode", counting_t1)
+    monkeypatch.setattr(j2kcore.BlockBatch, "add_t1", counting_add)
     full = np.asarray(j2kcore.decode_j2k(data))
     n_full = calls[0]
     calls[0] = 0
