@@ -200,3 +200,53 @@ def test_large_mixed_batch_under_load(corpus):
             assert a.shape[:2] == (40, 56), (i, a.shape)
             if keys[i % len(keys)] in ("png", "tiff", "webp", "jp2", "bmp"):
                 assert np.array_equal(a, img), i
+
+
+def test_j2k_native_t2_fuzz():
+    """Adversarial coverage for the NATIVE T2 packet parser + block-batch
+    path (native/j2k_t2.cpp, j2k_block_batch.cpp): hundreds of corrupted
+    variants (truncations, byte stomps, random splices) of EBCOT, HT,
+    multi-layer, precinct, and animated-tile streams must decode to a
+    clean result or a clean per-sample None — never crash, hang, or
+    return a wrong-shaped array."""
+    from nvimagecodec_tpu.codecs.jpeg2000.core import encode_j2k
+
+    img = make_photo(72, 96, seed=9)
+    bases = [
+        encode_j2k(img, reversible=True, levels=3, stream_type="j2k"),
+        encode_j2k(img, reversible=True, levels=2, ht=True,
+                   stream_type="j2k"),
+        encode_j2k(img, reversible=True, levels=2, num_layers=3,
+                   prog_order="RPCL", precincts=(4, 4), stream_type="j2k"),
+        encode_j2k(img, reversible=True, levels=2, tile_size=33,
+                   stream_type="j2k", grid_offset=(3, 5)),
+    ]
+    rng = np.random.default_rng(7)
+    dec = nic.Decoder()
+    for data in bases:
+        n = len(data)
+        variants = []
+        for frac in (0.3, 0.6, 0.85, 0.97):
+            variants.append(data[: int(n * frac)])
+        for _ in range(24):
+            buf = bytearray(data)
+            kind = int(rng.integers(0, 3))
+            if kind == 0:  # stomp a run
+                i = int(rng.integers(2, n - 40))
+                ln = int(rng.integers(1, 40))
+                buf[i : i + ln] = bytes(rng.integers(0, 256, ln,
+                                                     dtype=np.uint8))
+            elif kind == 1:  # bit flips
+                for _ in range(6):
+                    i = int(rng.integers(0, n))
+                    buf[i] ^= 1 << int(rng.integers(0, 8))
+            else:  # splice two halves at mismatched offsets
+                i = int(rng.integers(2, n - 2))
+                j = int(rng.integers(2, n - 2))
+                buf = bytearray(data[:i] + data[j:])
+            variants.append(bytes(buf))
+        for v in variants:
+            out = dec.decode(v)
+            if out is not None:
+                a = np.asarray(out)
+                assert a.ndim in (2, 3) and a.shape[0] > 0
