@@ -147,10 +147,45 @@ def encode_batch_tpu(image_batch, params: Optional[EncodeParams],
         # (color + downsample + fDCT/quant + Huffman) runs in native C++
         # with the GIL released; same plugin, so the priority ladder and
         # per-sample fallback semantics are unchanged.
+        setup_cache: Dict[tuple, tuple] = {}
+
         def _host_one(img):
             a = np.asarray(img)
             if a.ndim == 3 and a.shape[-1] == 1:
                 a = a[..., 0]
+            if (a.dtype == np.uint8 and not jp.optimized_huffman):
+                # fused single native call (color→downsample→fDCT→Huffman
+                # in one MCU-row-resident pass) + cached header prefix
+                try:
+                    from .encode import jpeg_header_bytes
+                    from .native_encode import encode_scan_fused, fused_setup
+
+                    nchan = 1 if a.ndim == 2 else a.shape[-1]
+                    ck = (a.shape, nchan)
+                    cached = setup_cache.get(ck)
+                    if cached is None:
+                        css = _resolve_css(params, nchan)
+                        frame = build_encode_frame(
+                            a.shape[0], a.shape[1], nchan, params.quality,
+                            css, 8)
+                        for ci, c in enumerate(frame.components):
+                            c.dc_tbl = c.ac_tbl = 0 if ci == 0 else 1
+                        std = lambda t: HuffTable(list(t[0][1:]), list(t[1]))
+                        dc_t = {0: std(STD_DC_LUMA)}
+                        ac_t = {0: std(STD_AC_LUMA)}
+                        if len(frame.components) > 1:
+                            dc_t[1] = std(STD_DC_CHROMA)
+                            ac_t[1] = std(STD_AC_CHROMA)
+                        header = jpeg_header_bytes(frame, dc_t, ac_t)
+                        setup = fused_setup(frame, dc_t, ac_t)
+                        cached = (frame, header, setup)
+                        setup_cache[ck] = cached
+                    frame, header, setup = cached
+                    scan = encode_scan_fused(a, frame, None, None,
+                                             setup=setup)
+                    return header + scan + b"\xff\xd9"
+                except Exception:
+                    pass
             try:
                 from .native_encode import encode_pixels_native
 

@@ -424,6 +424,19 @@ def write_jpeg(
     ac_tables: Dict[int, HuffTable],
     restart_interval: int = 0,
 ) -> bytes:
+    return (jpeg_header_bytes(frame, dc_tables, ac_tables, restart_interval)
+            + entropy + b"\xff\xd9")
+
+
+def jpeg_header_bytes(
+    frame: JpegFrame,
+    dc_tables: Dict[int, HuffTable],
+    ac_tables: Dict[int, HuffTable],
+    restart_interval: int = 0,
+) -> bytes:
+    """Everything before the entropy-coded data (SOI..SOS) — cacheable per
+    (geometry, quality, tables) bucket; the fused native encoder returns the
+    scan bytes to append."""
     out = bytearray(b"\xff\xd8")  # SOI
     # APP0 JFIF v1.1, 1:1 aspect
     out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
@@ -454,8 +467,6 @@ def write_jpeg(
         sos += bytes([c.comp_id, (c.dc_tbl << 4) | c.ac_tbl])
     sos += bytes([0, 63, 0])
     out += _seg(0xDA, sos)
-    out += entropy
-    out += b"\xff\xd9"  # EOI
     return bytes(out)
 
 

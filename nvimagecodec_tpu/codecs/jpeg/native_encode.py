@@ -78,6 +78,68 @@ def encode_pixels_native(img: np.ndarray, frame: JpegFrame):
     return outs
 
 
+_AAN_SCALE = np.array([1.0, 1.387039845, 1.306562965, 1.175875602,
+                       1.0, 0.785694958, 0.541196100, 0.275899379])
+
+
+def aan_qinv(quant: np.ndarray) -> np.ndarray:
+    """Natural-order quant reciprocals with the AAN fDCT scale folded in:
+    1 / (q[u][v] * aan[u] * aan[v] * 8), f32 — the divisors the fused
+    encoder's AAN flowgraph needs (libjpeg jcdctmgr.c float convention)."""
+    q = np.asarray(quant, np.float64).reshape(8, 8)
+    return (1.0 / (q * np.outer(_AAN_SCALE, _AAN_SCALE) * 8.0)).astype(
+        np.float32).reshape(64)
+
+
+def encode_scan_fused(img: np.ndarray, frame: JpegFrame,
+                      dc_tables: Dict[int, HuffTable],
+                      ac_tables: Dict[int, HuffTable],
+                      restart_interval: int = 0,
+                      setup=None) -> bytes:
+    """Single native call: uint8 image → entropy-coded scan bytes (fused
+    color/downsample/AAN-fDCT/quant/Huffman, jpeg_encode_fast.cpp). Raises
+    ValueError for layouts it does not cover — caller falls back to the
+    staged path. `setup` may carry precomputed (h, v, dct, act, qs, blob)
+    ctypes arrays for the frame (cached by the batch encoder)."""
+    L = lib()
+    if img.dtype != np.uint8:
+        raise ValueError("fused encode: uint8 only")
+    img = np.ascontiguousarray(img)
+    nchan = 1 if img.ndim == 2 else img.shape[-1]
+    H, W = img.shape[:2]
+    if setup is None:
+        setup = fused_setup(frame, dc_tables, ac_tables)
+    h, v, dct, act, qs, blob = setup
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    out_len = ctypes.c_size_t()
+    rc = L.tic_jpeg_encode_baseline(
+        img.ctypes.data_as(ctypes.c_char_p), H, W, nchan,
+        len(frame.components), h, v,
+        qs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), blob, dct, act,
+        restart_interval, ctypes.byref(out), ctypes.byref(out_len),
+    )
+    if rc != 0:
+        raise ValueError(f"fused encode unsupported (rc={rc})")
+    data = ctypes.string_at(out, out_len.value)
+    L.tic_free(out)
+    return data
+
+
+def fused_setup(frame: JpegFrame, dc_tables: Dict[int, HuffTable],
+                ac_tables: Dict[int, HuffTable]):
+    """Precompute the ctypes arguments of encode_scan_fused for a frame
+    (cacheable per geometry/quality bucket)."""
+    ncomp = len(frame.components)
+    h = (_i32 * ncomp)(*[c.h for c in frame.components])
+    v = (_i32 * ncomp)(*[c.v for c in frame.components])
+    dct = (_i32 * ncomp)(*[c.dc_tbl for c in frame.components])
+    act = (_i32 * ncomp)(*[c.ac_tbl for c in frame.components])
+    qs = np.concatenate([aan_qinv(frame.quant[c.tq])
+                         for c in frame.components])
+    blob = _table_blob(dc_tables, ac_tables)
+    return h, v, dct, act, np.ascontiguousarray(qs), blob
+
+
 def count_symbols_native(frame: JpegFrame, coefs: Sequence[np.ndarray]):
     """({table_id: dc_counts[256]}, {table_id: ac_counts[256]})."""
     L = lib()

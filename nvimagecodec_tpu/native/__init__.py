@@ -130,6 +130,14 @@ def _declare(L: ctypes.CDLL) -> None:
         ctypes.POINTER(ctypes.c_size_t),
     ]
     L.tic_jpeg_encode_scan.restype = ctypes.c_int
+    L.tic_jpeg_encode_baseline.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+        ctypes.c_int32, c_i32p, c_i32p, ctypes.POINTER(ctypes.c_float),
+        ctypes.c_char_p, c_i32p, c_i32p, ctypes.c_int32,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.POINTER(ctypes.c_size_t),
+    ]
+    L.tic_jpeg_encode_baseline.restype = ctypes.c_int
     L.tic_png_defilter.argtypes = [
         ctypes.c_char_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int64,
         ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),

@@ -194,3 +194,90 @@ def test_device_pixel_stage_option():
     a = np.asarray(Decoder().decode(d1)).astype(int)
     b = np.asarray(Decoder().decode(d2)).astype(int)
     assert np.abs(a - b).max() <= 2  # one-ulp quantizer boundary effects
+
+
+# --------------------------------------------------------------------------
+# Fused single-pass native encoder (native/jpeg_encode_fast.cpp) — the host
+# hot path the batched Encoder uses when the device stage is off
+# --------------------------------------------------------------------------
+
+def _fused_encode(img, quality=85, css=None):
+    from nvimagecodec_tpu.codecs.jpeg import encode as E
+    from nvimagecodec_tpu.codecs.jpeg.native_encode import (
+        encode_scan_fused, fused_setup,
+    )
+    from nvimagecodec_tpu.core.types import ChromaSubsampling
+
+    nchan = 1 if img.ndim == 2 else img.shape[-1]
+    if css is None:
+        css = ChromaSubsampling.GRAY if nchan == 1 else ChromaSubsampling.CSS_420
+    frame = E.build_encode_frame(img.shape[0], img.shape[1], nchan, quality,
+                                 css, 8)
+    for i, c in enumerate(frame.components):
+        c.dc_tbl = c.ac_tbl = 0 if i == 0 else 1
+    std = lambda t: E.HuffTable(list(t[0][1:]), list(t[1]))
+    dc = {0: std(E.STD_DC_LUMA)}
+    ac = {0: std(E.STD_AC_LUMA)}
+    if len(frame.components) > 1:
+        dc[1] = std(E.STD_DC_CHROMA)
+        ac[1] = std(E.STD_AC_CHROMA)
+    scan = encode_scan_fused(img, frame, None, None,
+                             setup=fused_setup(frame, dc, ac))
+    return E.jpeg_header_bytes(frame, dc, ac) + scan + b"\xff\xd9"
+
+
+@pytest.mark.parametrize("css_name,shape", [
+    ("420", (375, 500)), ("420", (90, 131)), ("420", (33, 17)),
+    ("444", (64, 80)), ("422", (61, 77)), ("440", (61, 77)),
+])
+def test_fused_encoder_psnr(css_name, shape):
+    """Fused native encode decodes (libjpeg) to within 0.3 dB of the oracle
+    encoder at the same settings — odd sizes exercise the edge-replicate
+    and scalar-tail paths."""
+    from nvimagecodec_tpu.core.types import ChromaSubsampling
+
+    css = {"420": ChromaSubsampling.CSS_420, "444": ChromaSubsampling.CSS_444,
+           "422": ChromaSubsampling.CSS_422, "440": ChromaSubsampling.CSS_440}[css_name]
+    img = make_photo(*shape, seed=11)
+    data = _fused_encode(img, 85, css)
+    dec = oracle.jpeg_decode(data)
+    ours = psnr(img, dec)
+    ref = psnr(img, oracle.jpeg_decode(
+        oracle.jpeg_encode(img, 85, css_name)))
+    assert ours >= ref - 0.3, (ours, ref)
+
+
+def test_fused_encoder_gray():
+    g = make_photo(100, 99, seed=5)[..., 0].copy()
+    data = _fused_encode(g, 90)
+    assert psnr(g, oracle.jpeg_decode(data).squeeze()) > 40
+
+
+def test_fused_encoder_matches_staged_coefficients():
+    """Same coefficients (AAN vs orthonormal fDCT differ by at most ±1 on
+    quantizer boundaries) — decoded pixels within 2."""
+    from nvimagecodec_tpu import Decoder
+
+    img = make_photo(120, 160, seed=9)
+    fused = _fused_encode(img, 85)
+    from nvimagecodec_tpu.codecs.jpeg.encode import encode_jpeg
+
+    staged = encode_jpeg(img, EncodeParams(quality=85,
+                                           chroma_subsampling="420"))
+    a = oracle.jpeg_decode(fused).astype(int)
+    b = oracle.jpeg_decode(staged).astype(int)
+    assert np.abs(a - b).max() <= 2
+
+
+def test_fused_encoder_via_encoder_api_host_route(monkeypatch):
+    """Encoder() with the device stage disabled routes through the fused
+    native path; stream must decode everywhere."""
+    from nvimagecodec_tpu import Decoder, Encoder
+
+    monkeypatch.setenv("TIC_ENCODE_DEVICE", "0")
+    img = make_photo(81, 123, seed=6)
+    data = Encoder().encode(img, codec="jpeg",
+                            params=EncodeParams(quality=88,
+                                                chroma_subsampling="420"))
+    assert psnr(img, oracle.jpeg_decode(data)) > 33
+    assert psnr(img, np.asarray(Decoder().decode(data))) > 33
