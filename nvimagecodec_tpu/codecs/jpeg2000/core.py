@@ -11,8 +11,10 @@ Restrictions documented in codestream.py (default code-block style).
 """
 from __future__ import annotations
 
+import ctypes
 import functools
 import math
+import os
 import struct
 from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, List, Optional, Tuple
@@ -839,6 +841,18 @@ def decode_j2k(
         kepts = [[(r, bi) for (r, bi) in borders[c]
                   if r <= ccs[c].levels - discard_levels]
                  for c in range(C)]
+        # all-reversible tiles decode DIRECTLY into the int32 band arrays
+        # (native strided writes, no per-block Python consume loop)
+        all_rev = all(ccs[c].reversible for c in range(C))
+        decoded: Dict[int, Dict[Tuple[int, int], np.ndarray]] = {
+            c: {} for c in range(C)
+        }
+        for c in range(C):
+            for (r, bi) in kepts[c]:
+                band = resolutions[c][r].bands[bi]
+                fdtype = np.int32 if ccs[c].reversible else np.float64
+                decoded[c][(r, bi)] = np.zeros((band.h, band.w), fdtype)
+        dests = [] if all_rev else None
         for c in range(C):
             cc = ccs[c]
             border_c = borders[c]
@@ -865,31 +879,29 @@ def decode_j2k(
                                      cb.num_passes, cb.x1 - cb.x0,
                                      cb.y1 - cb.y0, mb - cb.zero_bps,
                                      cb.zero_bps + 1)
-                        continue
-                    seg = b"".join(cb.segments)
-                    nbps = max(0, mb - cb.zero_bps)
-                    batch.add_t1((c, r, bi, cb), seg,
-                                 cb.x1 - cb.x0, cb.y1 - cb.y0,
-                                 band.btype, nbps, cb.num_passes)
-        decoded: Dict[int, Dict[Tuple[int, int], np.ndarray]] = {
-            c: {} for c in range(C)
-        }
-        for c in range(C):
-            for (r, bi) in kepts[c]:
+                    else:
+                        seg = b"".join(cb.segments)
+                        nbps = max(0, mb - cb.zero_bps)
+                        batch.add_t1((c, r, bi, cb), seg,
+                                     cb.x1 - cb.x0, cb.y1 - cb.y0,
+                                     band.btype, nbps, cb.num_passes)
+                    if dests is not None:
+                        dests.append((decoded[c][(r, bi)],
+                                      cb.y0 - band.y0, cb.x0 - band.x0))
+        if dests is not None:
+            batch.run_into(dests, num_threads)
+        else:
+            for (c, r, bi, cb), blk in batch.run(num_threads):
                 band = resolutions[c][r].bands[bi]
-                fdtype = np.int32 if ccs[c].reversible else np.float64
-                decoded[c][(r, bi)] = np.zeros((band.h, band.w), fdtype)
-        for (c, r, bi, cb), blk in batch.run(num_threads):
-            band = resolutions[c][r].bands[bi]
-            if not ccs[c].reversible:
-                eps, mu = ccs[c].band_q[borders[c].index((r, bi))]
-                rb = depth + band.gain
-                delta = _eps_mu_to_delta(eps, mu, rb)
-                mag = np.abs(blk).astype(np.float64)
-                rec = np.where(mag > 0, (mag + 0.5) * delta, 0.0)
-                blk = np.sign(blk) * rec
-            decoded[c][(r, bi)][cb.y0 - band.y0 : cb.y1 - band.y0,
-                                cb.x0 - band.x0 : cb.x1 - band.x0] = blk
+                if not ccs[c].reversible:
+                    eps, mu = ccs[c].band_q[borders[c].index((r, bi))]
+                    rb = depth + band.gain
+                    delta = _eps_mu_to_delta(eps, mu, rb)
+                    mag = np.abs(blk).astype(np.float64)
+                    rec = np.where(mag > 0, (mag + 0.5) * delta, 0.0)
+                    blk = np.sign(blk) * rec
+                decoded[c][(r, bi)][cb.y0 - band.y0 : cb.y1 - band.y0,
+                                    cb.x0 - band.x0 : cb.x1 - band.x0] = blk
 
         if uniform_grid:
             cast = np.int32 if cp.reversible else np.float32
@@ -938,7 +950,7 @@ def decode_j2k(
             img = fn(LL, bands_t)
             return img[:, :, 0] if C == 1 else img
 
-        for c in range(C):
+        def _one_plane(c):
             cc = ccs[c]
             LL = decoded[c][(0, 0)]
             bands_f = []
@@ -951,11 +963,46 @@ def decode_j2k(
             corigin = (ceil_div(tcr[c][1], d), ceil_div(tcr[c][0], d))
             if cc.reversible:
                 # native multi-level 5/3 synthesis (bit-identical fast path)
-                plane = idwt53(LL, bands_f, tdims[c], corigin)
-            else:
-                plane = dwt_ops.idwt2d(LL, bands_f, tdims[c], False,
-                                       origin=corigin)
-            planes.append(plane)
+                return idwt53(LL, bands_f, tdims[c], corigin)
+            return dwt_ops.idwt2d(LL, bands_f, tdims[c], False,
+                                  origin=corigin)
+
+        if all_rev and C > 1:
+            # the native IDWT releases the GIL: run components in parallel
+            with ThreadPoolExecutor(max_workers=min(C, os.cpu_count() or 1)
+                                    ) as _pool:
+                planes = list(_pool.map(_one_plane, range(C)))
+        else:
+            planes = [_one_plane(c) for c in range(C)]
+
+        # fused native epilogue (inverse RCT/shift + clamp + interleave in
+        # one sweep) for the plain u8 reversible case
+        if (all_rev and not subsampled and not signed and depth == 8
+                and roi is None):
+            from ...native import lib as _native_lib
+
+            L = _native_lib()
+            i32p = ctypes.POINTER(ctypes.c_int32)
+            u8p = ctypes.POINTER(ctypes.c_uint8)
+            oy0 = ry0 - ceil_div(siz.y0, d)
+            ox0 = rx0 - ceil_div(siz.x0, d)
+            if C == 3 and cp.mct and sub[0] == sub[1] == sub[2]:
+                tile_u8 = np.empty((th, tw, 3), np.uint8)
+                L.tic_j2k_rct_shift_u8(
+                    planes[0].ctypes.data_as(i32p),
+                    planes[1].ctypes.data_as(i32p),
+                    planes[2].ctypes.data_as(i32p),
+                    th * tw, tile_u8.ctypes.data_as(u8p))
+                out[oy0:oy0 + th, ox0:ox0 + tw, :] = tile_u8
+                continue
+            if not cp.mct or C != 3:
+                for c in range(C):
+                    tile_u8 = np.empty((th, tw), np.uint8)
+                    L.tic_j2k_shift_u8(
+                        planes[c].ctypes.data_as(i32p), th * tw, 1,
+                        tile_u8.ctypes.data_as(u8p))
+                    out[oy0:oy0 + th, ox0:ox0 + tw, c] = tile_u8
+                continue
 
         # inverse MCT + level shift (MCT needs equal component grids)
         if cp.mct and C == 3 and sub[0] == sub[1] == sub[2]:

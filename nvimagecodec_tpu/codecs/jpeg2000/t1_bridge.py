@@ -83,6 +83,7 @@ class BlockBatch:
         self._ht_meta: list = []
         self._t1_meta: list = []
         self._results: list = []  # (key, w, h, kind, out_off)
+        self._kinds: list = []    # "ht"/"t1" per add, in add order
         self._out_elems = 0
 
     def _put(self, seg: bytes) -> Tuple[int, int]:
@@ -97,6 +98,7 @@ class BlockBatch:
         oo = self._out_elems
         self._out_elems += w * h
         self._ht_meta += [co, cl, ro, rl, num_passes, w, h, B, ucap, oo]
+        self._kinds.append("ht")
         self._results.append((key, w, h))
 
     def add_t1(self, key, seg: bytes, w: int, h: int, band: int,
@@ -105,7 +107,56 @@ class BlockBatch:
         oo = self._out_elems
         self._out_elems += w * h
         self._t1_meta += [so, sl, w, h, band, num_bps, num_passes, oo]
+        self._kinds.append("t1")
         self._results.append((key, w, h))
+
+    def run_into(self, dests, nthreads: int = 0) -> None:
+        """Direct-to-band decode: dests[i] = (band_array int32 [H, W],
+        row, col) per added block, in add order — every block is written
+        straight into its subband array by the native workers (no
+        intermediate coefficient buffer, no Python consume loop)."""
+        import os
+
+        L = lib()
+        if nthreads <= 0:
+            nthreads = os.cpu_count() or 1
+        blob = bytes(self._blob)
+        n_ht = len(self._ht_meta) // 10
+        n_t1 = len(self._t1_meta) // 8
+        assert len(dests) == n_ht + n_t1
+        # dests arrive in add order (T1/HT interleaved); split per kind
+        ht_d, t1_d = [], []
+        for (kind, dest) in zip(self._kinds, dests):
+            (ht_d if kind == "ht" else t1_d).append(dest)
+        for n, meta, width, fn, dlist in (
+            (n_ht, self._ht_meta, 10, L.tic_ht_decode_batch_into, ht_d),
+            (n_t1, self._t1_meta, 8, L.tic_t1_decode_batch_into, t1_d),
+        ):
+            if n == 0:
+                continue
+            # strip the trailing out_off column from the contiguous meta
+            m = np.asarray(meta, np.int32).reshape(n, width)[:, :width - 1]
+            m = np.ascontiguousarray(m)
+            ptrs = (ctypes.POINTER(ctypes.c_int32) * n)()
+            strides = np.empty(n, np.int64)
+            for i, (arr, r, c) in enumerate(dlist):
+                assert arr.dtype == np.int32 and arr.flags.c_contiguous
+                strides[i] = arr.shape[1]
+                ptrs[i] = ctypes.cast(
+                    arr.ctypes.data + (r * arr.shape[1] + c) * 4,
+                    ctypes.POINTER(ctypes.c_int32))
+            rcs = np.zeros(n, np.int32)
+            rc = fn(n, blob, m.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                    ptrs, strides.ctypes.data_as(
+                        ctypes.POINTER(ctypes.c_int64)),
+                    rcs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                    nthreads)
+            if rc != 0:
+                i = int(np.nonzero(rcs)[0][0])
+                kind = "HT" if width == 10 else "T1"
+                raise ValueError(
+                    f"J2K {kind} block decode failed rc={rcs[i]} "
+                    f"(block {i} of {n})")
 
     def run(self, nthreads: int = 0):
         """Decode everything; yields (key, int32 [h, w]) in add order."""

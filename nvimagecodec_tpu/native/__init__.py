@@ -153,6 +153,26 @@ def _declare(L: ctypes.CDLL) -> None:
         ctypes.POINTER(ctypes.c_int32),
     ]
     L.tic_j2k_t1_decode.restype = ctypes.c_int
+    _i32pp = ctypes.POINTER(ctypes.POINTER(ctypes.c_int32))
+    for _fn in (L.tic_t1_decode_batch_into, L.tic_ht_decode_batch_into):
+        _fn.argtypes = [
+            ctypes.c_int32, ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int32), _i32pp,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32,
+        ]
+        _fn.restype = ctypes.c_int
+    L.tic_j2k_rct_shift_u8.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint8),
+    ]
+    L.tic_j2k_rct_shift_u8.restype = ctypes.c_int
+    L.tic_j2k_shift_u8.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_uint8),
+    ]
+    L.tic_j2k_shift_u8.restype = ctypes.c_int
     L.tic_j2k_t1_encode.argtypes = [
         ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,

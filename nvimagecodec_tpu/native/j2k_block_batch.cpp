@@ -10,6 +10,7 @@
 // cuda_decoder.cpp:601-640); this is the host-side analog.
 
 #include <atomic>
+#include <cstring>
 #include <cstdint>
 #include <thread>
 #include <vector>
@@ -84,6 +85,89 @@ int tic_t1_decode_batch(int32_t n, const uint8_t* blob, const int32_t* meta,
     } else {
         std::vector<std::thread> ts;
         ts.reserve(nt - 1);
+        for (int t = 0; t < nt - 1; t++) ts.emplace_back(worker);
+        worker();
+        for (auto& t : ts) t.join();
+    }
+    return bad.load();
+}
+
+int tic_j2k_t1_decode_strided(const uint8_t* data, int len, int w, int h,
+                              int64_t stride, int band, int num_bps,
+                              int num_passes, int32_t* out);
+
+// Direct-to-band batch decode: each block is written straight into its
+// subband array at (dests[i], strides[i]) — no intermediate coefficient
+// blob and no per-block Python consume loop. meta layouts match the
+// contiguous batches above minus out_off:
+//   T1: 7 int32 per block [seg_off, seg_len, w, h, band, num_bps, num_passes]
+//   HT: 9 int32 per block [cup_off, cup_len, ref_off, ref_len, num_passes,
+//                          w, h, B, Ucap]
+int tic_t1_decode_batch_into(int32_t n, const uint8_t* blob,
+                             const int32_t* meta, int32_t* const* dests,
+                             const int64_t* strides, int32_t* rcs,
+                             int32_t nthreads) {
+    std::atomic<int32_t> next(0);
+    std::atomic<int32_t> bad(0);
+    auto worker = [&]() {
+        for (;;) {
+            int32_t i = next.fetch_add(1, std::memory_order_relaxed);
+            if (i >= n) break;
+            const int32_t* m = meta + 7 * i;
+            int rc = tic_j2k_t1_decode_strided(blob + m[0], m[1], m[2], m[3],
+                                               strides[i], m[4], m[5], m[6],
+                                               dests[i]);
+            rcs[i] = rc;
+            if (rc) bad.store(rc, std::memory_order_relaxed);
+        }
+    };
+    int nt = nthreads < 1 ? 1 : (nthreads > n ? n : nthreads);
+    if (nt <= 1) {
+        worker();
+    } else {
+        std::vector<std::thread> ts;
+        for (int t = 0; t < nt - 1; t++) ts.emplace_back(worker);
+        worker();
+        for (auto& t : ts) t.join();
+    }
+    return bad.load();
+}
+
+int tic_ht_decode_batch_into(int32_t n, const uint8_t* blob,
+                             const int32_t* meta, int32_t* const* dests,
+                             const int64_t* strides, int32_t* rcs,
+                             int32_t nthreads) {
+    std::atomic<int32_t> next(0);
+    std::atomic<int32_t> bad(0);
+    auto worker = [&]() {
+        std::vector<int32_t> scratch;
+        for (;;) {
+            int32_t i = next.fetch_add(1, std::memory_order_relaxed);
+            if (i >= n) break;
+            const int32_t* m = meta + 9 * i;
+            const uint8_t* ref = m[3] ? blob + m[2] : nullptr;
+            int w = m[5], h = m[6];
+            scratch.assign((size_t)w * h, 0);
+            int rc = tic_ht_decode_block(blob + m[0], m[1], ref, m[3], m[4],
+                                         w, h, m[7], m[8], scratch.data());
+            rcs[i] = rc;
+            if (rc) {
+                bad.store(rc, std::memory_order_relaxed);
+                continue;
+            }
+            int32_t* dst = dests[i];
+            int64_t stride = strides[i];
+            for (int y = 0; y < h; y++)
+                std::memcpy(dst + (size_t)y * stride,
+                            scratch.data() + (size_t)y * w,
+                            sizeof(int32_t) * w);
+        }
+    };
+    int nt = nthreads < 1 ? 1 : (nthreads > n ? n : nthreads);
+    if (nt <= 1) {
+        worker();
+    } else {
+        std::vector<std::thread> ts;
         for (int t = 0; t < nt - 1; t++) ts.emplace_back(worker);
         worker();
         for (auto& t : ts) t.join();

@@ -16,6 +16,10 @@
 #include <cstring>
 #include <vector>
 
+#if defined(__BMI2__)
+#include <immintrin.h>
+#endif
+
 namespace {
 
 // ---------------------------------------------------------------- MQ coder
@@ -72,89 +76,102 @@ struct MqInit {
 };
 const MqInit kMqInit;
 
-struct MQDecoder {
+// Decoder state that the pass loops keep in REGISTERS: the flag-array
+// stores in the scan loops would otherwise force the compiler to spill and
+// reload every coder field around every mq_decode (measured ~2x of the
+// whole T1 decode). Passes copy MQDecoder::v into a local, run, copy back.
+struct MqVars {
   const uint8_t* bp;
   const uint8_t* end;
   uint32_t c;
   uint32_t a;
   int ct;
+};
+
+static inline void mq_bytein(MqVars& v) {
+  if (v.bp < v.end && *v.bp == 0xFF) {
+    if (v.bp + 1 < v.end && v.bp[1] > 0x8F) {
+      v.c += 0xFF00;
+      v.ct = 8;
+    } else {
+      v.bp++;
+      v.c += (uint32_t)(v.bp < v.end ? *v.bp : 0xFF) << 9;
+      v.ct = 7;
+    }
+  } else {
+    v.bp++;
+    v.c += (uint32_t)(v.bp < v.end ? *v.bp : 0xFF) << 8;
+    v.ct = 8;
+  }
+}
+
+// renormalize: shift in as many bits as the 0xFF-stuffing window allows per
+// iteration (usually one iteration) instead of bit-at-a-time
+static inline void mq_renorm(MqVars& v) {
+  do {
+    if (v.ct == 0) mq_bytein(v);
+    int sh = __builtin_clz(v.a) - 16;  // bits until bit 15 is set
+    if (sh > v.ct) sh = v.ct;
+    v.a <<= sh;
+    v.c <<= sh;
+    v.ct -= sh;
+  } while (v.a < 0x8000);
+}
+
+static inline int mq_decode(MqVars& v, const MqState** cp) {
+  const MqState* s = *cp;
+  uint32_t qe = s->qe;
+  uint32_t d;
+  v.a -= qe;
+  if (__builtin_expect(((v.c >> 16) & 0xFFFF) < qe, 0)) {
+    // LPS exchange path
+    if (v.a < qe) {
+      d = s->mps;
+      *cp = s->nmps;
+    } else {
+      d = 1 - s->mps;
+      *cp = s->nlps;
+    }
+    v.a = qe;
+    mq_renorm(v);
+  } else {
+    v.c -= (uint32_t)qe << 16;
+    if (__builtin_expect((v.a & 0x8000) == 0, 0)) {
+      // MPS exchange path
+      if (v.a < qe) {
+        d = 1 - s->mps;
+        *cp = s->nlps;
+      } else {
+        d = s->mps;
+        *cp = s->nmps;
+      }
+      mq_renorm(v);
+    } else {
+      d = s->mps;
+    }
+  }
+  return (int)d;
+}
+
+struct MQDecoder {
+  MqVars v;
   const MqState* ctx[kNumCtx];
 
   void init(const uint8_t* data, int len) {
-    bp = data;
-    end = data + len;
+    v.bp = data;
+    v.end = data + len;
     for (int i = 0; i < kNumCtx; i++) ctx[i] = &kMq[0];
     ctx[CTX_UNI] = &kMq[2 * 46];
     ctx[CTX_RUN] = &kMq[2 * 3];
     ctx[0] = &kMq[2 * 4];  // first ZC context starts at state 4 (T.800 D.2)
-    c = (uint32_t)(bp < end ? *bp : 0xFF) << 16;
-    bytein();
-    c <<= 7;
-    ct -= 7;
-    a = 0x8000;
+    v.c = (uint32_t)(v.bp < v.end ? *v.bp : 0xFF) << 16;
+    mq_bytein(v);
+    v.c <<= 7;
+    v.ct -= 7;
+    v.a = 0x8000;
   }
 
-  void bytein() {
-    if (bp < end && *bp == 0xFF) {
-      if (bp + 1 < end && bp[1] > 0x8F) {
-        c += 0xFF00;
-        ct = 8;
-      } else {
-        bp++;
-        c += (uint32_t)(bp < end ? *bp : 0xFF) << 9;
-        ct = 7;
-      }
-    } else {
-      bp++;
-      c += (uint32_t)(bp < end ? *bp : 0xFF) << 8;
-      ct = 8;
-    }
-  }
-
-  inline int decode(int cxi) {
-    const MqState* s = ctx[cxi];
-    uint32_t qe = s->qe;
-    uint32_t d;
-    a -= qe;
-    if (((c >> 16) & 0xFFFF) < qe) {
-      // LPS exchange path
-      if (a < qe) {
-        d = s->mps;
-        ctx[cxi] = s->nmps;
-      } else {
-        d = 1 - s->mps;
-        ctx[cxi] = s->nlps;
-      }
-      a = qe;
-      do {
-        if (ct == 0) bytein();
-        a <<= 1;
-        c <<= 1;
-        ct--;
-      } while (a < 0x8000);
-    } else {
-      c -= (uint32_t)qe << 16;
-      if ((a & 0x8000) == 0) {
-        // MPS exchange path
-        if (a < qe) {
-          d = 1 - s->mps;
-          ctx[cxi] = s->nlps;
-        } else {
-          d = s->mps;
-          ctx[cxi] = s->nmps;
-        }
-        do {
-          if (ct == 0) bytein();
-          a <<= 1;
-          c <<= 1;
-          ct--;
-        } while (a < 0x8000);
-      } else {
-        d = s->mps;
-      }
-    }
-    return (int)d;
-  }
+  inline int decode(int cxi) { return mq_decode(v, &ctx[cxi]); }
 };
 
 struct MQEncoder {
@@ -421,79 +438,243 @@ struct T1 {
 };
 
 // ---------------------------------------------------------------- decode
-struct T1Decoder : T1 {
+//
+// Stripe-column flag words: ONE 32-bit word per (4-row stripe, column)
+// carries the full 3x6 significance window, the center column's signs, and
+// the per-row visited/refined bits, so
+//  - a whole column of 4 skips on a single test (the dominant case in
+//    early bitplanes),
+//  - a ZC context is one shift+mask into a 512-entry LUT,
+//  - becoming significant updates 3 words (6 on stripe boundaries)
+// instead of 9 per-pixel flag words. This is the classic fast software-T1
+// data layout (openjpeg's opj_flag_t uses the same idea); the bit
+// assignment here is our own.
+//
+// Word layout for stripe s (rows y0=4s .. y0+3), column x:
+//   bits  0..17: significance of the 3x6 window (cols x-1,x,x+1 as c=0,1,2;
+//                window rows y0-1 .. y0+4 as t=0..5) at bit 3*t + c.
+//                Row j's 3x3 ZC window is bits [3j, 3j+8]; self = 3j+4.
+//   bits 18..23: sign (chi) of the CENTER column, window rows t=0..5.
+//   bits 24..27: visited (pi) for rows j=0..3.
+//   bits 28..31: refined (mu) for rows j=0..3.
+constexpr uint32_t SIG_ALL = 0x3FFFFu;
+constexpr uint32_t PI_ALL = 0xFu << 24;
+constexpr uint32_t CENTER_ALL = (1u << 4) | (1u << 7) | (1u << 10) | (1u << 13);
+inline uint32_t SIG_SELF(int j) { return 1u << (3 * j + 4); }
+inline uint32_t PI_BIT(int j) { return 1u << (24 + j); }
+inline uint32_t MU_BIT(int j) { return 1u << (28 + j); }
+
+uint8_t kZcLut9[3][512];  // [cls][9-bit 3x3 sig window] -> ZC context
+struct Zc9Init {
+  Zc9Init() {
+    const int bands[3] = {0, 1, 3};
+    for (int m = 0; m < 512; m++) {
+      int hsum = ((m >> 3) & 1) + ((m >> 5) & 1);
+      int vsum = ((m >> 1) & 1) + ((m >> 7) & 1);
+      int d = (m & 1) + ((m >> 2) & 1) + ((m >> 6) & 1) + ((m >> 8) & 1);
+      for (int c = 0; c < 3; c++)
+        kZcLut9[c][m] = (uint8_t)zc_context(bands[c], hsum, vsum, d);
+    }
+  }
+};
+const Zc9Init kZc9Init;
+
+struct T1Decoder {
+  int w, h, S, cls, ws;
+  int64_t mstride;          // row stride (elements) of the mag output
+  std::vector<uint32_t> F;  // (S+2) x (w+2), pad ring absorbs border writes
+  std::vector<uint8_t> sgn;
+  int32_t* mag = nullptr;   // caller's zeroed out buffer
   MQDecoder mq;
 
-  inline void decode_sign(int x, int y) {
-    uint8_t v = kScLut[sc_idx(F[pi(x, y)])];
-    int bit = mq.decode(v & 0x1F);
-    mark_sig(x, y, bit ^ (v >> 5));
+  inline uint32_t* wp(int s, int x) {
+    return &F[(size_t)(s + 1) * ws + (x + 1)];
+  }
+
+  void reset(int w_, int h_, int band_) {
+    w = w_;
+    h = h_;
+    S = (h_ + 3) >> 2;
+    cls = band_ == 1 ? 1 : band_ == 3 ? 2 : 0;
+    ws = w + 2;
+    F.assign((size_t)ws * (S + 2), 0);
+    sgn.assign((size_t)w * h, 0);
+  }
+
+  inline void update_sig(int s, int x, int j, int neg) {
+    uint32_t* p = wp(s, x);
+    p[0] |= SIG_SELF(j) | ((uint32_t)neg << (18 + j + 1));
+    p[-1] |= 1u << (3 * j + 5);  // west word sees us in its right column
+    p[1] |= 1u << (3 * j + 3);
+    if (j == 0) {  // previous stripe's window row t=5
+      uint32_t* q = wp(s - 1, x);
+      q[0] |= (1u << 16) | ((uint32_t)neg << 23);
+      q[-1] |= 1u << 17;
+      q[1] |= 1u << 15;
+    } else if (j == 3) {  // next stripe's window row t=0
+      uint32_t* q = wp(s + 1, x);
+      q[0] |= (1u << 1) | ((uint32_t)neg << 18);
+      q[-1] |= 1u << 2;
+      q[1] |= 1u << 0;
+    }
+    sgn[(size_t)(4 * s + j) * w + x] = (uint8_t)neg;
+  }
+
+  // SC context index (same convention as kScLut): sig W/E/N/S | chi<<4
+  inline int sc_index(const uint32_t* p, int j) {
+    uint32_t f = p[0];
+    int idx = (int)(((f >> (3 * j + 3)) & 1) | (((f >> (3 * j + 5)) & 1) << 1) |
+                    (((f >> (3 * j + 1)) & 1) << 2) |
+                    (((f >> (3 * j + 7)) & 1) << 3) |
+                    (((p[-1] >> (19 + j)) & 1) << 4) |
+                    (((p[1] >> (19 + j)) & 1) << 5) |
+                    (((f >> (18 + j)) & 1) << 6) |
+                    (((f >> (20 + j)) & 1) << 7));
+    return idx;
+  }
+
+  inline void decode_sign(MqVars& mv, int s, int x, int j) {
+    uint8_t v = kScLut[sc_index(wp(s, x), j)];
+    int bit = mq_decode(mv, &mq.ctx[v & 0x1F]);
+    update_sig(s, x, j, bit ^ (v >> 5));
+  }
+
+// one SPP row with compile-time J (immediate shifts/masks); rowp[x] is
+// reloaded per row because a coded sign updates it
+#define T1_SPP_ROW(J)                                                   \
+  {                                                                     \
+    uint32_t nb = (rowp[x] >> (3 * (J))) & 0x1FF;                       \
+    if ((nb != 0) & ((nb & 0x10u) == 0)) {                              \
+      if (mq_decode(mv, &mq.ctx[zc[nb]])) {                             \
+        mrow[(J) * (size_t)mstride + x] |= one;                               \
+        decode_sign(mv, s, x, (J));                                     \
+      }                                                                 \
+      rowp[x] |= PI_BIT(J);                                             \
+    }                                                                   \
   }
 
   void sig_prop_pass(int bp) {
-    for (int y0 = 0; y0 < h; y0 += 4)
-      for (int x = 0; x < w; x++)
-        for (int y = y0; y < y0 + 4 && y < h; y++) {
-          uint32_t f = F[pi(x, y)];
-          if ((f & F_SIG) || !(f & F_NBR)) continue;
-          if (mq.decode(kZcLut[cls][zc_idx(f)])) {
-            mag[(size_t)y * w + x] |= (int32_t)1 << bp;
-            decode_sign(x, y);
-          }
-          F[pi(x, y)] |= F_VISITED;
+    MqVars mv = mq.v;
+    const uint8_t* zc = kZcLut9[cls];
+    const int32_t one = (int32_t)1 << bp;
+    for (int s = 0; s < S; s++) {
+      int jmax = h - 4 * s;
+      if (jmax > 4) jmax = 4;
+      uint32_t* rowp = wp(s, 0);
+      int32_t* mrow = mag + (size_t)4 * s * mstride;
+      if (jmax == 4) {
+        for (int x = 0; x < w; x++) {
+          if (!(rowp[x] & SIG_ALL)) continue;
+          T1_SPP_ROW(0)
+          T1_SPP_ROW(1)
+          T1_SPP_ROW(2)
+          T1_SPP_ROW(3)
         }
+      } else {
+        for (int x = 0; x < w; x++) {
+          if (!(rowp[x] & SIG_ALL)) continue;
+          T1_SPP_ROW(0)
+          if (jmax > 1) T1_SPP_ROW(1)
+          if (jmax > 2) T1_SPP_ROW(2)
+        }
+      }
+    }
+    mq.v = mv;
+  }
+
+// one MRP row; no sign coding, so f stays in a register for the column.
+// The refinement bit is stored branchlessly — its value is coin-flip data
+// and a conditional store mispredicts ~50% of the time.
+#define T1_MRP_ROW(J)                                                   \
+  if ((f & (SIG_SELF(J) | PI_BIT(J))) == SIG_SELF(J)) {                 \
+    int cx = (f & MU_BIT(J))                                            \
+                 ? 16                                                   \
+                 : (((f >> (3 * (J))) & 0x1FF & ~0x10u) ? 15 : 14);     \
+    mrow[(J) * (size_t)mstride + x] |= one & -mq_decode(mv, &mq.ctx[cx]);     \
+    f |= MU_BIT(J) | PI_BIT(J);                                         \
   }
 
   void mag_ref_pass(int bp) {
-    for (int y0 = 0; y0 < h; y0 += 4)
-      for (int x = 0; x < w; x++)
-        for (int y = y0; y < y0 + 4 && y < h; y++) {
-          uint32_t& f = F[pi(x, y)];
-          if (!(f & F_SIG) || (f & F_VISITED)) continue;
-          int cx = (f & F_REFINED) ? 16 : (f & F_NBR) ? 15 : 14;
-          if (mq.decode(cx)) mag[(size_t)y * w + x] |= (int32_t)1 << bp;
-          f |= F_REFINED | F_VISITED;
-        }
+    MqVars mv = mq.v;
+    const int32_t one = (int32_t)1 << bp;
+    for (int s = 0; s < S; s++) {
+      int jmax = h - 4 * s;
+      if (jmax > 4) jmax = 4;
+      uint32_t* rowp = wp(s, 0);
+      int32_t* mrow = mag + (size_t)4 * s * mstride;
+      for (int x = 0; x < w; x++) {
+        uint32_t f = rowp[x];
+        if (!(f & CENTER_ALL)) continue;
+        T1_MRP_ROW(0)
+        if (jmax > 1) T1_MRP_ROW(1)
+        if (jmax > 2) T1_MRP_ROW(2)
+        if (jmax > 3) T1_MRP_ROW(3)
+        rowp[x] = f;
+      }
+    }
+    mq.v = mv;
+  }
+
+#define T1_CLN_ROW(J)                                                   \
+  {                                                                     \
+    uint32_t f = rowp[x];                                               \
+    if (!(f & (SIG_SELF(J) | PI_BIT(J)))) {                             \
+      uint32_t nb = (f >> (3 * (J))) & 0x1FF;                           \
+      if (mq_decode(mv, &mq.ctx[zc[nb]])) {                             \
+        mrow[(J) * (size_t)mstride + x] |= one;                               \
+        decode_sign(mv, s, x, (J));                                     \
+      }                                                                 \
+    }                                                                   \
   }
 
   void cleanup_pass(int bp) {
-    for (int y0 = 0; y0 < h; y0 += 4)
+    MqVars mv = mq.v;
+    const uint8_t* zc = kZcLut9[cls];
+    const int32_t one = (int32_t)1 << bp;
+    for (int s = 0; s < S; s++) {
+      int jmax = h - 4 * s;
+      bool full = jmax >= 4;
+      if (jmax > 4) jmax = 4;
+      uint32_t* rowp = wp(s, 0);
+      int32_t* mrow = mag + (size_t)4 * s * mstride;
       for (int x = 0; x < w; x++) {
-        int y = y0;
-        // run-length mode: full stripe of 4, all insignificant, no
-        // significant neighbors, not visited
-        if (y0 + 4 <= h) {
-          bool rl = true;
-          for (int yy = y0; yy < y0 + 4; yy++)
-            if (F[pi(x, yy)] & (F_SIG | F_VISITED | F_NBR)) {
-              rl = false;
-              break;
+        if (full) {
+          uint32_t f0 = rowp[x];
+          if (!(f0 & (SIG_ALL | PI_ALL))) {
+            // run-length mode
+            if (mq_decode(mv, &mq.ctx[CTX_RUN]) == 0) continue;
+            int r = (mq_decode(mv, &mq.ctx[CTX_UNI]) << 1) |
+                    mq_decode(mv, &mq.ctx[CTX_UNI]);
+            mrow[(size_t)r * mstride + x] |= one;
+            decode_sign(mv, s, x, r);
+            switch (r) {  // finish the remaining rows of the column
+              case 0:
+                T1_CLN_ROW(1)
+                // fallthrough
+              case 1:
+                T1_CLN_ROW(2)
+                // fallthrough
+              case 2:
+                T1_CLN_ROW(3)
+              default:;
             }
-          if (rl) {
-            if (mq.decode(CTX_RUN) == 0) {
-              for (int yy = y0; yy < y0 + 4; yy++)
-                F[pi(x, yy)] &= ~F_VISITED;
-              continue;  // whole column stays zero
-            }
-            int r = (mq.decode(CTX_UNI) << 1) | mq.decode(CTX_UNI);
-            y = y0 + r;
-            mag[(size_t)y * w + x] |= (int32_t)1 << bp;
-            decode_sign(x, y);
-            y++;
+            rowp[x] &= ~PI_ALL;
+            continue;
           }
+          T1_CLN_ROW(0)
+          T1_CLN_ROW(1)
+          T1_CLN_ROW(2)
+          T1_CLN_ROW(3)
+          rowp[x] &= ~PI_ALL;
+        } else {
+          T1_CLN_ROW(0)
+          if (jmax > 1) T1_CLN_ROW(1)
+          if (jmax > 2) T1_CLN_ROW(2)
+          rowp[x] &= ~PI_ALL;
         }
-        for (; y < y0 + 4 && y < h; y++) {
-          uint32_t f = F[pi(x, y)];
-          if (!(f & (F_SIG | F_VISITED))) {
-            if (mq.decode(kZcLut[cls][zc_idx(f)])) {
-              mag[(size_t)y * w + x] |= (int32_t)1 << bp;
-              decode_sign(x, y);
-            }
-          }
-        }
-        for (int yy = y0; yy < y0 + 4 && yy < h; yy++)
-          F[pi(x, yy)] &= ~F_VISITED;
       }
+    }
+    mq.v = mv;
   }
 };
 
@@ -586,14 +767,24 @@ extern "C" {
 // Decode one codeblock. data: single codeword segment (default style).
 // num_bps: magnitude bitplanes present (Mb - zero_bitplanes).
 // num_passes: coding passes included (first bitplane has cleanup only).
-// out: w*h int32, signed reconstruction value (no dequant; caller applies).
-int tic_j2k_t1_decode(const uint8_t* data, int len, int w, int h, int band,
-                      int num_bps, int num_passes, int32_t* out) {
+// out: signed reconstruction values (no dequant; caller applies) written as
+// h rows of w at row stride `stride` elements. The written region must
+// arrive zero-initialized (magnitude bits are OR-accumulated in place) —
+// both bridges pass np.zeros / fresh band arrays.
+int tic_j2k_t1_decode_strided(const uint8_t* data, int len, int w, int h,
+                              int64_t stride, int band, int num_bps,
+                              int num_passes, int32_t* out) {
   if (w <= 0 || h <= 0 || w > 4096 || h > 4096 || num_bps < 0 ||
-      num_bps > 31 || num_passes < 0)
+      num_bps > 31 || num_passes < 0 || stride < w)
     return 1;
-  T1Decoder t;
+  // Reused across the batch fan-out. initial-exec TLS is essential in this
+  // dlopen'd library: the default global-dynamic model routes every
+  // t-relative access (including mq.ctx inside the MQ decode hot path)
+  // through __tls_get_addr — measured 22% of the whole T1 decode.
+  static thread_local T1Decoder t __attribute__((tls_model("initial-exec")));
   t.reset(w, h, band);
+  t.mstride = stride;
+  t.mag = out;
   t.mq.init(data, len);
   int pass = 0;
   for (int bp = num_bps - 1; bp >= 0 && pass < num_passes; bp--) {
@@ -615,9 +806,23 @@ int tic_j2k_t1_decode(const uint8_t* data, int len, int w, int h, int band,
       }
     }
   }
-  for (int i = 0; i < w * h; i++)
-    out[i] = t.sgn[i] ? -t.mag[i] : t.mag[i];
+  const uint8_t* sg = t.sgn.data();
+  for (int y = 0; y < h; y++) {  // branchless negate, auto-vectorizes
+    int32_t* row = out + (size_t)y * stride;
+    const uint8_t* srow = sg + (size_t)y * w;
+    for (int x = 0; x < w; x++) {
+      int32_t m = -(int32_t)srow[x];
+      row[x] = (row[x] ^ m) - m;
+    }
+  }
   return 0;
+}
+
+// contiguous-output compatibility wrapper (stride == w)
+int tic_j2k_t1_decode(const uint8_t* data, int len, int w, int h, int band,
+                      int num_bps, int num_passes, int32_t* out) {
+  return tic_j2k_t1_decode_strided(data, len, w, h, w, band, num_bps,
+                                   num_passes, out);
 }
 
 // Encode one codeblock from signed int32 coefficients. Returns the number
