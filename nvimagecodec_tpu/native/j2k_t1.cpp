@@ -52,25 +52,22 @@ constexpr int kNumCtx = 19;
 constexpr int CTX_UNI = 18;   // uniform
 constexpr int CTX_RUN = 17;   // run-length
 
-// Linked-state MQ decoder: (state index, MPS sense) pairs pre-linked into
-// one node graph, so a decision is one pointer load + follow (no repeated
-// kQe[] loads, no MPS-switch branch) — the classic software-MQ structure.
-struct MqState {
-  uint32_t qe;
-  uint32_t mps;  // decision value on the MPS path
-  const MqState* nmps;
-  const MqState* nlps;
-};
-MqState kMq[47 * 2];
+// Packed-u64 MQ decoder state: (state index, MPS sense) pairs flattened to
+// 94 nodes, each packed into ONE 64-bit word —
+//   bits 63..32 qe | bit 24 mps | bits 23..12 nlps node id | 11..0 nmps id
+// so the decision's critical path is a single context-slot load (qe arrives
+// with the first load, not behind a second dependent pointer chase); the
+// next-state word is fetched from kMqPacked only on a state transition and
+// is off the critical path until that context's next use.
+uint64_t kMqPacked[47 * 2];
 struct MqInit {
   MqInit() {
     for (int i = 0; i < 47; i++)
       for (int m = 0; m < 2; m++) {
-        MqState& s = kMq[2 * i + m];
-        s.qe = kQe[i].qe;
-        s.mps = (uint32_t)m;
-        s.nmps = &kMq[2 * kQe[i].nmps + m];
-        s.nlps = &kMq[2 * kQe[i].nlps + (kQe[i].sw ? 1 - m : m)];
+        uint64_t nmps = (uint64_t)(2 * kQe[i].nmps + m);
+        uint64_t nlps = (uint64_t)(2 * kQe[i].nlps + (kQe[i].sw ? 1 - m : m));
+        kMqPacked[2 * i + m] = ((uint64_t)kQe[i].qe << 32) |
+                               ((uint64_t)m << 24) | (nlps << 12) | nmps;
       }
   }
 };
@@ -118,36 +115,38 @@ static inline void mq_renorm(MqVars& v) {
   } while (v.a < 0x8000);
 }
 
-static inline int mq_decode(MqVars& v, const MqState** cp) {
-  const MqState* s = *cp;
-  uint32_t qe = s->qe;
+#ifdef T1_PROFILE
+long long g_mq_count = 0;  // profiling builds only (tools/t1prof.cpp)
+#define T1_PROF_COUNT() g_mq_count++
+#else
+#define T1_PROF_COUNT()
+#endif
+
+__attribute__((always_inline)) static inline int mq_decode(MqVars& v,
+                                                           uint64_t* cp) {
+  T1_PROF_COUNT();
+  uint64_t st = *cp;
+  uint32_t qe = (uint32_t)(st >> 32);
+  uint32_t mps = (uint32_t)(st >> 24) & 1u;
   uint32_t d;
   v.a -= qe;
   if (__builtin_expect(((v.c >> 16) & 0xFFFF) < qe, 0)) {
-    // LPS exchange path
-    if (v.a < qe) {
-      d = s->mps;
-      *cp = s->nmps;
-    } else {
-      d = 1 - s->mps;
-      *cp = s->nlps;
-    }
+    // LPS exchange path (T.88): t selects straight vs exchanged outcome
+    uint32_t t = v.a < qe;
+    d = mps ^ t ^ 1u;
+    *cp = kMqPacked[(st >> (t ? 0 : 12)) & 0xFFF];
     v.a = qe;
     mq_renorm(v);
   } else {
-    v.c -= (uint32_t)qe << 16;
+    v.c -= qe << 16;
     if (__builtin_expect((v.a & 0x8000) == 0, 0)) {
       // MPS exchange path
-      if (v.a < qe) {
-        d = 1 - s->mps;
-        *cp = s->nlps;
-      } else {
-        d = s->mps;
-        *cp = s->nmps;
-      }
+      uint32_t t = v.a < qe;
+      d = mps ^ t;
+      *cp = kMqPacked[(st >> (t ? 12 : 0)) & 0xFFF];
       mq_renorm(v);
     } else {
-      d = s->mps;
+      d = mps;
     }
   }
   return (int)d;
@@ -155,15 +154,15 @@ static inline int mq_decode(MqVars& v, const MqState** cp) {
 
 struct MQDecoder {
   MqVars v;
-  const MqState* ctx[kNumCtx];
+  uint64_t ctx[kNumCtx];
 
   void init(const uint8_t* data, int len) {
     v.bp = data;
     v.end = data + len;
-    for (int i = 0; i < kNumCtx; i++) ctx[i] = &kMq[0];
-    ctx[CTX_UNI] = &kMq[2 * 46];
-    ctx[CTX_RUN] = &kMq[2 * 3];
-    ctx[0] = &kMq[2 * 4];  // first ZC context starts at state 4 (T.800 D.2)
+    for (int i = 0; i < kNumCtx; i++) ctx[i] = kMqPacked[0];
+    ctx[CTX_UNI] = kMqPacked[2 * 46];
+    ctx[CTX_RUN] = kMqPacked[2 * 3];
+    ctx[0] = kMqPacked[2 * 4];  // first ZC ctx starts at state 4 (T.800 D.2)
     v.c = (uint32_t)(v.bp < v.end ? *v.bp : 0xFF) << 16;
     mq_bytein(v);
     v.c <<= 7;
@@ -483,7 +482,6 @@ struct T1Decoder {
   int w, h, S, cls, ws;
   int64_t mstride;          // row stride (elements) of the mag output
   std::vector<uint32_t> F;  // (S+2) x (w+2), pad ring absorbs border writes
-  std::vector<uint8_t> sgn;
   int32_t* mag = nullptr;   // caller's zeroed out buffer
   MQDecoder mq;
 
@@ -498,31 +496,40 @@ struct T1Decoder {
     cls = band_ == 1 ? 1 : band_ == 3 ? 2 : 0;
     ws = w + 2;
     F.assign((size_t)ws * (S + 2), 0);
-    sgn.assign((size_t)w * h, 0);
   }
 
-  inline void update_sig(int s, int x, int j, int neg) {
-    uint32_t* p = wp(s, x);
-    p[0] |= SIG_SELF(j) | ((uint32_t)neg << (18 + j + 1));
+  // Register-resident column word: the pass loops load the stripe-column
+  // flag word ONCE per column into a local `f`, run all four rows against
+  // it, and store it back once. Sign/significance updates to the CENTER
+  // word therefore go to `f`; only neighbor words are written to memory.
+  // (The previous per-row reload + read-modify-write of rowp[x] was ~8
+  // memory ops per column on the scan's critical path.) Decoded signs ride
+  // bit 31 of the output coefficient — there is no separate sign plane, so
+  // the hot path has no uint8 store (char stores defeat TBAA and force
+  // member reloads around every MQ decision).
+  __attribute__((always_inline)) inline void update_sig_f(
+      uint32_t* p, uint32_t& f, int j, uint32_t neg) {
+    f |= SIG_SELF(j) | (neg << (19 + j));
     p[-1] |= 1u << (3 * j + 5);  // west word sees us in its right column
     p[1] |= 1u << (3 * j + 3);
     if (j == 0) {  // previous stripe's window row t=5
-      uint32_t* q = wp(s - 1, x);
-      q[0] |= (1u << 16) | ((uint32_t)neg << 23);
+      uint32_t* q = p - ws;
+      q[0] |= (1u << 16) | (neg << 23);
       q[-1] |= 1u << 17;
       q[1] |= 1u << 15;
     } else if (j == 3) {  // next stripe's window row t=0
-      uint32_t* q = wp(s + 1, x);
-      q[0] |= (1u << 1) | ((uint32_t)neg << 18);
+      uint32_t* q = p + ws;
+      q[0] |= (1u << 1) | (neg << 18);
       q[-1] |= 1u << 2;
       q[1] |= 1u << 0;
     }
-    sgn[(size_t)(4 * s + j) * w + x] = (uint8_t)neg;
   }
 
-  // SC context index (same convention as kScLut): sig W/E/N/S | chi<<4
-  inline int sc_index(const uint32_t* p, int j) {
-    uint32_t f = p[0];
+  // SC context index (same convention as kScLut): sig W/E/N/S | chi<<4.
+  // Center-word bits come from the live local `f`; E/W sign bits from the
+  // neighbor words in memory (kept current by earlier columns' writebacks).
+  __attribute__((always_inline)) inline int sc_index_f(const uint32_t* p,
+                                                       uint32_t f, int j) {
     int idx = (int)(((f >> (3 * j + 3)) & 1) | (((f >> (3 * j + 5)) & 1) << 1) |
                     (((f >> (3 * j + 1)) & 1) << 2) |
                     (((f >> (3 * j + 7)) & 1) << 3) |
@@ -533,23 +540,27 @@ struct T1Decoder {
     return idx;
   }
 
-  inline void decode_sign(MqVars& mv, int s, int x, int j) {
-    uint8_t v = kScLut[sc_index(wp(s, x), j)];
-    int bit = mq_decode(mv, &mq.ctx[v & 0x1F]);
-    update_sig(s, x, j, bit ^ (v >> 5));
+  // always_inline is load-bearing: if this outlines, mv's address escapes
+  // and the compiler demotes the whole pass loop's MQ state to memory
+  // (measured ~2x on SPP/MRP). Returns the decoded sign (1 = negative).
+  __attribute__((always_inline)) inline uint32_t decode_sign_f(
+      MqVars& mv, const uint32_t* p, uint32_t f, int j) {
+    uint8_t v = kScLut[sc_index_f(p, f, j)];
+    return (uint32_t)(mq_decode(mv, &mq.ctx[v & 0x1F]) ^ (v >> 5));
   }
 
-// one SPP row with compile-time J (immediate shifts/masks); rowp[x] is
-// reloaded per row because a coded sign updates it
-#define T1_SPP_ROW(J)                                                   \
+// one SPP row with compile-time J (immediate shifts/masks) against the
+// register-resident column word `f`; R is the hoisted output row pointer
+#define T1_SPP_ROW(J, R)                                                \
   {                                                                     \
-    uint32_t nb = (rowp[x] >> (3 * (J))) & 0x1FF;                       \
+    uint32_t nb = (f >> (3 * (J))) & 0x1FF;                             \
     if ((nb != 0) & ((nb & 0x10u) == 0)) {                              \
       if (mq_decode(mv, &mq.ctx[zc[nb]])) {                             \
-        mrow[(J) * (size_t)mstride + x] |= one;                               \
-        decode_sign(mv, s, x, (J));                                     \
+        uint32_t neg = decode_sign_f(mv, rowp + x, f, (J));             \
+        update_sig_f(rowp + x, f, (J), neg);                            \
+        (R)[x] |= one | (int32_t)(neg << 31);                           \
       }                                                                 \
-      rowp[x] |= PI_BIT(J);                                             \
+      f |= PI_BIT(J);                                                   \
     }                                                                   \
   }
 
@@ -561,21 +572,28 @@ struct T1Decoder {
       int jmax = h - 4 * s;
       if (jmax > 4) jmax = 4;
       uint32_t* rowp = wp(s, 0);
-      int32_t* mrow = mag + (size_t)4 * s * mstride;
+      int32_t* r0 = mag + (size_t)4 * s * mstride;
+      int32_t* r1 = r0 + mstride;
+      int32_t* r2 = r1 + mstride;
+      int32_t* r3 = r2 + mstride;
       if (jmax == 4) {
         for (int x = 0; x < w; x++) {
-          if (!(rowp[x] & SIG_ALL)) continue;
-          T1_SPP_ROW(0)
-          T1_SPP_ROW(1)
-          T1_SPP_ROW(2)
-          T1_SPP_ROW(3)
+          uint32_t f = rowp[x];
+          if (!(f & SIG_ALL)) continue;
+          T1_SPP_ROW(0, r0)
+          T1_SPP_ROW(1, r1)
+          T1_SPP_ROW(2, r2)
+          T1_SPP_ROW(3, r3)
+          rowp[x] = f;
         }
       } else {
         for (int x = 0; x < w; x++) {
-          if (!(rowp[x] & SIG_ALL)) continue;
-          T1_SPP_ROW(0)
-          if (jmax > 1) T1_SPP_ROW(1)
-          if (jmax > 2) T1_SPP_ROW(2)
+          uint32_t f = rowp[x];
+          if (!(f & SIG_ALL)) continue;
+          T1_SPP_ROW(0, r0)
+          if (jmax > 1) T1_SPP_ROW(1, r1)
+          if (jmax > 2) T1_SPP_ROW(2, r2)
+          rowp[x] = f;
         }
       }
     }
@@ -585,95 +603,121 @@ struct T1Decoder {
 // one MRP row; no sign coding, so f stays in a register for the column.
 // The refinement bit is stored branchlessly — its value is coin-flip data
 // and a conditional store mispredicts ~50% of the time.
-#define T1_MRP_ROW(J)                                                   \
+// ctx16 (already-refined) dominates MRP; its state node stays in a register
+// (c16) across the whole pass instead of round-tripping mq.ctx[16] memory
+#define T1_MRP_ROW(J, R)                                                \
   if ((f & (SIG_SELF(J) | PI_BIT(J))) == SIG_SELF(J)) {                 \
-    int cx = (f & MU_BIT(J))                                            \
-                 ? 16                                                   \
-                 : (((f >> (3 * (J))) & 0x1FF & ~0x10u) ? 15 : 14);     \
-    mrow[(J) * (size_t)mstride + x] |= one & -mq_decode(mv, &mq.ctx[cx]);     \
+    if (f & MU_BIT(J)) {                                                \
+      (R)[x] |= one & -mq_decode(mv, &c16);                             \
+    } else {                                                            \
+      int cx = ((f >> (3 * (J))) & 0x1FF & ~0x10u) ? 15 : 14;           \
+      (R)[x] |= one & -mq_decode(mv, &mq.ctx[cx]);                      \
+    }                                                                   \
     f |= MU_BIT(J) | PI_BIT(J);                                         \
   }
 
   void mag_ref_pass(int bp) {
     MqVars mv = mq.v;
+    uint64_t c16 = mq.ctx[16];
     const int32_t one = (int32_t)1 << bp;
     for (int s = 0; s < S; s++) {
       int jmax = h - 4 * s;
       if (jmax > 4) jmax = 4;
       uint32_t* rowp = wp(s, 0);
-      int32_t* mrow = mag + (size_t)4 * s * mstride;
+      int32_t* r0 = mag + (size_t)4 * s * mstride;
+      int32_t* r1 = r0 + mstride;
+      int32_t* r2 = r1 + mstride;
+      int32_t* r3 = r2 + mstride;
       for (int x = 0; x < w; x++) {
         uint32_t f = rowp[x];
         if (!(f & CENTER_ALL)) continue;
-        T1_MRP_ROW(0)
-        if (jmax > 1) T1_MRP_ROW(1)
-        if (jmax > 2) T1_MRP_ROW(2)
-        if (jmax > 3) T1_MRP_ROW(3)
+        T1_MRP_ROW(0, r0)
+        if (jmax > 1) T1_MRP_ROW(1, r1)
+        if (jmax > 2) T1_MRP_ROW(2, r2)
+        if (jmax > 3) T1_MRP_ROW(3, r3)
         rowp[x] = f;
       }
     }
+    mq.ctx[16] = c16;
     mq.v = mv;
   }
 
-#define T1_CLN_ROW(J)                                                   \
+// coefficient at compile-time row J becomes significant (CLN hit / RL first)
+#define T1_CLN_SIG(J, R)                                                \
   {                                                                     \
-    uint32_t f = rowp[x];                                               \
+    uint32_t neg = decode_sign_f(mv, rowp + x, f, (J));                 \
+    update_sig_f(rowp + x, f, (J), neg);                                \
+    (R)[x] |= one | (int32_t)(neg << 31);                               \
+  }
+
+#define T1_CLN_ROW(J, R)                                                \
+  {                                                                     \
     if (!(f & (SIG_SELF(J) | PI_BIT(J)))) {                             \
       uint32_t nb = (f >> (3 * (J))) & 0x1FF;                           \
-      if (mq_decode(mv, &mq.ctx[zc[nb]])) {                             \
-        mrow[(J) * (size_t)mstride + x] |= one;                               \
-        decode_sign(mv, s, x, (J));                                     \
-      }                                                                 \
+      if (mq_decode(mv, &mq.ctx[zc[nb]])) T1_CLN_SIG(J, R)              \
     }                                                                   \
   }
 
   void cleanup_pass(int bp) {
     MqVars mv = mq.v;
     const uint8_t* zc = kZcLut9[cls];
+    uint64_t crun = mq.ctx[CTX_RUN];
+    uint64_t cuni = mq.ctx[CTX_UNI];
     const int32_t one = (int32_t)1 << bp;
     for (int s = 0; s < S; s++) {
       int jmax = h - 4 * s;
       bool full = jmax >= 4;
       if (jmax > 4) jmax = 4;
       uint32_t* rowp = wp(s, 0);
-      int32_t* mrow = mag + (size_t)4 * s * mstride;
+      int32_t* r0 = mag + (size_t)4 * s * mstride;
+      int32_t* r1 = r0 + mstride;
+      int32_t* r2 = r1 + mstride;
+      int32_t* r3 = r2 + mstride;
       for (int x = 0; x < w; x++) {
+        uint32_t f = rowp[x];
         if (full) {
-          uint32_t f0 = rowp[x];
-          if (!(f0 & (SIG_ALL | PI_ALL))) {
+          if (!(f & (SIG_ALL | PI_ALL))) {
             // run-length mode
-            if (mq_decode(mv, &mq.ctx[CTX_RUN]) == 0) continue;
-            int r = (mq_decode(mv, &mq.ctx[CTX_UNI]) << 1) |
-                    mq_decode(mv, &mq.ctx[CTX_UNI]);
-            mrow[(size_t)r * mstride + x] |= one;
-            decode_sign(mv, s, x, r);
-            switch (r) {  // finish the remaining rows of the column
+            if (mq_decode(mv, &crun) == 0) continue;
+            int r = (mq_decode(mv, &cuni) << 1) | mq_decode(mv, &cuni);
+            switch (r) {  // signify row r, then finish the column
               case 0:
-                T1_CLN_ROW(1)
-                // fallthrough
+                T1_CLN_SIG(0, r0)
+                T1_CLN_ROW(1, r1)
+                T1_CLN_ROW(2, r2)
+                T1_CLN_ROW(3, r3)
+                break;
               case 1:
-                T1_CLN_ROW(2)
-                // fallthrough
+                T1_CLN_SIG(1, r1)
+                T1_CLN_ROW(2, r2)
+                T1_CLN_ROW(3, r3)
+                break;
               case 2:
-                T1_CLN_ROW(3)
-              default:;
+                T1_CLN_SIG(2, r2)
+                T1_CLN_ROW(3, r3)
+                break;
+              default:
+                T1_CLN_SIG(3, r3)
+                break;
             }
-            rowp[x] &= ~PI_ALL;
+            rowp[x] = f & ~PI_ALL;
             continue;
           }
-          T1_CLN_ROW(0)
-          T1_CLN_ROW(1)
-          T1_CLN_ROW(2)
-          T1_CLN_ROW(3)
-          rowp[x] &= ~PI_ALL;
+          T1_CLN_ROW(0, r0)
+          T1_CLN_ROW(1, r1)
+          T1_CLN_ROW(2, r2)
+          T1_CLN_ROW(3, r3)
+          rowp[x] = f & ~PI_ALL;
         } else {
-          T1_CLN_ROW(0)
-          if (jmax > 1) T1_CLN_ROW(1)
-          if (jmax > 2) T1_CLN_ROW(2)
-          rowp[x] &= ~PI_ALL;
+          T1_CLN_ROW(0, r0)
+          if (jmax > 1) T1_CLN_ROW(1, r1)
+          if (jmax > 2) T1_CLN_ROW(2, r2)
+          rowp[x] = f & ~PI_ALL;
         }
       }
     }
+    mq.ctx[CTX_RUN] = crun;
+    mq.ctx[CTX_UNI] = cuni;
     mq.v = mv;
   }
 };
@@ -806,13 +850,14 @@ int tic_j2k_t1_decode_strided(const uint8_t* data, int len, int w, int h,
       }
     }
   }
-  const uint8_t* sg = t.sgn.data();
-  for (int y = 0; y < h; y++) {  // branchless negate, auto-vectorizes
+  // sign-magnitude (sign in bit 31, set at significance time) → two's
+  // complement; branchless, auto-vectorizes
+  for (int y = 0; y < h; y++) {
     int32_t* row = out + (size_t)y * stride;
-    const uint8_t* srow = sg + (size_t)y * w;
     for (int x = 0; x < w; x++) {
-      int32_t m = -(int32_t)srow[x];
-      row[x] = (row[x] ^ m) - m;
+      int32_t v = row[x];
+      int32_t m = v >> 31;  // all-ones if negative
+      row[x] = ((v & 0x7FFFFFFF) ^ m) - m;
     }
   }
   return 0;

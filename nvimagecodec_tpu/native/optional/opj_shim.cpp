@@ -104,7 +104,15 @@ int tic_opj_decode(const uint8_t* data, uint64_t len, int is_jp2,
     return 2;
   }
   free(params);
-  opj_codec_set_threads(codec, 2);
+  // Oracle/baseline thread count. Default 1 so perf comparisons against
+  // "openjpeg single-thread" are what they claim; TIC_OPJ_THREADS raises it
+  // for parallel-baseline experiments.
+  int nthr = 1;
+  if (const char* e = getenv("TIC_OPJ_THREADS")) {
+    nthr = atoi(e);
+    if (nthr < 1) nthr = 1;
+  }
+  if (nthr > 1) opj_codec_set_threads(codec, nthr);
 
   MemStream ms{data, len, 0};
   void* stream = opj_stream_create(1 << 20, 1);
