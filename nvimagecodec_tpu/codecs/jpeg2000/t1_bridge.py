@@ -137,17 +137,34 @@ class BlockBatch:
             # strip the trailing out_off column from the contiguous meta
             m = np.asarray(meta, np.int32).reshape(n, width)[:, :width - 1]
             m = np.ascontiguousarray(m)
-            ptrs = (ctypes.POINTER(ctypes.c_int32) * n)()
-            strides = np.empty(n, np.int64)
+            # destination addresses via numpy arithmetic: a contiguous u64
+            # address array is bit-compatible with the int32_t*const* the
+            # native side takes (one ctypes cast total, not one per block —
+            # the per-block ctypes.cast loop was ~9 ms/image on 777 blocks)
+            seen: dict = {}
+            bases, bstrides = [], []
+            bidx = np.empty(n, np.int64)
+            rows = np.empty(n, np.int64)
+            cols = np.empty(n, np.int64)
             for i, (arr, r, c) in enumerate(dlist):
-                assert arr.dtype == np.int32 and arr.flags.c_contiguous
-                strides[i] = arr.shape[1]
-                ptrs[i] = ctypes.cast(
-                    arr.ctypes.data + (r * arr.shape[1] + c) * 4,
-                    ctypes.POINTER(ctypes.c_int32))
+                j = seen.get(id(arr))
+                if j is None:
+                    assert arr.dtype == np.int32 and arr.flags.c_contiguous
+                    j = len(bases)
+                    seen[id(arr)] = j
+                    bases.append(arr.ctypes.data)
+                    bstrides.append(arr.shape[1])
+                bidx[i] = j
+                rows[i] = r
+                cols[i] = c
+            basea = np.asarray(bases, np.uint64)[bidx]
+            strides = np.asarray(bstrides, np.int64)[bidx]
+            addrs = basea + ((rows * strides + cols) * 4).astype(np.uint64)
             rcs = np.zeros(n, np.int32)
             rc = fn(n, blob, m.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-                    ptrs, strides.ctypes.data_as(
+                    addrs.ctypes.data_as(
+                        ctypes.POINTER(ctypes.POINTER(ctypes.c_int32))),
+                    strides.ctypes.data_as(
                         ctypes.POINTER(ctypes.c_int64)),
                     rcs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
                     nthreads)

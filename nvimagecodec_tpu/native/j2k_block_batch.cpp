@@ -133,6 +133,12 @@ int tic_t1_decode_batch_into(int32_t n, const uint8_t* blob,
     return bad.load();
 }
 
+int tic_ht_decode_block_strided(const uint8_t* cup, int32_t lcup,
+                                const uint8_t* ref, int32_t lref,
+                                int32_t num_passes, int32_t w, int32_t h,
+                                int32_t B, int32_t Ucap, int32_t* out,
+                                int64_t stride);
+
 int tic_ht_decode_batch_into(int32_t n, const uint8_t* blob,
                              const int32_t* meta, int32_t* const* dests,
                              const int64_t* strides, int32_t* rcs,
@@ -140,27 +146,17 @@ int tic_ht_decode_batch_into(int32_t n, const uint8_t* blob,
     std::atomic<int32_t> next(0);
     std::atomic<int32_t> bad(0);
     auto worker = [&]() {
-        std::vector<int32_t> scratch;
         for (;;) {
             int32_t i = next.fetch_add(1, std::memory_order_relaxed);
             if (i >= n) break;
             const int32_t* m = meta + 9 * i;
             const uint8_t* ref = m[3] ? blob + m[2] : nullptr;
-            int w = m[5], h = m[6];
-            scratch.assign((size_t)w * h, 0);
-            int rc = tic_ht_decode_block(blob + m[0], m[1], ref, m[3], m[4],
-                                         w, h, m[7], m[8], scratch.data());
+            int rc = tic_ht_decode_block_strided(blob + m[0], m[1], ref,
+                                                 m[3], m[4], m[5], m[6],
+                                                 m[7], m[8], dests[i],
+                                                 strides[i]);
             rcs[i] = rc;
-            if (rc) {
-                bad.store(rc, std::memory_order_relaxed);
-                continue;
-            }
-            int32_t* dst = dests[i];
-            int64_t stride = strides[i];
-            for (int y = 0; y < h; y++)
-                std::memcpy(dst + (size_t)y * stride,
-                            scratch.data() + (size_t)y * w,
-                            sizeof(int32_t) * w);
+            if (rc) bad.store(rc, std::memory_order_relaxed);
         }
     };
     int nt = nthreads < 1 ? 1 : (nthreads > n ? n : nthreads);

@@ -149,6 +149,27 @@ struct RevDec {
         unstuff = (b | 0xF) > 0x8F;
     }
     void fill() {
+        // fast path: 8 in-bounds bytes none of which can trigger the
+        // backward unstuff rule (no byte in {0x7F, 0xFF}) — append as many
+        // whole bytes as fit in one bswapped load
+        if (!unstuff && pos >= 7) {
+            uint64_t v;
+            std::memcpy(&v, d + pos - 7, 8);
+            // any byte with low 7 bits all ones?
+            uint64_t x = (v & 0x7F7F7F7F7F7F7F7Full) ^ 0x7F7F7F7F7F7F7F7Full;
+            bool risky = ((x - 0x0101010101010101ull) & ~x &
+                          0x8080808080808080ull) != 0;
+            if (!risky) {
+                v = __builtin_bswap64(v);  // d[pos] becomes the low byte
+                int nbytes = (64 - bits) >> 3;
+                tmp |= v << bits;
+                // unstuff for the NEXT fill depends on the last byte taken
+                unstuff = uint8_t(v >> (8 * (nbytes - 1))) > 0x8F;
+                pos -= nbytes;
+                bits += 8 * nbytes;
+                return;
+            }
+        }
         while (bits < 32 && pos >= -4) {
             uint8_t b = pos >= 0 ? d[pos] : 0;
             --pos;
@@ -178,7 +199,28 @@ struct FwdDec {
     bool prev_ff = false;
 
     FwdDec(const uint8_t* p, int n) : d(p), size(n) {}
+    static inline bool has_ff(uint64_t v) {
+        // any byte == 0xFF  <=>  any byte of ~v == 0x00
+        uint64_t x = ~v;
+        return ((x - 0x0101010101010101ull) & ~x & 0x8080808080808080ull)
+               != 0;
+    }
     void fill() {
+        // fast path: 8 raw in-bounds bytes with no 0xFF anywhere — append
+        // as many whole bytes as fit in one shot (the MagSgn stream is the
+        // bulk of an HT cleanup segment; the per-byte stuffing loop below
+        // was its hottest edge)
+        if (!prev_ff && pos + 8 <= size) {
+            uint64_t v;
+            std::memcpy(&v, d + pos, 8);
+            if (!has_ff(v)) {
+                int nbytes = (64 - bits) >> 3;
+                tmp |= v << bits;  // high bytes shift out naturally
+                pos += nbytes;
+                bits += 8 * nbytes;
+                return;
+            }
+        }
         while (bits <= 56) {
             uint8_t b = pos < size ? d[pos] : PAD;
             ++pos;
@@ -406,6 +448,252 @@ inline int exp_of_w(uint32_t w) {  // E = bitlen(w|1)
     return 32 - __builtin_clz(w | 1);
 }
 
+// Fused UVLC readers: prefix+suffix (and both quads of a pair) decoded
+// from ONE peek window with a single advance, instead of 2-4 peek/advance
+// round-trips through the backward VLC reader.
+__attribute__((always_inline)) inline int uvlc_read_u(RevDec& vlc) {
+    uint32_t w = vlc.peek();
+    if (w & 1) { vlc.advance(1); return 1; }
+    if (w & 2) { vlc.advance(2); return 2; }
+    if (w & 4) { vlc.advance(4); return 3 + int((w >> 3) & 1); }
+    vlc.advance(8);
+    return 5 + int((w >> 3) & 31);
+}
+
+// both-prefixes-then-both-suffixes order (tbl1 mode 3 / tbl0 mode 4)
+__attribute__((always_inline)) inline void uvlc_read_pair(RevDec& vlc,
+                                                          int& u0, int& u1) {
+    uint32_t w = vlc.peek();
+    int l0, v0, s0;
+    if (w & 1) { l0 = 1; v0 = 1; s0 = 0; }
+    else if (w & 2) { l0 = 2; v0 = 2; s0 = 0; }
+    else if (w & 4) { l0 = 3; v0 = 3; s0 = 1; }
+    else { l0 = 3; v0 = 5; s0 = 5; }
+    uint32_t w1 = w >> l0;
+    int l1, v1, s1;
+    if (w1 & 1) { l1 = 1; v1 = 1; s1 = 0; }
+    else if (w1 & 2) { l1 = 2; v1 = 2; s1 = 0; }
+    else if (w1 & 4) { l1 = 3; v1 = 3; s1 = 1; }
+    else { l1 = 3; v1 = 5; s1 = 5; }
+    uint32_t sfx = w1 >> l1;
+    u0 = v0 + int(sfx & ((1u << s0) - 1));
+    u1 = v1 + int((sfx >> s0) & ((1u << s1) - 1));
+    vlc.advance(l0 + l1 + s0 + s1);
+}
+
+#ifdef HT_SECTION_PROF
+}  // namespace
+unsigned long long g_ht_sec[4];  // vlc, uvlc, magsgn, other
+namespace {
+#define HT_TSC() __builtin_ia32_rdtsc()
+#define HT_SEC(i, t0) g_ht_sec[i] += HT_TSC() - (t0)
+#else
+#define HT_TSC() 0ull
+#define HT_SEC(i, t0) (void)(t0)
+#endif
+
+// Cleanup-only decode specialized for the dominant case (lossless HT
+// streams carry a single cleanup pass per block): final signed
+// reconstruction values are written straight into the caller's (zeroed,
+// strided) destination at MagSgn time — no mu/sg/sig planes, no separate
+// reconstruction sweep, no per-block heap traffic (line state lives in
+// thread-local buffers), and the West quad context comes from the previous
+// quad's rho instead of a significance plane.
+int ht_cleanup_decode_fast(const uint8_t* cup, int lcup, int w, int h,
+                           int B, int Ucap, int32_t* out, int64_t stride) {
+    int scup = (int(cup[lcup - 1]) << 4) | (cup[lcup - 2] & 0xF);
+    if (scup < 2 || scup > lcup || scup > 4079) return -4;
+
+    const VlcTables& T = vlc_tables();
+    MelDec mel(cup + lcup - scup, scup);
+    RevDec vlc(cup + lcup - scup, scup);
+    FwdDec<0xFF> mag(cup, lcup - scup);
+
+    const int QW = (w + 1) >> 1, QH = (h + 1) >> 1;
+    const int p = B - 1;
+    const int64_t half = p > 0 ? int64_t(1) << (p - 1) : 0;
+
+    static thread_local std::vector<uint8_t> lines;
+    lines.assign(2 * (size_t(w) + 8), 0);
+    uint8_t* Eline = lines.data();          // prev bottom-row exps, idx x+1
+    uint8_t* nEline = Eline + (w + 8);
+    // significance of a bottom-row sample ⟺ its Eline entry is nonzero
+    // (exp_of_w(wv) >= 1 whenever written), so there is no separate sig line
+
+    for (int qy = 0; qy < QH; ++qy) {
+        const int tbl = qy == 0 ? 0 : 1;
+        const int y0 = 2 * qy;
+        int c_q = 0;
+        int prevrho = 0;  // rho of the quad to the West (this quad row)
+        std::memset(nEline, 0, size_t(w) + 8);
+        for (int qx0 = 0; qx0 < QW; qx0 += 2) {
+            unsigned long long t_vlc = HT_TSC();
+            int rho[2] = {0, 0}, uoff[2] = {0, 0}, e1[2] = {0, 0},
+                ek[2] = {0, 0}, kap[2] = {1, 1};
+            int npair = (qx0 + 1 < QW) ? 2 : 1;
+            for (int j = 0; j < npair; ++j) {
+                int qx = qx0 + j;
+                int x0 = 2 * qx;
+                uint32_t ew = 0;
+                if (tbl == 1) {
+                    std::memcpy(&ew, Eline + x0, 4);  // NW,N0,N1,NE exps
+                    int sW = ((prevrho & 0xC) != 0) ? 1 : 0;
+                    c_q = ((ew & 0xFFFFu) ? 1 : 0) | (sW << 1) |
+                          ((ew >> 16) ? 4 : 0);
+                }
+                int significant = 1;
+                if (c_q == 0) significant = mel.event();
+                if (significant) {
+                    uint32_t peek7 = vlc.peek() & 0x7F;
+                    const VlcEntry& e = T.dec[tbl][c_q][peek7];
+                    if (e.len == 0) return -5;
+                    vlc.advance(e.len);
+                    rho[j] = e.rho;
+                    uoff[j] = e.u_off;
+                    e1[j] = e.e1;
+                    ek[j] = e.ek;
+                }
+                if (tbl == 1) {
+                    int emax = int(ew & 0xFF);
+                    int e1b = int((ew >> 8) & 0xFF);
+                    int e2b = int((ew >> 16) & 0xFF);
+                    int e3b = int(ew >> 24);
+                    if (e1b > emax) emax = e1b;
+                    if (e2b > emax) emax = e2b;
+                    if (e3b > emax) emax = e3b;
+                    int gamma = (rho[j] & (rho[j] - 1)) ? 1 : 0;
+                    kap[j] = gamma * (emax - 1);
+                    if (kap[j] < 1) kap[j] = 1;
+                }
+                // reject rho bits addressing outside the block (partial
+                // right/bottom quads)
+                int vmask = 1 | ((y0 + 1 < h) ? 2 : 0) |
+                            ((x0 + 1 < w) ? 4 : 0) |
+                            ((x0 + 1 < w && y0 + 1 < h) ? 8 : 0);
+                if (rho[j] & ~vmask) return -6;
+                prevrho = rho[j];
+                if (tbl == 0) {  // eqn 1: next quad's context, initial row
+                    c_q = ((rho[j] & 3) ? 1 : 0) | (((rho[j] >> 2) & 1) << 1) |
+                          (((rho[j] >> 3) & 1) << 2);
+                }
+            }
+            HT_SEC(0, t_vlc);
+            unsigned long long t_uvlc = HT_TSC();
+            // ---- UVLC (same rules as the general path, fused readers)
+            int U[2] = {kap[0], kap[1]};
+            int mode = uoff[0] | (uoff[1] << 1);
+            if (tbl == 0) {
+                if (mode == 3) mode += mel.event();
+                if (mode == 1 || mode == 2) {
+                    U[mode - 1] = 1 + uvlc_read_u(vlc);
+                } else if (mode == 3) {
+                    // special initial-row order: prefix0, u1 bit, suffix0
+                    uint32_t w0 = vlc.peek();
+                    int l0, v0, s0;
+                    if (w0 & 1) { l0 = 1; v0 = 1; s0 = 0; }
+                    else if (w0 & 2) { l0 = 2; v0 = 2; s0 = 0; }
+                    else if (w0 & 4) { l0 = 3; v0 = 3; s0 = 1; }
+                    else { l0 = 3; v0 = 5; s0 = 5; }
+                    if (v0 >= 3) {
+                        int u1 = int((w0 >> l0) & 1) + 1;
+                        U[0] = 1 + v0 +
+                               int((w0 >> (l0 + 1)) & ((1u << s0) - 1));
+                        U[1] = 1 + u1;
+                        vlc.advance(l0 + 1 + s0);
+                    } else {
+                        U[0] = 1 + v0;
+                        vlc.advance(l0);
+                        U[1] = 1 + uvlc_read_u(vlc);
+                    }
+                } else if (mode == 4) {
+                    int u0, u1;
+                    uvlc_read_pair(vlc, u0, u1);
+                    U[0] = 1 + 2 + u0;
+                    U[1] = 1 + 2 + u1;
+                }
+            } else {
+                if (mode == 1 || mode == 2) {
+                    U[mode - 1] = kap[mode - 1] + uvlc_read_u(vlc);
+                } else if (mode == 3) {
+                    int u0, u1;
+                    uvlc_read_pair(vlc, u0, u1);
+                    U[0] = kap[0] + u0;
+                    U[1] = kap[1] + u1;
+                }
+            }
+            if (U[0] > Ucap || U[1] > Ucap) return -7;
+            HT_SEC(1, t_uvlc);
+            unsigned long long t_ms = HT_TSC();
+            // ---- MagSgn: all four samples of a quad are sliced out of one
+            // 64-bit window (one fill + four shift/mask extracts) instead of
+            // four guarded bit-reader calls; final values go straight to the
+            // destination rows
+            int32_t* orow0 = out + int64_t(y0) * stride;
+            int32_t* orow1 = orow0 + stride;
+            for (int j = 0; j < npair; ++j) {
+                int r = rho[j];
+                if (!r) continue;
+                int x0 = 2 * (qx0 + j);
+                const int Uj = U[j], ekj = ek[j], e1j = e1[j];
+                int k0 = ekj & 1, k1 = (ekj >> 1) & 1, k2 = (ekj >> 2) & 1,
+                    k3 = (ekj >> 3) & 1;
+                int m0 = (r & 1) ? Uj - k0 : 0;
+                int m1 = (r & 2) ? Uj - k1 : 0;
+                int m2 = (r & 4) ? Uj - k2 : 0;
+                int m3 = (r & 8) ? Uj - k3 : 0;
+                int p1 = m0, p2 = m0 + m1, p3 = m0 + m1 + m2;
+                int total = p3 + m3;
+                uint32_t w0, w1, w2, w3;
+                if (total <= 56) {
+                    if (mag.bits < total) mag.fill();
+                    // independent shifts (prefix-sum positions) rather than
+                    // a serial t >>= chain: 4 extracts run in parallel
+                    uint64_t t = mag.tmp;
+                    w0 = uint32_t(t & ((1ull << m0) - 1));
+                    w1 = uint32_t((t >> p1) & ((1ull << m1) - 1));
+                    w2 = uint32_t((t >> p2) & ((1ull << m2) - 1));
+                    w3 = uint32_t((t >> p3) & ((1ull << m3) - 1));
+                    mag.tmp = t >> total;
+                    mag.bits -= total;
+                } else {  // > 56 bits in one quad: rare deep-bitplane case
+                    w0 = m0 ? mag.get(m0) : 0;
+                    w1 = m1 ? mag.get(m1) : 0;
+                    w2 = m2 ? mag.get(m2) : 0;
+                    w3 = m3 ? mag.get(m3) : 0;
+                }
+                if (r & 1) {
+                    uint32_t wv = w0 | ((k0 & (e1j & 1)) ? 1u << m0 : 0u);
+                    int64_t v = ((int64_t(wv >> 1) + 1) << p) + half;
+                    orow0[x0] = (wv & 1) ? int32_t(-v) : int32_t(v);
+                }
+                if (r & 2) {
+                    uint32_t wv = w1 | ((k1 & ((e1j >> 1) & 1)) ? 1u << m1
+                                                               : 0u);
+                    int64_t v = ((int64_t(wv >> 1) + 1) << p) + half;
+                    orow1[x0] = (wv & 1) ? int32_t(-v) : int32_t(v);
+                    nEline[x0 + 1] = uint8_t(exp_of_w(wv));
+                }
+                if (r & 4) {
+                    uint32_t wv = w2 | ((k2 & ((e1j >> 2) & 1)) ? 1u << m2
+                                                               : 0u);
+                    int64_t v = ((int64_t(wv >> 1) + 1) << p) + half;
+                    orow0[x0 + 1] = (wv & 1) ? int32_t(-v) : int32_t(v);
+                }
+                if (r & 8) {
+                    uint32_t wv = w3 | ((k3 & ((e1j >> 3) & 1)) ? 1u << m3
+                                                               : 0u);
+                    int64_t v = ((int64_t(wv >> 1) + 1) << p) + half;
+                    orow1[x0 + 1] = (wv & 1) ? int32_t(-v) : int32_t(v);
+                    nEline[x0 + 2] = uint8_t(exp_of_w(wv));
+                }
+            }
+            HT_SEC(2, t_ms);
+        }
+        std::swap(Eline, nEline);
+    }
+    return 0;
+}
+
 }  // namespace
 
 extern "C" {
@@ -426,6 +714,11 @@ int tic_ht_decode_block(const uint8_t* cup, int32_t lcup, const uint8_t* ref,
     if (num_passes < 1 || num_passes > 3) return -3;
     int scup = (int(cup[lcup - 1]) << 4) | (cup[lcup - 2] & 0xF);
     if (scup < 2 || scup > lcup || scup > 4079) return -4;
+
+    if (num_passes == 1) {  // dominant (lossless) case: specialized path
+        std::memset(out, 0, sizeof(int32_t) * size_t(w) * h);
+        return ht_cleanup_decode_fast(cup, lcup, w, h, B, Ucap, out, w);
+    }
 
     const VlcTables& T = vlc_tables();
     MelDec mel(cup + lcup - scup, scup);
@@ -646,6 +939,36 @@ int tic_ht_decode_block(const uint8_t* cup, int32_t lcup, const uint8_t* ref,
             }
             out[idx] = int32_t(sg[idx] ? -v : v);
         }
+    return 0;
+}
+
+// Strided decode straight into a subband array (out points at the block's
+// top-left sample; rows `stride` int32 apart, region pre-zeroed). The
+// cleanup-only case decodes in place with no scratch; refinement streams
+// fall back to the dense path through a thread-local block buffer.
+int tic_ht_decode_block_strided(const uint8_t* cup, int32_t lcup,
+                                const uint8_t* ref, int32_t lref,
+                                int32_t num_passes, int32_t w, int32_t h,
+                                int32_t B, int32_t Ucap, int32_t* out,
+                                int64_t stride) {
+    if (w <= 0 || h <= 0 || w > 1024 || h > 1024 || B < 1 || B > 37)
+        return -1;
+    if (Ucap < 1 || Ucap > 37) Ucap = 37;
+    if (lcup < 2) return -2;
+    if (num_passes < 1 || num_passes > 3) return -3;
+    if (num_passes == 1) {
+        int scup = (int(cup[lcup - 1]) << 4) | (cup[lcup - 2] & 0xF);
+        if (scup < 2 || scup > lcup || scup > 4079) return -4;
+        return ht_cleanup_decode_fast(cup, lcup, w, h, B, Ucap, out, stride);
+    }
+    static thread_local std::vector<int32_t> scratch;
+    scratch.assign(size_t(w) * h, 0);
+    int rc = tic_ht_decode_block(cup, lcup, ref, lref, num_passes, w, h, B,
+                                 Ucap, scratch.data());
+    if (rc) return rc;
+    for (int y = 0; y < h; ++y)
+        std::memcpy(out + int64_t(y) * stride, scratch.data() + size_t(y) * w,
+                    sizeof(int32_t) * w);
     return 0;
 }
 
