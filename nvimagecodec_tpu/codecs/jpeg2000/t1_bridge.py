@@ -5,11 +5,37 @@ reference's per-tile executor fan-out
 from __future__ import annotations
 
 import ctypes
+import os
+import threading
 from typing import Tuple
 
 import numpy as np
 
 from ...native import lib
+
+# Shared thread budget across concurrently decoding images: when the
+# Decoder's outer pool runs several J2K decodes at once, each batch gets
+# cpu_count // active_jobs native workers instead of cpu_count each
+# (prevents quadratic oversubscription; ADVICE r3).
+_budget_lock = threading.Lock()
+_active_batches = 0
+
+
+class _ThreadBudget:
+    """Context manager yielding this batch's fair share of CPU threads."""
+
+    def __enter__(self) -> int:
+        global _active_batches
+        with _budget_lock:
+            _active_batches += 1
+            active = _active_batches
+        ncpu = os.cpu_count() or 1
+        return max(1, ncpu // active)
+
+    def __exit__(self, *exc) -> None:
+        global _active_batches
+        with _budget_lock:
+            _active_batches -= 1
 
 
 def t1_decode(data: bytes, w: int, h: int, band: int, num_bps: int,
@@ -115,11 +141,11 @@ class BlockBatch:
         row, col) per added block, in add order — every block is written
         straight into its subband array by the native workers (no
         intermediate coefficient buffer, no Python consume loop)."""
-        import os
+        with _ThreadBudget() as fair:
+            self._run_into(dests, nthreads if nthreads > 0 else fair)
 
+    def _run_into(self, dests, nthreads: int) -> None:
         L = lib()
-        if nthreads <= 0:
-            nthreads = os.cpu_count() or 1
         blob = bytes(self._blob)
         n_ht = len(self._ht_meta) // 10
         n_t1 = len(self._t1_meta) // 8
@@ -177,33 +203,33 @@ class BlockBatch:
 
     def run(self, nthreads: int = 0):
         """Decode everything; yields (key, int32 [h, w]) in add order."""
-        import os
-
         L = lib()
-        if nthreads <= 0:
-            nthreads = os.cpu_count() or 1
         out = np.zeros(self._out_elems, np.int32)
         outp = out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
         blob = bytes(self._blob)
         n_ht = len(self._ht_meta) // 10
         n_t1 = len(self._t1_meta) // 8
-        for n, meta, fn, width in (
-            (n_ht, self._ht_meta, L.tic_ht_decode_batch, 10),
-            (n_t1, self._t1_meta, L.tic_t1_decode_batch, 8),
-        ):
-            if n == 0:
-                continue
-            m = np.asarray(meta, np.int32)
-            rcs = np.zeros(n, np.int32)
-            rc = fn(n, blob, m.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-                    outp, rcs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-                    nthreads)
-            if rc != 0:
-                i = int(np.nonzero(rcs)[0][0])
-                kind = "HT" if fn is L.tic_ht_decode_batch else "T1"
-                raise ValueError(
-                    f"J2K {kind} block decode failed rc={rcs[i]} "
-                    f"(block {i} of {n})")
+        with _ThreadBudget() as fair:
+            nt = nthreads if nthreads > 0 else fair
+            for n, meta, fn, width in (
+                (n_ht, self._ht_meta, L.tic_ht_decode_batch, 10),
+                (n_t1, self._t1_meta, L.tic_t1_decode_batch, 8),
+            ):
+                if n == 0:
+                    continue
+                m = np.asarray(meta, np.int32)
+                rcs = np.zeros(n, np.int32)
+                rc = fn(n, blob,
+                        m.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                        outp,
+                        rcs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                        nt)
+                if rc != 0:
+                    i = int(np.nonzero(rcs)[0][0])
+                    kind = "HT" if fn is L.tic_ht_decode_batch else "T1"
+                    raise ValueError(
+                        f"J2K {kind} block decode failed rc={rcs[i]} "
+                        f"(block {i} of {n})")
         # out offsets were assigned monotonically in add order
         out_off = 0
         for (key, w, h) in self._results:
@@ -254,11 +280,7 @@ class EncodeBatch:
     def run(self, nthreads: int = 0):
         """Yields (key, result) in add order — result is
         (cup, ref, B, umax) for HT or (seg, nbps, npasses) for EBCOT."""
-        import os
-
         L = lib()
-        if nthreads <= 0:
-            nthreads = os.cpu_count() or 1
         n = len(self._outs) // 2
         out = np.empty(self._out_bytes, np.uint8) if n else None
         res = np.zeros(((4 if self.ht else 3) * n,), np.int32)
@@ -268,11 +290,13 @@ class EncodeBatch:
             outs = np.asarray(self._outs, np.int64)
             fn = L.tic_ht_encode_batch if self.ht else L.tic_t1_encode_batch
             i32p = ctypes.POINTER(ctypes.c_int32)
-            rc = fn(n, coefs.ctypes.data_as(i32p),
-                    meta.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-                    out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-                    outs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-                    res.ctypes.data_as(i32p), nthreads)
+            with _ThreadBudget() as fair:
+                rc = fn(n, coefs.ctypes.data_as(i32p),
+                        meta.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                        outs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                        res.ctypes.data_as(i32p),
+                        nthreads if nthreads > 0 else fair)
             if rc != 0:
                 raise ValueError(f"J2K block encode failed rc={rc}")
         for (key, idx, oo, cap) in self._results:

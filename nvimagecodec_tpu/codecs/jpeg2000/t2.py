@@ -206,6 +206,14 @@ class PacketDecoder:
 
     def read_packet(self, br: HeaderBitReader, c: int, r: int, layer: int,
                     p: int = 0) -> None:
+        """Parse one packet header via the native T2 context.
+
+        On a negative native return this raises and the context must be
+        considered POISONED: tag-tree / code-block inclusion state may be
+        partially mutated while ``br.pos`` is not advanced, so re-calling
+        over the same PacketDecoder would silently resume from corrupted
+        state. Callers abort the whole decode on error (no resync/retry).
+        """
         import ctypes
 
         res = self.resolutions[c][r]

@@ -152,6 +152,8 @@ def decode_webp_animation(
     frames: List[np.ndarray] = []
     durations: List[int] = []
     for fr in anmf:
+        if fr.x + fr.w > W or fr.y + fr.h > H:
+            raise ValueError("ANMF frame rect outside canvas")
         sub = _decode_frame_rgba(fr)
         ys, xs = slice(fr.y, fr.y + fr.h), slice(fr.x, fr.x + fr.w)
         if fr.blend:
@@ -188,6 +190,10 @@ def encode_webp_animation(
         durations_ms = [durations_ms] * len(frames)
     if len(durations_ms) != len(frames):
         raise ValueError("durations length mismatch")
+    if W > 1 << 24 or H > 1 << 24:
+        raise ValueError("canvas dimensions exceed WebP's 24-bit limit")
+    if any(not (0 <= d < 1 << 24) for d in durations_ms):
+        raise ValueError("frame duration must be in [0, 2**24) ms")
     has_alpha = any(f.ndim == 3 and f.shape[-1] == 4 for f in frames)
 
     def chunk(tag: bytes, body: bytes) -> bytes:

@@ -461,6 +461,41 @@ int tic_opj_encode_offsets(const int32_t* pix, int w, int h, int ncomp,
     free(gb.data);
     return rc;
   }
+  // Sanity-decode the SIZ of the produced stream: the tile fields above
+  // are poked by int32 offset into opj_cparameters_t, so verify the
+  // requested geometry actually landed (guards against any 2.x layout
+  // drift; ADVICE r3). Scan for SOC+SIZ (FF4F FF51 — works for raw and
+  // jp2c-wrapped streams alike).
+  {
+    auto rd32 = [](const uint8_t* p) {
+      return ((uint32_t)p[0] << 24) | ((uint32_t)p[1] << 16) |
+             ((uint32_t)p[2] << 8) | (uint32_t)p[3];
+    };
+    const uint8_t* siz = nullptr;
+    for (uint64_t i = 0; i + 42 <= gb.len; i++) {
+      if (gb.data[i] == 0xFF && gb.data[i + 1] == 0x4F &&
+          gb.data[i + 2] == 0xFF && gb.data[i + 3] == 0x51) {
+        siz = gb.data + i + 4;  // points at Lsiz
+        break;
+      }
+    }
+    bool ok = siz != nullptr;
+    if (ok) {
+      // siz -> Lsiz(2) Rsiz(2) Xsiz(4) Ysiz(4) XOsiz YOsiz XTsiz YTsiz
+      //        XTOsiz YTOsiz
+      uint32_t xo = rd32(siz + 12), yo = rd32(siz + 16);
+      uint32_t xt = rd32(siz + 20), yt = rd32(siz + 24);
+      uint32_t xto = rd32(siz + 28), yto = rd32(siz + 32);
+      ok = xo == (uint32_t)ox && yo == (uint32_t)oy;
+      if (ok && tdx > 0)
+        ok = xt == (uint32_t)tdx && yt == (uint32_t)tdy &&
+             xto == (uint32_t)tx0 && yto == (uint32_t)ty0;
+    }
+    if (!ok) {
+      free(gb.data);
+      return 4;
+    }
+  }
   *out = gb.data;
   *outlen = gb.len;
   return 0;

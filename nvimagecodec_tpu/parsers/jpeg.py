@@ -51,6 +51,7 @@ def sampling_to_css(factors) -> ChromaSubsampling:
         (1, 2): ChromaSubsampling.CSS_440,
         (4, 1): ChromaSubsampling.CSS_411,
         (4, 2): ChromaSubsampling.CSS_410,
+        (2, 4): ChromaSubsampling.CSS_410V,
     }.get(ratio, ChromaSubsampling.UNSUPPORTED)
 
 

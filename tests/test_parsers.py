@@ -37,6 +37,15 @@ class TestJpegParser:
         assert (info.width, info.height) == (640, 426)
         assert info.jpeg_encoding == JpegEncoding.BASELINE_DCT
 
+    def test_410v_mapping(self):
+        # 2x4 luma sampling -> 410V (reference: src/parsers/jpeg.cpp:104-106)
+        from nvimagecodec_tpu.parsers.jpeg import sampling_to_css
+
+        assert (
+            sampling_to_css([(2, 4), (1, 1), (1, 1)])
+            == ChromaSubsampling.CSS_410V
+        )
+
     def test_gray(self, corpus):
         info = info_of(str(corpus / "jpeg" / "photo_gray.jpg"))
         assert info.chroma_subsampling == ChromaSubsampling.GRAY
