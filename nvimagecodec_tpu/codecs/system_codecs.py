@@ -171,6 +171,108 @@ class OpjJpeg2kDecoder(DecoderPlugin):
         return out
 
 
+class TiffSystemDecoder(DecoderPlugin):
+    """TIFF last-resort fallback via system libtiff's RGBA reader — covers
+    any compression libtiff itself carries (e.g. old-style JPEG variants,
+    SGI LogLuv, ThunderScan) that the native TIFF decoder rejects. The
+    exact rung the reference's libtiff extension occupies
+    (extensions/libtiff/libtiff_decoder.cpp), one step below our native
+    strip/tile decoder."""
+
+    codec = "tiff"
+    plugin_id = "system_libtiff_decoder"
+    backend_kind = BackendKind.CPU_ONLY
+    priority = Priority.LOW
+
+    def __init__(self):
+        L = _load("libtiff.so.6", "libtiff.so.5", "libtiff.so")
+        if L is None:
+            raise ImportError("libtiff not available")
+        L.TIFFOpen.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+        L.TIFFOpen.restype = ctypes.c_void_p
+        L.TIFFClose.argtypes = [ctypes.c_void_p]
+        L.TIFFGetField.argtypes = [ctypes.c_void_p, ctypes.c_uint32]
+        L.TIFFReadRGBAImageOriented.argtypes = [
+            ctypes.c_void_p, ctypes.c_uint32, ctypes.c_uint32,
+            ctypes.POINTER(ctypes.c_uint32), ctypes.c_int, ctypes.c_int,
+        ]
+        L.TIFFReadRGBAImageOriented.restype = ctypes.c_int
+        L.TIFFSetErrorHandler.argtypes = [ctypes.c_void_p]
+        L.TIFFSetWarningHandler.argtypes = [ctypes.c_void_p]
+        L.TIFFSetErrorHandler(None)   # quiet: failures surface as rc=0
+        L.TIFFSetWarningHandler(None)
+        self._L = L
+
+    def can_decode(self, data_batch, info_batch, params) -> List[ProcessingStatus]:
+        out = []
+        for data in data_batch:
+            head = bytes(data[:4])
+            ok = head in (b"II*\x00", b"MM\x00*")
+            out.append(
+                ProcessingStatus.SUCCESS
+                if ok
+                else ProcessingStatus.FAIL | ProcessingStatus.CODEC_UNSUPPORTED
+            )
+        return out
+
+    def _decode_one(self, data: bytes) -> np.ndarray:
+        import os
+        import tempfile
+
+        L = self._L
+        fd, path = tempfile.mkstemp(suffix=".tif")
+        try:
+            os.write(fd, data)
+            os.close(fd)
+            tif = L.TIFFOpen(path.encode(), b"r")
+            if not tif:
+                raise ValueError("libtiff cannot open stream")
+            try:
+                w = ctypes.c_uint32()
+                h = ctypes.c_uint32()
+                L.TIFFGetField(tif, 256, ctypes.byref(w))  # ImageWidth
+                L.TIFFGetField(tif, 257, ctypes.byref(h))  # ImageLength
+                if not (w.value and h.value):
+                    raise ValueError("libtiff: bad dimensions")
+                raster = np.empty(h.value * w.value, np.uint32)
+                rc = L.TIFFReadRGBAImageOriented(
+                    tif, w.value, h.value,
+                    raster.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+                    1, 0)  # ORIENTATION_TOPLEFT, stop on error
+                if rc != 1:
+                    raise ValueError("libtiff RGBA decode failed")
+            finally:
+                L.TIFFClose(tif)
+        finally:
+            os.unlink(path)
+        rgba = raster.view(np.uint8).reshape(h.value, w.value, 4)
+        if np.all(rgba[..., 3] == 255):
+            rgb = rgba[..., :3]
+            if (np.array_equal(rgb[..., 0], rgb[..., 1])
+                    and np.array_equal(rgb[..., 1], rgb[..., 2])):
+                return np.ascontiguousarray(rgb[..., 0])
+            return np.ascontiguousarray(rgb)
+        return np.ascontiguousarray(rgba)
+
+    def decode_batch(self, data_batch, info_batch, params) -> List[DecodeResult]:
+        out = []
+        for data in data_batch:
+            try:
+                out.append(
+                    DecodeResult(
+                        ProcessingStatus.SUCCESS, self._decode_one(bytes(data))
+                    )
+                )
+            except Exception as e:
+                out.append(
+                    DecodeResult(
+                        ProcessingStatus.FAIL | ProcessingStatus.IMAGE_CORRUPTED,
+                        error=str(e),
+                    )
+                )
+        return out
+
+
 def register(registry) -> None:
     try:
         registry.codec("webp").register_decoder(WebpSystemDecoder())
@@ -180,3 +282,7 @@ def register(registry) -> None:
         registry.codec("jpeg2k").register_decoder(OpjJpeg2kDecoder())
     except Exception:
         pass  # libopenjp2 absent or ABI validation failed
+    try:
+        registry.codec("tiff").register_decoder(TiffSystemDecoder())
+    except Exception:
+        pass  # libtiff absent

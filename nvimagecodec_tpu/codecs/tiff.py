@@ -32,8 +32,11 @@ T_STRIP_OFFSETS, T_ORIENTATION, T_SPP, T_ROWS_PER_STRIP, T_STRIP_COUNTS = (
     273, 274, 277, 278, 279,
 )
 T_PLANAR, T_PREDICTOR, T_COLORMAP = 284, 317, 320
+T_T4_OPTIONS, T_T6_OPTIONS = 292, 293
 T_TILE_W, T_TILE_H, T_TILE_OFFSETS, T_TILE_COUNTS = 322, 323, 324, 325
 T_EXTRA_SAMPLES, T_SAMPLE_FORMAT = 338, 339
+T_JPEG_TABLES = 347
+T_JPEG_IF, T_JPEG_IF_LEN = 513, 514  # old-style (compression 6) JPEG
 
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8,
               11: 4, 12: 8, 16: 8, 17: 8}
@@ -150,6 +153,85 @@ def _decompress(src: bytes, compression: int, expected: int) -> bytes:
     raise ValueError(f"TIFF: unsupported compression {compression}")
 
 
+_BITREV = None
+
+
+def _bitrev(src: bytes) -> bytes:
+    """FillOrder 2 (LSB-first) → MSB-first byte bit reversal."""
+    global _BITREV
+    if _BITREV is None:
+        _BITREV = np.array(
+            [int(f"{i:08b}"[::-1], 2) for i in range(256)], np.uint8
+        )
+    return _BITREV[np.frombuffer(src, np.uint8)].tobytes()
+
+
+def _fax_decode_rows(src: bytes, w: int, nrows: int, compression: int,
+                     opts: int, fill_order: int) -> bytes:
+    """CCITT MH/G3/G4 strip → packed 1-bit rows (native/tiff_fax.cpp).
+
+    Covers the fax-class compressions the reference's libtiff extension
+    decodes (extensions/libtiff/libtiff_decoder.cpp hands compression 2/3/4
+    entirely to libtiff). Returns (w+7)//8 * nrows bytes, bit 1 = black —
+    the MINISWHITE convention, inverted by the photometric-0 handling."""
+    import ctypes
+
+    from ..native import lib
+
+    if fill_order == 2:
+        src = _bitrev(src)
+    rowbytes = (w + 7) // 8
+    dst = np.zeros(nrows * rowbytes, np.uint8)
+    L = lib()
+    n = L.tic_tiff_fax_decode(
+        src, len(src), w, nrows, compression, opts,
+        dst.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    if n < 0:
+        raise ValueError("TIFF: malformed CCITT fax data")
+    return dst.tobytes()
+
+
+def _merge_jpeg_tables(tables: Optional[bytes], strip: bytes) -> bytes:
+    """Combine the JPEGTables tag stream with a per-strip abbreviated JPEG
+    (TIFF TechNote 2): tables is SOI..EOI carrying DQT/DHT; the strip's SOI
+    is replaced by SOI + table segments."""
+    if not tables or len(tables) < 4:
+        return strip
+    body = tables[2:]
+    if body[-2:] == b"\xff\xd9":
+        body = body[:-2]
+    if strip[:2] == b"\xff\xd8":
+        return b"\xff\xd8" + body + strip[2:]
+    return b"\xff\xd8" + body + strip + b"\xff\xd9"
+
+
+def _decode_jpeg_unit(stream: bytes, rgb_direct: bool = False) -> np.ndarray:
+    """Decode one JPEG-compressed strip/tile via the native JPEG path.
+
+    rgb_direct: photometric 2 — components are stored R,G,B (no YCbCr
+    transform), so assemble planes without the colour conversion."""
+    from .jpeg import _entropy_decode
+    from .jpeg.headers import parse_jpeg_structure
+    from .jpeg.pixel import decode_pixels
+
+    frame = parse_jpeg_structure(stream)
+    if rgb_direct and len(frame.components) == 3:
+        from ..ops import resample as resample_ops
+        from .jpeg.pixel import idct_planes
+
+        coefs = _entropy_decode(frame, stream)
+        planes = idct_planes(frame, coefs, use_jax=False)
+        H, W = frame.height, frame.width
+        full = []
+        for c, plane in zip(frame.components, planes):
+            vf, hf = frame.vmax // c.v, frame.hmax // c.h
+            p = resample_ops.upsample_to(plane, vf, hf)
+            full.append(np.asarray(p)[..., :H, :W])
+        return np.clip(np.stack(full, axis=-1), 0, 255).astype(np.uint8)
+    coefs = _entropy_decode(frame, stream)
+    return np.asarray(decode_pixels(frame, coefs, use_jax=False))
+
+
 def _undo_predictor(rows: np.ndarray, spp: int) -> np.ndarray:
     """Horizontal differencing undo: cumulative sum along x per channel
     (vectorized; wraps naturally in the sample dtype)."""
@@ -187,6 +269,10 @@ class TiffDirectory:
         self.orientation = t.get(T_ORIENTATION, [1])[0]
         self.tiled = T_TILE_OFFSETS in t
         self.colormap = t.get(T_COLORMAP)
+        self.t4_options = t.get(T_T4_OPTIONS, [0])[0]
+        self.t6_options = t.get(T_T6_OPTIONS, [0])[0]
+        jt = t.get(T_JPEG_TABLES)
+        self.jpeg_tables = bytes(jt[0]) if jt else None
 
 
 def decode_tiff(data: bytes, region=None, work=None) -> np.ndarray:
@@ -208,6 +294,10 @@ def decode_tiff(data: bytes, region=None, work=None) -> np.ndarray:
         raise ValueError(f"TIFF: unsupported BitsPerSample {bps}")
     dtype = np.uint16 if bps == 16 else np.uint8
     e = "<" if d.le else ">"
+    if d.compression in (2, 3, 4) and (bps != 1 or spp != 1):
+        raise ValueError("TIFF: CCITT compression requires bilevel data")
+    if d.photometric == 6 and d.compression not in (6, 7):
+        raise ValueError("TIFF: raw YCbCr (photometric 6) unsupported")
 
     nplanes = spp if d.planar == 2 else 1
     cpp = 1 if d.planar == 2 else spp  # channels per stored plane
@@ -237,6 +327,47 @@ def decode_tiff(data: bytes, region=None, work=None) -> np.ndarray:
         expanded = (raw[:, :, None] >> shifts[None, None, :]) & ((1 << bps) - 1)
         return expanded.reshape(raw.shape[0], -1)[:, :width_samples]
 
+    # Old-style JPEG (compression 6) with a whole-image interchange stream
+    # (tags 513/514): decode once, crop (reference: libtiff's OJPEG codec).
+    if d.compression == 6 and T_JPEG_IF in d.tags:
+        off = d.tags[T_JPEG_IF][0]
+        ln = d.tags.get(T_JPEG_IF_LEN, [len(data) - off])[0]
+        img = _decode_jpeg_unit(data[off:off + ln],
+                                rgb_direct=(d.photometric == 2))
+        img = img[ry0:ry1, rx0:rx1]
+        if work is not None:
+            work["units"] = work["units_total"] = 1
+        if d.photometric == 0:
+            img = (255 - img).astype(np.uint8)
+        return img
+
+    jpeg_unit = d.compression in (6, 7)
+
+    def decode_unit(src: bytes, uw: int, uh: int, unit_rowbytes: int):
+        """One strip/tile → samples [uh, uw*cpp] in natural dtype."""
+        if jpeg_unit:
+            u = _decode_jpeg_unit(_merge_jpeg_tables(d.jpeg_tables, src),
+                                  rgb_direct=(d.photometric == 2))
+            if u.ndim == 2:
+                u = u[:, :, None]
+            s = np.zeros((uh, uw, cpp), np.uint8)
+            ch = min(uh, u.shape[0])
+            cw = min(uw, u.shape[1])
+            s[:ch, :cw] = u[:ch, :cw, :cpp]
+            return s.reshape(uh, uw * cpp)
+        if d.compression in (2, 3, 4):
+            opts = d.t4_options if d.compression == 3 else d.t6_options
+            raw = _fax_decode_rows(src, uw, uh, d.compression, opts,
+                                   d.fill_order)
+        else:
+            raw = _decompress(src, d.compression, unit_rowbytes * uh)
+            raw = raw.ljust(unit_rowbytes * uh, b"\0")
+        rows = np.frombuffer(raw, np.uint8).reshape(uh, unit_rowbytes)
+        samples = expand_row_bytes(rows, uw * cpp)
+        if d.predictor == 2:
+            samples = _undo_predictor(samples.astype(dtype), cpp)
+        return samples
+
     planes = np.zeros((nplanes, rh, rw * cpp), dtype)
     units = units_total = 0
 
@@ -262,12 +393,7 @@ def decode_tiff(data: bytes, region=None, work=None) -> np.ndarray:
                         continue
                     idx = (s * tiles_y + ty) * tiles_x + tx
                     src = data[offsets[idx] : offsets[idx] + counts[idx]]
-                    raw = _decompress(src, d.compression, rowbytes * th)
-                    rows = np.frombuffer(raw.ljust(rowbytes * th, b"\0"),
-                                         np.uint8).reshape(th, rowbytes)
-                    samples = expand_row_bytes(rows, tw * cpp)
-                    if d.predictor == 2:
-                        samples = _undo_predictor(samples.astype(dtype), cpp)
+                    samples = decode_unit(src, tw, th, rowbytes)
                     units += 1
                     planes[s, iy0 - ry0 : iy1 - ry0,
                            (ix0 - rx0) * cpp : (ix1 - rx0) * cpp] = samples[
@@ -290,12 +416,7 @@ def decode_tiff(data: bytes, region=None, work=None) -> np.ndarray:
                     continue  # strip outside the region: never decompressed
                 idx = s * strips_per_plane + si
                 src = data[offsets[idx] : offsets[idx] + counts[idx]]
-                raw = _decompress(src, d.compression, rowbytes * nrows)
-                rows = np.frombuffer(raw.ljust(rowbytes * nrows, b"\0"),
-                                     np.uint8).reshape(nrows, rowbytes)
-                samples = expand_row_bytes(rows, W * cpp)
-                if d.predictor == 2:
-                    samples = _undo_predictor(samples.astype(dtype), cpp)
+                samples = decode_unit(src, W, nrows, rowbytes)
                 units += 1
                 planes[s, iy0 - ry0 : iy1 - ry0] = samples[
                     iy0 - y0 : iy1 - y0, rx0 * cpp : rx1 * cpp]

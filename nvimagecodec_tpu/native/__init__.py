@@ -147,6 +147,11 @@ def _declare(L: ctypes.CDLL) -> None:
         ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p, ctypes.c_int64,
     ]
     L.tic_tiff_lzw_decode.restype = ctypes.c_int64
+    L.tic_tiff_fax_decode.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.POINTER(ctypes.c_uint8),
+    ]
+    L.tic_tiff_fax_decode.restype = ctypes.c_int32
     L.tic_j2k_t1_decode.argtypes = [
         ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.c_int,

@@ -101,6 +101,18 @@ def _sig(L: ctypes.CDLL) -> None:
         ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
     ]
     L.oracle_tiff_decode.restype = ctypes.c_int
+    L.oracle_tiff_encode_fax.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(c_u8p), ctypes.POINTER(ctypes.c_size_t),
+    ]
+    L.oracle_tiff_encode_fax.restype = ctypes.c_int
+    L.oracle_tiff_encode_jpeg.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(c_u8p), ctypes.POINTER(ctypes.c_size_t),
+    ]
+    L.oracle_tiff_encode_jpeg.restype = ctypes.c_int
 
 
 SUBSAMP = {"444": 0, "422": 1, "420": 2, "gray": 3, "440": 4, "411": 5, "410": 6}
@@ -340,6 +352,45 @@ def tiff_encode(pix: np.ndarray, compression: int = 1, predictor: int = 1,
                               ctypes.byref(out), ctypes.byref(outlen))
     if rc != 0:
         raise RuntimeError(f"oracle tiff encode failed rc={rc}")
+    data = ctypes.string_at(out, outlen.value)
+    L.oracle_free(out)
+    return data
+
+
+def tiff_encode_fax(pix: np.ndarray, compression: int, t4options: int = 0,
+                    fillorder: int = 1, rows_per_strip: int = 0) -> bytes:
+    """Bilevel fax TIFF: pix [h, w] 0 = white / nonzero = black.
+    compression: 2 MH, 3 G3 (t4options: bit0 2-D, bit2 fill), 4 G4."""
+    L = lib()
+    h, w = pix.shape
+    body = np.ascontiguousarray((pix != 0).astype(np.uint8)).tobytes()
+    out = c_u8p()
+    outlen = ctypes.c_size_t()
+    rc = L.oracle_tiff_encode_fax(body, w, h, compression, t4options,
+                                  fillorder, rows_per_strip,
+                                  ctypes.byref(out), ctypes.byref(outlen))
+    if rc != 0:
+        raise RuntimeError(f"oracle tiff fax encode failed rc={rc}")
+    data = ctypes.string_at(out, outlen.value)
+    L.oracle_free(out)
+    return data
+
+
+def tiff_encode_jpeg(pix: np.ndarray, quality: int = 90, tile_size: int = 0,
+                     rows_per_strip: int = 0) -> bytes:
+    """New-style JPEG-in-TIFF (compression 7), YCbCr photometric for RGB."""
+    L = lib()
+    if pix.ndim == 2:
+        pix = pix[:, :, None]
+    h, w, ch = pix.shape
+    body = np.ascontiguousarray(pix, np.uint8).tobytes()
+    out = c_u8p()
+    outlen = ctypes.c_size_t()
+    rc = L.oracle_tiff_encode_jpeg(body, w, h, ch, quality, tile_size,
+                                   rows_per_strip, ctypes.byref(out),
+                                   ctypes.byref(outlen))
+    if rc != 0:
+        raise RuntimeError(f"oracle tiff jpeg encode failed rc={rc}")
     data = ctypes.string_at(out, outlen.value)
     L.oracle_free(out)
     return data

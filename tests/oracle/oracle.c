@@ -504,6 +504,100 @@ int oracle_tiff_encode(const uint8_t *body, int w, int h, int ch, int bd,
     return 0;
 }
 
+/* Encode a bilevel image (one byte per pixel, 0 = white, nonzero = black)
+ * with a CCITT fax compression: 2 = MH (CCITTRLE), 3 = G3 (T4Options
+ * carries 2-D/fill flags), 4 = G4. fillorder 1 (MSB) or 2 (LSB). */
+int oracle_tiff_encode_fax(const uint8_t *pix, int w, int h, int compression,
+                           int t4options, int fillorder, int rows_per_strip,
+                           uint8_t **out, size_t *outlen) {
+    struct tiff_mem m = {0};
+    m.writable = 1;
+    TIFF *tif = TIFFClientOpen("mem", "w", (thandle_t)&m, tm_read, tm_write,
+                               tm_seek, tm_close, tm_size, NULL, NULL);
+    if (!tif) return 1;
+    TIFFSetField(tif, TIFFTAG_IMAGEWIDTH, w);
+    TIFFSetField(tif, TIFFTAG_IMAGELENGTH, h);
+    TIFFSetField(tif, TIFFTAG_SAMPLESPERPIXEL, 1);
+    TIFFSetField(tif, TIFFTAG_BITSPERSAMPLE, 1);
+    TIFFSetField(tif, TIFFTAG_COMPRESSION, compression);
+    TIFFSetField(tif, TIFFTAG_PHOTOMETRIC, PHOTOMETRIC_MINISWHITE);
+    TIFFSetField(tif, TIFFTAG_PLANARCONFIG, 1);
+    TIFFSetField(tif, TIFFTAG_FILLORDER, fillorder);
+    TIFFSetField(tif, TIFFTAG_ROWSPERSTRIP,
+                 rows_per_strip > 0 ? rows_per_strip : h);
+    if (compression == 3 && t4options)
+        TIFFSetField(tif, TIFFTAG_GROUP3OPTIONS, (uint32_t)t4options);
+    int rowbytes = (w + 7) / 8;
+    uint8_t *row = calloc(1, rowbytes);
+    for (int y = 0; y < h; ++y) {
+        memset(row, 0, rowbytes);
+        for (int x = 0; x < w; ++x)
+            if (pix[(size_t)y * w + x]) row[x >> 3] |= 0x80u >> (x & 7);
+        if (TIFFWriteScanline(tif, row, y, 0) < 0) {
+            free(row); TIFFClose(tif); free(m.buf); return 2;
+        }
+    }
+    free(row);
+    TIFFClose(tif);
+    *out = m.buf;
+    *outlen = m.len;
+    return 0;
+}
+
+/* Encode RGB (ch=3) or gray (ch=1) u8 with new-style JPEG-in-TIFF
+ * (compression 7). tile_size 0 = strips. */
+int oracle_tiff_encode_jpeg(const uint8_t *body, int w, int h, int ch,
+                            int quality, int tile_size, int rows_per_strip,
+                            uint8_t **out, size_t *outlen) {
+    struct tiff_mem m = {0};
+    m.writable = 1;
+    TIFF *tif = TIFFClientOpen("mem", "w", (thandle_t)&m, tm_read, tm_write,
+                               tm_seek, tm_close, tm_size, NULL, NULL);
+    if (!tif) return 1;
+    TIFFSetField(tif, TIFFTAG_IMAGEWIDTH, w);
+    TIFFSetField(tif, TIFFTAG_IMAGELENGTH, h);
+    TIFFSetField(tif, TIFFTAG_SAMPLESPERPIXEL, ch);
+    TIFFSetField(tif, TIFFTAG_BITSPERSAMPLE, 8);
+    TIFFSetField(tif, TIFFTAG_COMPRESSION, COMPRESSION_JPEG);
+    TIFFSetField(tif, TIFFTAG_PHOTOMETRIC,
+                 ch >= 3 ? PHOTOMETRIC_YCBCR : PHOTOMETRIC_MINISBLACK);
+    TIFFSetField(tif, TIFFTAG_PLANARCONFIG, 1);
+    TIFFSetField(tif, TIFFTAG_JPEGQUALITY, quality);
+    if (ch >= 3) TIFFSetField(tif, TIFFTAG_JPEGCOLORMODE, JPEGCOLORMODE_RGB);
+    if (tile_size > 0) {
+        TIFFSetField(tif, TIFFTAG_TILEWIDTH, tile_size);
+        TIFFSetField(tif, TIFFTAG_TILELENGTH, tile_size);
+        tmsize_t tbytes = TIFFTileSize(tif);
+        uint8_t *tile = malloc(tbytes);
+        for (int ty = 0; ty < h; ty += tile_size)
+            for (int tx = 0; tx < w; tx += tile_size) {
+                memset(tile, 0, tbytes);
+                for (int y = 0; y < tile_size && ty + y < h; ++y)
+                    for (int x = 0; x < tile_size && tx + x < w; ++x)
+                        memcpy(tile + ((size_t)(y * tile_size + x)) * ch,
+                               body + (((size_t)(ty + y) * w + tx + x)) * ch,
+                               ch);
+                if (TIFFWriteTile(tif, tile, tx, ty, 0, 0) < 0) {
+                    free(tile); TIFFClose(tif); free(m.buf); return 2;
+                }
+            }
+        free(tile);
+    } else {
+        /* libtiff JPEG requires rows_per_strip % 8 (MCU height) == 0 */
+        TIFFSetField(tif, TIFFTAG_ROWSPERSTRIP,
+                     rows_per_strip > 0 ? rows_per_strip : 16);
+        for (int y = 0; y < h; ++y)
+            if (TIFFWriteScanline(tif, (void *)(body + (size_t)y * w * ch),
+                                  y, 0) < 0) {
+                TIFFClose(tif); free(m.buf); return 2;
+            }
+    }
+    TIFFClose(tif);
+    *out = m.buf;
+    *outlen = m.len;
+    return 0;
+}
+
 /* Decode via libtiff scanline API into interleaved natural samples. */
 int oracle_tiff_decode(const uint8_t *data, size_t len, uint8_t **out,
                        int *ow, int *oh, int *och, int *obd) {
@@ -518,6 +612,10 @@ int oracle_tiff_decode(const uint8_t *data, size_t len, uint8_t **out,
     TIFFGetFieldDefaulted(tif, TIFFTAG_SAMPLESPERPIXEL, &ch);
     TIFFGetFieldDefaulted(tif, TIFFTAG_BITSPERSAMPLE, &bd);
     TIFFGetFieldDefaulted(tif, TIFFTAG_PLANARCONFIG, &planar);
+    uint16_t comp = 1;
+    TIFFGetFieldDefaulted(tif, TIFFTAG_COMPRESSION, &comp);
+    if (comp == COMPRESSION_JPEG)  /* scanlines as RGB, not raw YCbCr */
+        TIFFSetField(tif, TIFFTAG_JPEGCOLORMODE, JPEGCOLORMODE_RGB);
     int bytes_per = bd / 8;
     if (bytes_per < 1) { TIFFClose(tif); return 3; }
     uint8_t *pix = malloc((size_t)w * h * ch * bytes_per);

@@ -190,3 +190,106 @@ def test_encoder_public_api(img, tmp_path):
     p = tmp_path / "x.tif"
     enc.write(p, img)
     assert np.array_equal(np.asarray(dec.read(str(p))), img)
+
+
+# ---------------------------------------------------------- CCITT fax class
+@pytest.fixture(scope="module")
+def doc():
+    """Bilevel document-like pattern (0 = white, 1 = black)."""
+    return (np.indices((90, 130)).sum(0) % 13 < 4).astype(np.uint8)
+
+
+@pytest.mark.parametrize(
+    "comp,t4o,fillorder",
+    [
+        (2, 0, 1),   # Modified Huffman (CCITTRLE)
+        (2, 0, 2),   # ... LSB fill order
+        (3, 0, 1),   # G3 1-D
+        (3, 1, 1),   # G3 2-D
+        (3, 5, 1),   # G3 2-D + fill bits
+        (4, 0, 1),   # G4 (T.6 MMR)
+        (4, 0, 2),   # G4 LSB fill order
+    ],
+)
+def test_ccitt_fax(doc, comp, t4o, fillorder):
+    """CCITT G3/G4 decode vs libtiff-encoded streams (reference decodes
+    these through libtiff, extensions/libtiff/libtiff_decoder.cpp)."""
+    data = oracle.tiff_encode_fax(doc, comp, t4o, fillorder,
+                                  rows_per_strip=32)
+    img = decode_tiff(data)
+    truth = np.where(doc != 0, 0, 255).astype(np.uint8)  # MINISWHITE
+    assert np.array_equal(img, truth)
+
+
+def test_ccitt_fax_single_strip(doc):
+    data = oracle.tiff_encode_fax(doc, 4, 0, 1, rows_per_strip=0)
+    assert np.array_equal(
+        decode_tiff(data), np.where(doc != 0, 0, 255).astype(np.uint8))
+
+
+def test_ccitt_fax_roi(doc):
+    data = oracle.tiff_encode_fax(doc, 4, 0, 1, rows_per_strip=16)
+    full = decode_tiff(data)
+    work = {}
+    roi = decode_tiff(data, region=(10, 20, 40, 90), work=work)
+    assert np.array_equal(roi, full[10:40, 20:90])
+    assert work["units"] < work["units_total"]
+
+
+def test_ccitt_fax_truncated(doc):
+    data = oracle.tiff_encode_fax(doc, 4, 0, 1, rows_per_strip=0)
+    with pytest.raises(Exception):
+        decode_tiff(data[: len(data) // 2])
+
+
+# ------------------------------------------------------------ JPEG-in-TIFF
+@pytest.mark.parametrize(
+    "tile_size,rows_per_strip", [(0, 16), (0, 48), (64, 0)]
+)
+def test_jpeg_in_tiff(tile_size, rows_per_strip):
+    """New-style JPEG (compression 7, JPEGTables TechNote2) decode within
+    the reference's lossy tolerance vs libtiff+libjpeg ground truth."""
+    photo = make_photo(120, 200, seed=3)
+    data = oracle.tiff_encode_jpeg(photo, 90, tile_size, rows_per_strip)
+    img = decode_tiff(data)
+    truth = oracle.tiff_decode(data)
+    assert img.shape == truth.shape
+    assert np.abs(img.astype(int) - truth.astype(int)).max() <= 4
+
+
+def test_jpeg_in_tiff_gray():
+    g = np.ascontiguousarray(make_photo(120, 200, seed=3)[..., 0])
+    data = oracle.tiff_encode_jpeg(g, 90, 0, 16)
+    img = decode_tiff(data)
+    truth = oracle.tiff_decode(data).squeeze()
+    assert np.abs(img.astype(int) - truth.astype(int)).max() <= 4
+
+
+def test_jpeg_in_tiff_public_api(doc):
+    import nvimagecodec_tpu as nic
+
+    photo = make_photo(80, 96, seed=5)
+    data = oracle.tiff_encode_jpeg(photo, 92, 0, 16)
+    out = np.asarray(nic.Decoder().decode(data))
+    truth = oracle.tiff_decode(data)
+    assert np.abs(out.astype(int) - truth.astype(int)).max() <= 4
+    fax = oracle.tiff_encode_fax(doc, 4, 0, 1, rows_per_strip=0)
+    out = np.asarray(nic.Decoder().decode(fax))
+    assert np.array_equal(out, np.where(doc != 0, 0, 255).astype(np.uint8))
+
+
+def test_system_libtiff_rung(img):
+    """The last-resort system-libtiff decoder (the reference's libtiff
+    extension analog) decodes standard streams; registered below the
+    native decoder so it only catches what that one rejects."""
+    from nvimagecodec_tpu.codecs.system_codecs import TiffSystemDecoder
+
+    try:
+        dec = TiffSystemDecoder()
+    except ImportError:
+        pytest.skip("libtiff not available")
+    data = oracle.tiff_encode(img, compression=5)
+    from nvimagecodec_tpu.core.interfaces import DecodeParams
+
+    res = dec.decode_batch([data], [None], DecodeParams())[0]
+    assert res.array is not None and np.array_equal(res.array, img)
