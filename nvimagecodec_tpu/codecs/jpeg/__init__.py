@@ -45,7 +45,9 @@ def _entropy_decode(frame: JpegFrame, data: bytes):
 def _supported(frame: JpegFrame) -> ProcessingStatus:
     if frame.is_lossless:
         return ProcessingStatus.FAIL | ProcessingStatus.ENCODING_UNSUPPORTED
-    if frame.marker in (0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF, 0xC5, 0xC6, 0xC7):
+    if frame.marker in (0xCB, 0xCD, 0xCE, 0xCF, 0xC5, 0xC6, 0xC7):
+        # differential / lossless-arithmetic stay unsupported; sequential
+        # and progressive arithmetic (0xC9/0xCA) decode natively
         return ProcessingStatus.FAIL | ProcessingStatus.ENCODING_UNSUPPORTED
     if frame.precision not in (8, 12):
         return ProcessingStatus.FAIL | ProcessingStatus.SAMPLE_TYPE_UNSUPPORTED
@@ -54,7 +56,7 @@ def _supported(frame: JpegFrame) -> ProcessingStatus:
     return ProcessingStatus.SUCCESS
 
 
-_SUPPORTED_ENCODINGS = {0xC0, 0xC1, 0xC2}  # baseline/extended/progressive Huffman
+_SUPPORTED_ENCODINGS = {0xC0, 0xC1, 0xC2, 0xC9, 0xCA}  # Huffman + arithmetic (T.81 Annex K)
 
 
 def _roi_ok(info, params) -> bool:

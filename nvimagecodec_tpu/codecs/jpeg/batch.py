@@ -819,9 +819,10 @@ def decode_batch_tpu(data_batch, params: DecodeParams, fancy: bool = True,
                         hi_slots.append(
                             row[hi_off:hi_off + bh * bw * _PACK_HEAD]
                             .view(np.int8).reshape(bh, bw, _PACK_HEAD))
-                    if frames[i].is_progressive:
-                        # refinement scans need int16 state: decode wide
-                        # into scratch, then pack onto the same wire
+                    if frames[i].is_progressive or frames[i].marker == 0xC9:
+                        # refinement scans (and arithmetic streams) need
+                        # the int16 wide decode: into scratch, then pack
+                        # onto the same wire
                         scratch = [np.empty((bh, bw, 64), np.int16)
                                    for (bw, bh) in dims]
                         decode_coefficients_into(frames[i], raws[i], scratch)

@@ -136,6 +136,31 @@ def jpeg_decode(data: bytes, fancy_upsampling: bool = True) -> np.ndarray:
     return a[:, :, 0] if ch.value == 1 else a
 
 
+def jpeg_encode_arith(pix: np.ndarray, quality: int = 90,
+                      subsamp: str = "420", progressive: bool = False,
+                      restart_interval: int = 0) -> bytes:
+    """Arithmetic-coded JPEG (T.81 Annex K). Raises RuntimeError if this
+    libjpeg build lacks arithmetic coding support."""
+    L = lib()
+    pix = np.ascontiguousarray(pix, np.uint8)
+    if pix.ndim == 2:
+        pix = pix[:, :, None]
+    h, w, ch = pix.shape
+    if ch == 1:
+        subsamp = "gray"
+    out = c_u8p()
+    outlen = ctypes.c_size_t()
+    rc = L.oracle_jpeg_encode_arith(pix.tobytes(), w, h, ch, quality,
+                                    SUBSAMP[subsamp], int(progressive),
+                                    restart_interval,
+                                    ctypes.byref(out), ctypes.byref(outlen))
+    if rc != 0:
+        raise RuntimeError("oracle arithmetic jpeg encode failed")
+    data = ctypes.string_at(out, outlen.value)
+    L.oracle_free(out)
+    return data
+
+
 def jpeg_encode(pix: np.ndarray, quality: int = 90, subsamp: str = "420",
                 progressive: bool = False, optimize: bool = False,
                 restart_interval: int = 0) -> bytes:

@@ -174,6 +174,55 @@ int oracle_jpeg_encode(const uint8_t *pix, int w, int h, int ch, int quality,
     return 0;
 }
 
+/* Arithmetic-coded (T.81 Annex K) encode; progressive optional. Returns
+ * -1 if this libjpeg build lacks C_ARITH_CODING_SUPPORTED. */
+int oracle_jpeg_encode_arith(const uint8_t *pix, int w, int h, int ch,
+                             int quality, int subsamp, int progressive,
+                             int restart_interval,
+                             uint8_t **out, size_t *outlen) {
+    struct jpeg_compress_struct cinfo;
+    struct jerr_mgr jerr;
+    cinfo.err = jpeg_std_error(&jerr.pub);
+    jerr.pub.error_exit = jerr_exit;
+    unsigned long sz = 0;
+    *out = NULL;
+    if (setjmp(jerr.jb)) {
+        jpeg_destroy_compress(&cinfo);
+        return -1;
+    }
+    jpeg_create_compress(&cinfo);
+    jpeg_mem_dest(&cinfo, out, &sz);
+    cinfo.image_width = w;
+    cinfo.image_height = h;
+    cinfo.input_components = ch;
+    cinfo.in_color_space = (ch == 1) ? JCS_GRAYSCALE : JCS_RGB;
+    jpeg_set_defaults(&cinfo);
+    jpeg_set_quality(&cinfo, quality, TRUE);
+    cinfo.arith_code = TRUE;
+    if (ch == 3) {
+        static const int HS[7] = {1, 2, 2, 1, 1, 4, 4};
+        static const int VS[7] = {1, 1, 2, 1, 2, 1, 2};
+        cinfo.comp_info[0].h_samp_factor = HS[subsamp];
+        cinfo.comp_info[0].v_samp_factor = VS[subsamp];
+        cinfo.comp_info[1].h_samp_factor = 1;
+        cinfo.comp_info[1].v_samp_factor = 1;
+        cinfo.comp_info[2].h_samp_factor = 1;
+        cinfo.comp_info[2].v_samp_factor = 1;
+    }
+    if (progressive) jpeg_simple_progression(&cinfo);
+    cinfo.restart_interval = restart_interval;
+    jpeg_start_compress(&cinfo, TRUE);
+    size_t stride = (size_t)w * ch;
+    while (cinfo.next_scanline < cinfo.image_height) {
+        const uint8_t *row = pix + stride * cinfo.next_scanline;
+        jpeg_write_scanlines(&cinfo, (JSAMPARRAY)&row, 1);
+    }
+    jpeg_finish_compress(&cinfo);
+    jpeg_destroy_compress(&cinfo);
+    *outlen = sz;
+    return 0;
+}
+
 /* ------------------------------------------------------------------- png */
 
 struct png_mem_reader {
