@@ -397,16 +397,20 @@ def idwt2d_level_rows_sharded(LL, HL, LH, HH, reversible: bool,
 
 def idwt2d_rows_sharded(LL, bands, out_shape: Tuple[int, int],
                         reversible: bool, mesh, axis_name: str = "sp"):
-    """Multi-level synthesis with the FINEST level's rows sharded over the
-    mesh. Coarse levels are tiny (≤ 25% of the work) and run replicated;
-    the finest level — 75% of the FLOPs and bytes — runs row-sharded with
-    ppermute halo exchange. Requires out_shape and the finest subbands to
-    divide evenly (2 x shard count); callers fall back to the replicated
-    path otherwise.
+    """Multi-level synthesis with rows sharded over the mesh at EVERY level
+    whose subband height divides the shard count — one shard_map covers the
+    whole pyramid, so intermediate levels stay resident in their shards
+    (no mid-pyramid reshard) and no level's work is computed redundantly.
+    Levels too small to split run replicated inside the same shard_map and
+    hand off to the sharded ones with a local row slice (zero collectives).
+    Halo rows cross shards via lax.ppermute only. Requires out_shape and
+    the finest subbands to divide evenly (2 x shard count); callers fall
+    back to the replicated path otherwise.
 
     Bit-exact vs idwt2d for the reversible (5/3) path."""
     import jax
     import jax.numpy as jnp
+    from jax import lax
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     try:
@@ -425,28 +429,62 @@ def idwt2d_rows_sharded(LL, bands, out_shape: Tuple[int, int],
         # uneven split: replicated fallback
         return idwt2d(LL, bands, out_shape, reversible)
 
-    # coarse levels replicated
-    cur = LL
-    for lev in range(levels - 1, 0, -1):
-        HL_, LH_, HH_ = bands[lev]
-        h, w = dims[lev]
-        cur = idwt2d_level(cur, HL_, LH_, HH_, h, w, reversible)
-    HLf, LHf, HHf = bands[0]
+    # a level is row-shardable when its (equal-height) input subbands split
+    # evenly over the shards and its output height is even
+    def shardable(lev: int) -> bool:
+        h_out = dims[lev][0]
+        sub_h = dims[lev + 1][0]
+        return (h_out % 2 == 0 and 2 * sub_h == h_out and sub_h % sp == 0)
 
     nd = LL.ndim
     row_spec = P(*([None] * (nd - 2)), axis_name, None)
+    rep_spec = P(*([None] * nd))
     shard = NamedSharding(mesh, row_spec)
+    rep = NamedSharding(mesh, rep_spec)
 
-    def step(ll, hl, lh, hh):
-        return idwt2d_level_rows_sharded(ll, hl, lh, hh, reversible,
-                                         axis_name)
+    # once a level runs sharded its output stays sharded for all finer
+    # levels, so the sharded set must be a fine-side suffix: level lev is
+    # sharded only if it and every finer level are splittable
+    sharded_lev = []
+    ok = True
+    for lev in range(levels):  # finest first
+        ok = ok and shardable(lev)
+        sharded_lev.append(ok)
+
+    in_specs = [row_spec if sharded_lev[levels - 1] else rep_spec]
+    for lev in range(levels):
+        in_specs.extend([row_spec if sharded_lev[lev] else rep_spec] * 3)
+
+    def step(ll, *flat):
+        cur = ll
+        cur_sharded = sharded_lev[levels - 1]
+        for lev in range(levels - 1, -1, -1):
+            HL_, LH_, HH_ = flat[3 * lev: 3 * lev + 3]
+            h, w = dims[lev]
+            if sharded_lev[lev]:
+                if not cur_sharded:
+                    # replicated -> sharded handoff: local row slice
+                    sub_h = dims[lev + 1][0]
+                    rows = sub_h // sp
+                    idx = lax.axis_index(axis_name)
+                    cur = lax.dynamic_slice_in_dim(
+                        cur, idx * rows, rows, axis=-2)
+                    cur_sharded = True
+                cur = idwt2d_level_rows_sharded(cur, HL_, LH_, HH_,
+                                                reversible, axis_name)
+            else:
+                cur = idwt2d_level(cur, HL_, LH_, HH_, h, w, reversible)
+        return cur
 
     fn = shard_map(
         step,
-        in_specs=(row_spec,) * 4,
+        in_specs=tuple(in_specs),
         out_specs=row_spec,
         **kw,
     )
-    args = [jax.device_put(jnp.asarray(a), shard)
-            for a in (cur, HLf, LHf, HHf)]
+    args = [jax.device_put(jnp.asarray(LL),
+                           shard if sharded_lev[levels - 1] else rep)]
+    for lev in range(levels):
+        s = shard if sharded_lev[lev] else rep
+        args.extend(jax.device_put(jnp.asarray(b), s) for b in bands[lev])
     return fn(*args)
