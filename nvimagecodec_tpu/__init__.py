@@ -46,8 +46,10 @@ from .codecs.webp_anim import (  # noqa: F401
     encode_webp_animation,
 )
 from .image import Image, as_image, as_images, from_dlpack  # noqa: F401
+from .codecs.jpeg.batch import configure_host_pool  # noqa: F401
 
 __all__ = [
+    "configure_host_pool",
     "__version__",
     "decode_webp_animation",
     "encode_webp_animation",

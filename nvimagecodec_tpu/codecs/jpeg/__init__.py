@@ -186,10 +186,19 @@ class JpegHybridTpuDecoder(_JpegDecoderBase):
 
     def set_options(self, opts) -> None:
         # reference knob: fancy_upsampling (include/nvimgcodec.h:1593-1594)
-        from ...core.options import get_bool
+        from ...core.options import get_bool, get_int
 
         self.fancy_upsampling = get_bool(opts, "fancy_upsampling", True)
         self.bitexact = get_bool(opts, "bitexact", False)
+        # allocator-policy knobs (reference analog: the custom pinned
+        # allocator hooks, include/nvimgcodec.h:232-302)
+        pool_mb = get_int(opts, "host_pool_mb", 0)
+        pool_cap = get_int(opts, "host_pool_per_key_cap", 0)
+        if pool_mb or pool_cap:
+            from .batch import configure_host_pool
+
+            configure_host_pool(max_mb=pool_mb or None,
+                                per_key_cap=pool_cap or None)
 
     def decode_batch(self, data_batch, info_batch, params) -> List[DecodeResult]:
         if params.enable_roi and params.region is not None:

@@ -91,12 +91,19 @@ class _HostBufferPool:
     # allocating another.
     PER_KEY_CAP = 4
 
-    def __init__(self, max_bytes: int):
+    def __init__(self, max_bytes: int, per_key_cap: int = PER_KEY_CAP,
+                 alloc=None):
         self._free: Dict[tuple, list] = {}
         self._live: Dict[tuple, int] = {}
         self._cond = threading.Condition()
         self._bytes = 0
         self._max = max_bytes
+        self.per_key_cap = per_key_cap
+        # user-pluggable host allocator (the analog of the reference's
+        # pinned-allocator hook, include/nvimgcodec.h:232-302): any
+        # callable (shape, dtype) -> ndarray, e.g. one backed by a pinned
+        # or hugepage arena
+        self._alloc = alloc or (lambda shape, dtype: np.empty(shape, dtype))
 
     def acquire(self, key, shape, dtype) -> np.ndarray:
         with self._cond:
@@ -107,7 +114,7 @@ class _HostBufferPool:
                     arr = lst.pop()
                     self._bytes -= arr.nbytes
                     return arr
-                if self._live.get(key, 0) < self.PER_KEY_CAP:
+                if self._live.get(key, 0) < self.per_key_cap:
                     self._live[key] = self._live.get(key, 0) + 1
                     break
                 import time as _t
@@ -119,7 +126,7 @@ class _HostBufferPool:
                     # reclaim stalled (dead device?) — allocate anyway
                     self._live[key] = self._live.get(key, 0) + 1
                     break
-        return np.empty(shape, dtype)
+        return self._alloc(shape, dtype)
 
     def release(self, key, arr: np.ndarray) -> None:
         with self._cond:
@@ -132,7 +139,27 @@ class _HostBufferPool:
 
 
 _POOL = _HostBufferPool(
-    int(os.environ.get("TIC_HOST_POOL_MB", "512")) << 20)
+    int(os.environ.get("TIC_HOST_POOL_MB", "512")) << 20,
+    per_key_cap=int(os.environ.get("TIC_HOST_POOL_PER_KEY_CAP", "4")))
+
+
+def configure_host_pool(max_mb: int = None, per_key_cap: int = None,
+                        alloc=None) -> None:
+    """Adjust the host staging-buffer pool policy at runtime — the
+    allocator-plumbing analog of the reference's custom pinned/device
+    allocator hooks (include/nvimgcodec.h:232-302).
+
+    max_mb: total bytes the pool may retain; per_key_cap: distinct live
+    buffers per (geometry, dtype) key before acquire blocks on reclaim;
+    alloc: callable (shape, dtype) -> np.ndarray used for fresh buffers."""
+    with _POOL._cond:
+        if max_mb is not None:
+            _POOL._max = int(max_mb) << 20
+        if per_key_cap is not None:
+            _POOL.per_key_cap = max(1, int(per_key_cap))
+        if alloc is not None:
+            _POOL._alloc = alloc
+        _POOL._cond.notify_all()
 
 
 def _wire_layout(dims, lo_lens):

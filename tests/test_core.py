@@ -363,3 +363,43 @@ def test_debug_messenger_fires_on_runtime_fallback():
         cat & int(nic.DebugMessageCategory.PLUGIN) and cid == "flaky_test_decoder"
         for cat, cid in msgs
     )
+
+
+def test_host_pool_policy_knobs():
+    """Allocator-policy plumbing (reference analog: custom pinned-allocator
+    hooks, include/nvimgcodec.h:232-302): pool size / per-key cap via the
+    plugin options string, custom allocator via configure_host_pool."""
+    import numpy as np
+
+    import nvimagecodec_tpu as nic
+    from nvimagecodec_tpu.codecs.jpeg.batch import _POOL
+
+    import oracle
+
+    old = (_POOL._max, _POOL.per_key_cap, _POOL._alloc)
+    try:
+        dec = nic.Decoder(
+            options="tpu_jpeg_hybrid_decoder:host_pool_mb=64 "
+                    "tpu_jpeg_hybrid_decoder:host_pool_per_key_cap=2")
+        # options apply when the plugin instance is created (first decode)
+        rng = np.random.default_rng(0)
+        dec.decode(oracle.jpeg_encode(
+            (rng.random((16, 16, 3)) * 255).astype(np.uint8), 90, "420"))
+        assert _POOL._max == 64 << 20 and _POOL.per_key_cap == 2
+
+        calls = []
+
+        def alloc(shape, dtype):
+            calls.append(shape)
+            return np.empty(shape, dtype)
+
+        nic.configure_host_pool(max_mb=128, per_key_cap=3, alloc=alloc)
+        assert _POOL._max == 128 << 20 and _POOL.per_key_cap == 3
+        a = _POOL.acquire(("k", 1), (16,), np.uint8)
+        assert calls == [(16,)] and a.shape == (16,)
+        _POOL.release(("k", 1), a)
+        b = _POOL.acquire(("k", 1), (16,), np.uint8)
+        assert calls == [(16,)]  # recycled, not re-allocated
+        _POOL.release(("k", 1), b)
+    finally:
+        _POOL._max, _POOL.per_key_cap, _POOL._alloc = old
