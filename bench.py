@@ -100,10 +100,49 @@ def main() -> None:
             decoded += len(outs)
         return decoded / (time.perf_counter() - t0)
 
-    tpu_passes = [one_pass() for _ in range(3)]
+    def _median(xs):
+        ys = sorted(xs)
+        n = len(ys)
+        return ys[n // 2] if n % 2 else 0.5 * (ys[n // 2 - 1] + ys[n // 2])
+
+    # interleaved A/B protocol: ours and the baseline alternate within the
+    # same minute so tunnel/host drift hits both sides equally; median +
+    # spread reported alongside best (r3 verdict: best-of-3 on a drifting
+    # tunnel is too thin for a small-margin claim)
+    from nvimagecodec_tpu.core import trace as _trace
+
+    def base_pass():
+        t0 = time.perf_counter()
+        for j in jpgs[:256]:
+            oracle.jpeg_decode(j)
+        return 256 / (time.perf_counter() - t0)
+
+    tpu_passes = []
+    base_passes = []
+    device_wait_s = 0.0
+    h2d_bytes = 0
+    wall_s = 0.0
+    for _i in range(5):
+        _trace.start_collect()
+        t0 = time.perf_counter()
+        tpu_passes.append(one_pass())
+        wall_s += time.perf_counter() - t0
+        col = _trace.stop_collect()
+        device_wait_s += col["spans"].get("imgcodec.pipeline.device_wait", 0.0)
+        h2d_bytes += col["counters"].get("imgcodec.jpeg.h2d_bytes", 0)
+        if have_oracle:
+            base_passes.append(base_pass())
     ips = max(tpu_passes)
-    log(f"tpu decode: best of 3 passes -> {ips:.1f} img/s "
+    ips_median = _median(tpu_passes)
+    spread = max(tpu_passes) - min(tpu_passes)
+    device_ms_frac = device_wait_s / max(wall_s, 1e-9)
+    log(f"tpu decode: best of 5 interleaved passes -> {ips:.1f} img/s, "
+        f"median {ips_median:.1f} +/- spread {spread:.1f} "
         f"(all: {[round(p, 1) for p in tpu_passes]})")
+    log(f"device-stage attribution: wire H2D "
+        f"{h2d_bytes / max(wall_s, 1e-9) / 1e6:.0f} MB/s "
+        f"({h2d_bytes >> 20} MiB over {wall_s:.1f} s), device-completion "
+        f"wait {device_wait_s:.2f} s ({device_ms_frac:.1%} of wall)")
 
     # --- encode throughput + libjpeg-turbo 1-thread encode baseline --------
     encode_ips = encode_vs = None
@@ -146,24 +185,17 @@ def main() -> None:
     except Exception as e:
         log("encode bench skipped:", e)
 
-    # --- baseline: libjpeg-turbo single-thread -----------------------------
-    # symmetric de-noising: best-of-3 on both sides, spreads in the JSON
-    vs = None
-    base_passes = []
-    if have_oracle:
-        import oracle
-
-        def base_pass():
-            t0 = time.perf_counter()
-            for j in jpgs[:256]:
-                oracle.jpeg_decode(j)
-            return 256 / (time.perf_counter() - t0)
-
-        base_passes = [base_pass() for _ in range(3)]
+    # --- baseline summary (passes already interleaved with ours above) ----
+    vs = vs_median = None
+    if base_passes:
         base_ips = max(base_passes)
-        log(f"libjpeg-turbo 1-thread: best of 3 -> {base_ips:.1f} img/s "
+        log(f"libjpeg-turbo 1-thread: best of 5 interleaved -> "
+            f"{base_ips:.1f} img/s, median {_median(base_passes):.1f} "
             f"(all: {[round(p, 1) for p in base_passes]})")
         vs = ips / base_ips
+        vs_median = ips_median / _median(base_passes)
+        log(f"decode vs baseline: best/best {vs:.3f}, "
+            f"median/median {vs_median:.3f}")
 
     print(
         json.dumps(
@@ -172,6 +204,11 @@ def main() -> None:
                 "value": round(ips, 1),
                 "unit": "images/s/chip",
                 "vs_baseline": round(vs, 3) if vs else None,
+                "vs_baseline_median": round(vs_median, 3) if vs_median else None,
+                "median": round(ips_median, 1),
+                "spread": round(spread, 1),
+                "device_ms_frac": round(device_ms_frac, 3),
+                "h2d_mib": h2d_bytes >> 20,
                 "passes": [round(p, 1) for p in tpu_passes],
                 "baseline_passes": [round(p, 1) for p in base_passes],
                 "encode_value": round(encode_ips, 1) if encode_ips else None,
@@ -221,16 +258,56 @@ def main() -> None:
                     decoded += len(outs)
                 return decoded / (time.perf_counter() - t0)
 
-            dri = max(dri_pass() for _ in range(3))
+            # 3 passes per route, medians reported (r3 verdict: the single
+            # best-of comparison flapped between x1.1 and x3.7 across
+            # rounds). Device route first as a block: the host route's wide
+            # wire registers much larger host buffers with the transport,
+            # which degrades transfer latency for the REST of the process —
+            # interleaving would bill that degradation to the device route.
+            dri_passes = [dri_pass() for _ in range(3)]
             os.environ["TIC_NO_DEVICE_ENTROPY"] = "1"
             try:
                 dec.decode(dri_jpgs[:BATCH])
-                dri_host = max(dri_pass() for _ in range(2))
+                host_passes = [dri_pass() for _ in range(3)]
             finally:
                 os.environ.pop("TIC_NO_DEVICE_ENTROPY", None)
-            log(f"device-entropy decode (DRI corpus): {dri:.1f} img/s "
-                f"vs host route on the same corpus: {dri_host:.1f} img/s "
-                f"(x{dri / max(dri_host, 1e-9):.2f})")
+
+            def _med(xs):
+                ys = sorted(xs)
+                n = len(ys)
+                return (ys[n // 2] if n % 2
+                        else 0.5 * (ys[n // 2 - 1] + ys[n // 2]))
+
+            dri, dri_host = _med(dri_passes), _med(host_passes)
+            log(f"device-entropy decode (DRI corpus): median {dri:.1f} "
+                f"img/s (all: {[round(p, 1) for p in dri_passes]}) vs host "
+                f"route: median {dri_host:.1f} img/s "
+                f"(all: {[round(p, 1) for p in host_passes]}) "
+                f"-> x{dri / max(dri_host, 1e-9):.2f}")
+
+        # coverage: which corpus classes ride the device entropy kernel
+        try:
+            from nvimagecodec_tpu.ops.pallas_entropy import entropy_kernel_spec
+
+            cover = []
+            for label, ss, prog in [
+                ("420", "420", False), ("422", "422", False),
+                ("444", "444", False), ("440", "440", False),
+                ("411", "411", False), ("410", "410", False),
+                ("gray", "gray", False), ("progressive", "420", True),
+            ]:
+                src = base[0][:, :, 0] if ss == "gray" else base[0]
+                f = parse_jpeg_structure(oracle.jpeg_encode(
+                    src, QUALITY, ss, progressive=prog, restart_interval=8))
+                try:
+                    entropy_kernel_spec(f)
+                    cover.append(label)
+                except ValueError:
+                    pass
+            log(f"device-entropy coverage (restart streams): {cover} "
+                f"(host route: everything else, e.g. progressive)")
+        except Exception as e:
+            log("device-entropy coverage report skipped:", e)
     except Exception as e:
         log("device-entropy bench skipped:", e)
 
@@ -274,42 +351,71 @@ def main() -> None:
         from nvimagecodec_tpu.native import opj_bridge
 
         big = make_photo(1024, 1024, seed=3)
+
+        def _rate(fn, budget=1.5):
+            t0 = _time.perf_counter()
+            n = 0
+            while _time.perf_counter() - t0 < budget:
+                fn()
+                n += 1
+            return n / (_time.perf_counter() - t0)
+
         for label, kw in (("j2k", {}), ("htj2k", {"ht": True})):
             stream = encode_j2k(big, reversible=True, levels=5,
                                 stream_type="j2k", **kw)
             decode_j2k(stream)  # warm
-            t0 = _time.perf_counter()
-            n = 0
-            while _time.perf_counter() - t0 < 3.0:
-                decode_j2k(stream)
-                n += 1
-            ours_ips = n / (_time.perf_counter() - t0)
+            decode_j2k(stream, num_threads=1)
             opj_bridge.decode(stream)  # warm + validates it decodes there
-            t0 = _time.perf_counter()
-            n = 0
-            while _time.perf_counter() - t0 < 3.0:
-                opj_bridge.decode(stream)
-                n += 1
-            opj_ips = n / (_time.perf_counter() - t0)
-            log(f"{label} decode 1024x1024 rev: ours {ours_ips:.2f} img/s "
-                f"vs openjpeg-1t {opj_ips:.2f} img/s "
-                f"(x{ours_ips / opj_ips:.2f})")
-            t0 = _time.perf_counter()
-            n = 0
-            while _time.perf_counter() - t0 < 3.0:
-                encode_j2k(big, reversible=True, levels=5,
-                           stream_type="j2k", **kw)
-                n += 1
-            enc_ips = n / (_time.perf_counter() - t0)
-            t0 = _time.perf_counter()
-            n = 0
-            while _time.perf_counter() - t0 < 3.0:
-                opj_bridge.encode_lossless(big)
-                n += 1
-            openc_ips = n / (_time.perf_counter() - t0)
-            log(f"{label} encode 1024x1024 rev: ours {enc_ips:.2f} img/s "
-                f"vs openjpeg {openc_ips:.2f} img/s "
-                f"(x{enc_ips / openc_ips:.2f})")
+            # interleaved best-of-2 rounds per contender: a load spike on
+            # the shared host hits all three the same way
+            ours1 = ours = opj = 0.0
+            for _r in range(2):
+                ours1 = max(ours1, _rate(
+                    lambda: decode_j2k(stream, num_threads=1)))
+                opj = max(opj, _rate(lambda: opj_bridge.decode(stream)))
+                ours = max(ours, _rate(lambda: decode_j2k(stream)))
+            log(f"{label} decode 1024x1024 rev: ours-1t {ours1:.2f} "
+                f"(x{ours1 / opj:.2f} equal-thread), ours-free {ours:.2f} "
+                f"(x{ours / opj:.2f}) vs openjpeg-1t {opj:.2f} img/s")
+            enc1 = enc = openc = 0.0
+            for _r in range(2):
+                enc1 = max(enc1, _rate(lambda: encode_j2k(
+                    big, reversible=True, levels=5, stream_type="j2k",
+                    num_threads=1, **kw)))
+                openc = max(openc, _rate(
+                    lambda: opj_bridge.encode_lossless(big)))
+                enc = max(enc, _rate(lambda: encode_j2k(
+                    big, reversible=True, levels=5, stream_type="j2k",
+                    **kw)))
+            log(f"{label} encode 1024x1024 rev: ours-1t {enc1:.2f} "
+                f"(x{enc1 / openc:.2f} equal-thread), ours-free {enc:.2f} "
+                f"(x{enc / openc:.2f}) vs openjpeg-1t {openc:.2f} img/s")
+
+        # device pixel stage (auto crossover, verdict r3 #7): same stream,
+        # host IDWT vs TPU IDWT/MCT route; the measured H2D probes drive
+        # the automatic choice (core.device_route_auto)
+        from nvimagecodec_tpu.codecs.jpeg2000.core import (
+            _h2d_lat_ms, _h2d_mb_per_s, device_route_auto)
+
+        stream = encode_j2k(big, reversible=True, levels=5,
+                            stream_type="j2k")
+        import jax as _jax
+
+        def _dev_pass():
+            out = decode_j2k(stream, use_jax=True)
+            _jax.block_until_ready(out)
+
+        decode_j2k(stream, use_jax=True)  # warm/compile
+        dev = host = 0.0
+        for _r in range(2):
+            dev = max(dev, _rate(_dev_pass))
+            host = max(host, _rate(lambda: decode_j2k(stream,
+                                                      use_jax=False)))
+        auto = device_route_auto(1024 * 1024)
+        log(f"j2k device pixel stage: device route {dev:.2f} img/s vs "
+            f"host route {host:.2f} img/s (x{dev / host:.2f}); auto picks "
+            f"{'device' if auto else 'host'} "
+            f"(H2D {_h2d_mb_per_s():.0f} MB/s, {_h2d_lat_ms():.2f} ms/op)")
     except Exception as e:
         log("j2k bench skipped:", e)
 

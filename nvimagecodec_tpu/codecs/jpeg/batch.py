@@ -40,6 +40,7 @@ from typing import Dict, List
 import numpy as np
 
 from ...core.interfaces import DecodeParams, DecodeResult
+from ...core import trace
 from ...core.trace import span
 from ...core.types import ProcessingStatus
 from .headers import parse_jpeg_structure
@@ -436,6 +437,8 @@ def _split_dri(good, frames, raws, dek, nsegs, xfer, pool,
                 continue
             side = _POOL.acquire(skey, (6, S), np.int32)
             side[:] = make_side(seg_mcus)
+            trace.add_count("imgcodec.jpeg.h2d_bytes",
+                            words.nbytes + side.nbytes)
             wfut = xfer.submit(jax.device_put, words, lane_shard)
             sfut = xfer.submit(jax.device_put, side, lane_shard)
             pending.append((sub, bad, wkey, words, skey, side, wfut, sfut))
@@ -527,6 +530,8 @@ def _split_indexed(good, frames, raws, dek, R, nsegs, xfer, pool,
             seg_mcus[j * nsegs:(j + 1) * nsegs] = 0
         side[0] = seg_mcus
         side[1] = start_bits
+        trace.add_count("imgcodec.jpeg.h2d_bytes",
+                        words.nbytes + side.nbytes)
         wfut = xfer.submit(jax.device_put, words, lane_shard)
         sfut = xfer.submit(jax.device_put, side, lane_shard)
         pending.append((sub, set(bad), wkey, words, skey, side, wfut, sfut))
@@ -878,6 +883,8 @@ def decode_batch_tpu(data_batch, params: DecodeParams, fancy: bool = True,
                     if overflow[0]:
                         break
                     # ship this chunk while the next one entropy-decodes
+                    trace.add_count("imgcodec.jpeg.h2d_bytes",
+                                    wire_buf[lo_j:hi_j].nbytes)
                     xfer_futs.append(xfer.submit(
                         jax.device_put, wire_buf[lo_j:hi_j],
                         dp_sharding))
@@ -937,6 +944,9 @@ def decode_batch_tpu(data_batch, params: DecodeParams, fancy: bool = True,
                                          bitexact)
                         imgs = call(frame0, devs)
                     else:
+                        trace.add_count(
+                            "imgcodec.jpeg.h2d_bytes",
+                            sum(a.nbytes for a in coef_arrays))
                         devs = tuple(
                             xfer.submit(jax.device_put, a,
                                         dp_sharding).result()

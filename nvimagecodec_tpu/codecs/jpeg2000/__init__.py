@@ -66,16 +66,15 @@ class Jpeg2kHybridDecoder(DecoderPlugin):
     def decode_batch(self, data_batch, info_batch, params) -> List[DecodeResult]:
         import os as _os
 
-        try:
-            import jax
-
-            use_jax = (
-                self.device_pixel_stage
-                and not _os.environ.get("TIC_J2K_NO_DEVICE")
-                and jax.default_backend() != "cpu"
-            )
-        except Exception:
+        # None = auto: decode_j2k applies the measured H2D crossover
+        # (core.device_route_auto) per stream — a fast-attached chip gets
+        # the device IDWT/MCT stage, a slow tunneled link keeps the host
+        # path (the same threshold design as the JPEG encode device stage)
+        if not self.device_pixel_stage or _os.environ.get(
+                "TIC_J2K_NO_DEVICE"):
             use_jax = False
+        else:
+            use_jax = None
 
         # True ROI: only covering tiles/code-blocks are entropy-decoded
         # (reference: nvjpeg2k region decode). ROI regions are small and

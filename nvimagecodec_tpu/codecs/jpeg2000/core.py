@@ -551,6 +551,112 @@ def encode_j2k(
 
 
 # ------------------------------------------------------------------ decode
+_H2D_RATE = [None]
+_H2D_LAT = [None]
+
+
+def _h2d_lat_ms() -> float:
+    """One-time probe of per-transfer latency (64 KiB device_put). A
+    tunneled dev chip has good bandwidth but ~5-40 ms per operation; a
+    PCIe/ICI-attached chip is sub-millisecond. Single-image pixel stages
+    are latency-bound, so the route decision needs both numbers."""
+    if _H2D_LAT[0] is None:
+        try:
+            import time as _t
+
+            import jax
+
+            a = np.arange(65536, dtype=np.uint8)
+            jax.block_until_ready(jax.device_put(a))  # settle
+            best = 1e9
+            for _ in range(3):
+                t0 = _t.perf_counter()
+                jax.block_until_ready(jax.device_put(a))
+                best = min(best, _t.perf_counter() - t0)
+            _H2D_LAT[0] = best * 1e3
+        except Exception:
+            _H2D_LAT[0] = 1e9
+    return _H2D_LAT[0]
+
+
+def _h2d_mb_per_s() -> float:
+    """One-time probe of host→device bandwidth (device_put of a host
+    array). The J2K device pixel stage ships ~4 B/sample of subband
+    coefficients up; on a fast-attached chip that beats the host IDWT, on
+    a slow tunneled link it never does. Mirrors the JPEG encode stage's
+    D2H threshold probe (codecs/jpeg/batch_encode._d2h_mb_per_s)."""
+    if _H2D_RATE[0] is None:
+        try:
+            import time as _t
+
+            import jax
+
+            a = np.arange(4_000_000, dtype=np.uint8)
+            jax.block_until_ready(jax.device_put(a))  # settle the link
+            t0 = _t.perf_counter()
+            jax.block_until_ready(jax.device_put(a))
+            dt = _t.perf_counter() - t0
+            _H2D_RATE[0] = a.nbytes / 1e6 / max(dt, 1e-6)
+        except Exception:
+            _H2D_RATE[0] = 0.0
+    return _H2D_RATE[0]
+
+
+def device_route_auto(npixels: int) -> bool:
+    """Measured crossover for the J2K device pixel stage: route dequant/
+    IDWT/MCT to the device when a real accelerator is attached, the tile is
+    big enough to amortize dispatch, and the probed H2D rate clears the
+    break-even bandwidth (host native IDWT runs ~4 ns/sample, so shipping
+    4 B/sample only wins at >= ~1 GB/s; the 800 MB/s bar matches the
+    encode stage's threshold design). TIC_J2K_DEVICE=1/0 overrides."""
+    env = os.environ.get("TIC_J2K_DEVICE")
+    if env is not None:
+        return env not in ("0", "false", "")
+    try:
+        import jax
+
+        if jax.default_backend() == "cpu":
+            return False
+    except Exception:
+        return False
+    if npixels < 256 * 256:
+        return False  # dispatch + transfer latency dominates small tiles
+    return _h2d_mb_per_s() > 800.0 and _h2d_lat_ms() < 2.0
+
+
+@functools.lru_cache(maxsize=64)
+def _j2k_device_fn_flat(levels: int, reversible: bool, mct: bool, C: int,
+                        th: int, tw: int, depth: int,
+                        origin: Tuple[int, int], shapes: Tuple):
+    """Single-transfer variant of _j2k_device_fn: every subband rides up in
+    ONE flat host buffer (a tunneled or PCIe link pays per-transfer
+    latency; 1 + 3*levels separate device_puts cost more than the whole
+    pixel stage). The jitted fn slices the flat buffer at static offsets
+    and rebuilds the [C, h, w] stacks on device."""
+    import jax
+    import jax.numpy as jnp
+
+    sizes = [int(np.prod(sh)) for sh in shapes]
+    offs = np.cumsum([0] + sizes).tolist()
+    inner = _j2k_device_fn(levels, reversible, mct, C, th, tw, depth,
+                           origin)
+
+    def fn(flat):
+        leaves = [
+            jnp.reshape(flat[offs[i]:offs[i + 1]], shapes[i])
+            for i in range(len(shapes))
+        ]
+        LL = leaves[0]
+        bands = tuple(
+            tuple(leaves[1 + 3 * lev + bi] for bi in range(3))
+            for lev in range(levels)
+        )
+        return inner._fun(LL, bands) if hasattr(inner, "_fun") else inner(
+            LL, bands)
+
+    return jax.jit(fn)
+
+
 @functools.lru_cache(maxsize=64)
 def _j2k_device_fn(levels: int, reversible: bool, mct: bool, C: int,
                    th: int, tw: int, depth: int,
@@ -680,7 +786,7 @@ def _roi_needed_rect(r: int, levels: int, ay0: int, ax0: int, ay1: int,
 def decode_j2k(
     data: bytes,
     num_threads: int = 0,
-    use_jax: bool = False,
+    use_jax: Optional[bool] = False,
     discard_levels: int = 0,
     mesh=None,
     region=None,
@@ -790,6 +896,11 @@ def decode_j2k(
         )
 
     border = _band_order(cp)
+
+    if use_jax is None:
+        # auto: measured crossover (H2D probe + tile size), see
+        # device_route_auto
+        use_jax = device_route_auto(siz.width * siz.height)
 
     ntiles_total = siz.tiles_x * siz.tiles_y
     uniform_grid = (
@@ -943,11 +1054,15 @@ def decode_j2k(
                 img = _decode_single_tile_sharded(
                     LL, bands_t, (th, tw), cp, C, depth, mesh)
                 return img[:, :, 0] if C == 1 else img
-            fn = _j2k_device_fn(
+            # one flat H2D transfer for the whole subband pyramid
+            leaves = [LL] + [b for lvl in bands_t for b in lvl]
+            shapes = tuple(a.shape for a in leaves)
+            flat = np.concatenate([a.ravel() for a in leaves])
+            fn = _j2k_device_fn_flat(
                 cp.levels, cp.reversible, cp.mct and C == 3, C, th, tw,
-                depth, torigin
+                depth, torigin, shapes
             )
-            img = fn(LL, bands_t)
+            img = fn(flat)
             return img[:, :, 0] if C == 1 else img
 
         def _one_plane(c):

@@ -18,10 +18,35 @@ import time
 
 _PRINT = bool(os.environ.get("TPUIMGCODEC_TRACE"))
 
+# optional in-process accumulation (bench attribution): totals[name] = secs
+# for spans, counters[name] = value for add_count (e.g. H2D bytes)
+_COLLECT = None
+
+
+def start_collect() -> None:
+    """Begin accumulating span durations / counters process-wide."""
+    global _COLLECT
+    _COLLECT = {"spans": {}, "counters": {}}
+
+
+def stop_collect() -> dict:
+    """Stop accumulating; returns {"spans": {name: secs}, "counters": ...}."""
+    global _COLLECT
+    d = _COLLECT or {"spans": {}, "counters": {}}
+    _COLLECT = None
+    return d
+
+
+def add_count(name: str, value) -> None:
+    """Accumulate a counter (no-op unless collection is active)."""
+    if _COLLECT is not None:
+        c = _COLLECT["counters"]
+        c[name] = c.get(name, 0) + value
+
 
 @contextlib.contextmanager
 def span(name: str):
-    t0 = time.perf_counter() if _PRINT else 0.0
+    t0 = time.perf_counter() if (_PRINT or _COLLECT is not None) else 0.0
     ann = None
     try:
         import jax.profiler
@@ -38,6 +63,9 @@ def span(name: str):
                 ann.__exit__(None, None, None)
             except Exception:
                 pass
+        if _COLLECT is not None and t0:
+            sp = _COLLECT["spans"]
+            sp[name] = sp.get(name, 0.0) + (time.perf_counter() - t0)
         if _PRINT:
             print(
                 f"[trace] {name}: {(time.perf_counter() - t0) * 1000:.2f} ms",

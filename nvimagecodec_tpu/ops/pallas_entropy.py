@@ -102,8 +102,8 @@ def entropy_kernel_spec(frame, R: int = 0) -> Tuple:
             raise ValueError("device entropy: 1-comp scans need h=v=1")
     comp_map = []
     for ci, c in enumerate(frame.components):
-        if c.h > 2 or c.v > 2:
-            raise ValueError("device entropy: h/v factors <= 2")
+        if c.h > 4 or c.v > 4:
+            raise ValueError("device entropy: h/v factors <= 4 (T.81 B.2.2)")
         comp_map.extend([ci] * (c.h * c.v))
     scan = frame.scans[0]
     dc_tabs, ac_tabs = _build_tables(frame)

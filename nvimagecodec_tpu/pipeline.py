@@ -56,8 +56,11 @@ def decode_batches(
         return outs
 
     def _force(outs):
+        from .core.trace import span
+
         if not isinstance(outs, list):
-            jax.block_until_ready(outs)
+            with span("imgcodec.pipeline.device_wait"):
+                jax.block_until_ready(outs)
             return outs
         # the device queue is in-order: completion of the batch's LAST
         # dispatched array implies the whole batch (each per-array block is
@@ -65,7 +68,8 @@ def decode_batches(
         for o in reversed(outs):
             a = o.array if hasattr(o, "array") else o
             if a is not None and not isinstance(a, np.ndarray):
-                jax.block_until_ready(a)
+                with span("imgcodec.pipeline.device_wait"):
+                    jax.block_until_ready(a)
                 break
         return outs
 

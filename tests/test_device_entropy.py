@@ -63,7 +63,7 @@ def photo():
     return make_photo(96, 144, seed=23)
 
 
-@pytest.mark.parametrize("ss", ["420", "422", "444"])
+@pytest.mark.parametrize("ss", ["420", "422", "444", "440", "411", "410"])
 def test_chroma_matrix(photo, ss):
     data = oracle.jpeg_encode(photo, 88, ss)
     frame = parse_jpeg_structure(data)
