@@ -173,105 +173,107 @@ struct MQDecoder {
   inline int decode(int cxi) { return mq_decode(v, &ctx[cxi]); }
 };
 
-struct MQEncoder {
-  std::vector<uint8_t> out;
+struct MqeVars {
   uint32_t c;
   uint32_t a;
   int ct;
+};
+
+// Packed-context MQ encoder, mirror of the decoder's layout: each context
+// holds its full kMqPacked node word (qe | mps | next-node ids) so the
+// encode decision's critical path is one 64-bit load; the pass loops keep
+// (a, c, ct) in registers via MqeVars and write them back once per pass.
+struct MQEncoder {
+  std::vector<uint8_t> out;
+  MqeVars v;
   int bp;  // index into out of pending byte (B); -1 until first byteout
-  uint8_t idx[kNumCtx];
-  uint8_t mps[kNumCtx];
+  uint64_t ctxw[kNumCtx];
 
   void init() {
-    std::memset(idx, 0, sizeof(idx));
-    std::memset(mps, 0, sizeof(mps));
-    idx[CTX_UNI] = 46;
-    idx[CTX_RUN] = 3;
-    idx[0] = 4;
-    a = 0x8000;
-    c = 0;
-    ct = 12;
+    for (int i = 0; i < kNumCtx; i++) ctxw[i] = kMqPacked[0];
+    ctxw[CTX_UNI] = kMqPacked[2 * 46];
+    ctxw[CTX_RUN] = kMqPacked[2 * 3];
+    ctxw[0] = kMqPacked[2 * 4];
+    v.a = 0x8000;
+    v.c = 0;
+    v.ct = 12;
     bp = -1;
+    out.clear();
   }
 
-  void byteout() {
+  __attribute__((noinline)) void byteout(MqeVars& vv) {
     if (bp >= 0 && out[bp] == 0xFF) {
       // stuff: next byte gets 7 bits
-      out.push_back((uint8_t)(c >> 20));
+      out.push_back((uint8_t)(vv.c >> 20));
       bp = (int)out.size() - 1;
-      c &= 0xFFFFF;
-      ct = 7;
+      vv.c &= 0xFFFFF;
+      vv.ct = 7;
     } else {
-      if (c < 0x8000000) {
-        out.push_back((uint8_t)(c >> 19));
+      if (vv.c < 0x8000000) {
+        out.push_back((uint8_t)(vv.c >> 19));
         bp = (int)out.size() - 1;
-        c &= 0x7FFFF;
-        ct = 8;
+        vv.c &= 0x7FFFF;
+        vv.ct = 8;
       } else {
         // carry propagation into B
         if (bp >= 0) {
           out[bp]++;
           if (out[bp] == 0xFF) {
-            c &= 0x7FFFFFF;
-            out.push_back((uint8_t)(c >> 20));
+            vv.c &= 0x7FFFFFF;
+            out.push_back((uint8_t)(vv.c >> 20));
             bp = (int)out.size() - 1;
-            c &= 0xFFFFF;
-            ct = 7;
+            vv.c &= 0xFFFFF;
+            vv.ct = 7;
             return;
           }
         }
-        c &= 0x7FFFFFF;
-        out.push_back((uint8_t)(c >> 19));
+        vv.c &= 0x7FFFFFF;
+        out.push_back((uint8_t)(vv.c >> 19));
         bp = (int)out.size() - 1;
-        c &= 0x7FFFF;
-        ct = 8;
+        vv.c &= 0x7FFFF;
+        vv.ct = 8;
       }
     }
   }
 
-  void encode(int cx, int d) {
-    uint32_t qe = kQe[idx[cx]].qe;
-    if (d == mps[cx]) {
-      a -= qe;
-      if ((a & 0x8000) == 0) {
-        if (a < qe) a = qe; else c += qe;
-        idx[cx] = kQe[idx[cx]].nmps;
-        do {
-          a <<= 1;
-          c <<= 1;
-          if (--ct == 0) byteout();
-        } while ((a & 0x8000) == 0);
-      } else {
-        c += qe;
+  __attribute__((always_inline)) inline void encode_w(MqeVars& vv,
+                                                      uint64_t& w, int d) {
+    uint32_t qe = (uint32_t)(w >> 32);
+    vv.a -= qe;
+    if (d == (int)((w >> 24) & 1)) {
+      if (vv.a & 0x8000) {
+        vv.c += qe;
+        return;
       }
+      if (vv.a < qe) vv.a = qe; else vv.c += qe;
+      w = kMqPacked[w & 0xFFF];
     } else {
-      a -= qe;
-      if (a < qe) c += qe; else a = qe;
-      if (kQe[idx[cx]].sw) mps[cx] = 1 - mps[cx];
-      idx[cx] = kQe[idx[cx]].nlps;
-      do {
-        a <<= 1;
-        c <<= 1;
-        if (--ct == 0) byteout();
-      } while ((a & 0x8000) == 0);
+      if (vv.a < qe) vv.c += qe; else vv.a = qe;
+      w = kMqPacked[(w >> 12) & 0xFFF];
     }
+    do {
+      vv.a <<= 1;
+      vv.c <<= 1;
+      if (--vv.ct == 0) byteout(vv);
+    } while (!(vv.a & 0x8000));
   }
+
+  void encode(int cx, int d) { encode_w(v, ctxw[cx], d); }
 
   void flush() {
     // SETBITS
-    uint32_t tempc = c + a;
-    c |= 0xFFFF;
-    if (c >= tempc) c -= 0x8000;
-    c <<= ct;
-    byteout();
-    c <<= ct;
-    byteout();
+    uint32_t tempc = v.c + v.a;
+    v.c |= 0xFFFF;
+    if (v.c >= tempc) v.c -= 0x8000;
+    v.c <<= v.ct;
+    byteout(v);
+    v.c <<= v.ct;
+    byteout(v);
     // trailing 0xFF bytes may be dropped: the decoder synthesizes 0xFF past
     // the end of the segment (T.88 FLUSH convention used by JPEG2000)
     while (!out.empty() && out.back() == 0xFF) out.pop_back();
   }
 };
-
 // ------------------------------------------------- T1 context modeling
 // Zero-coding context lookup per band (T.800 Table D.1).
 // Inputs: h = sum of horizontal significant neighbors (0-2),
@@ -337,104 +339,6 @@ static void sc_context(int hc, int vc, int* cx, int* xorbit) {
 // becomes significant it pushes its significance/sign into the flag words
 // of its 8 neighbors, so every context lookup is one load + one LUT index
 // instead of a 6-load neighborhood walk and a decision tree.
-enum : uint32_t {
-  F_SIG = 1u << 0,      // self significant
-  F_VISITED = 1u << 1,  // coded in this bitplane's SPP
-  F_REFINED = 1u << 2,  // refined at least once
-  // cardinal neighbor significance (W/E/N/S) at bits 4..7
-  F_SIG_W = 1u << 4,
-  F_SIG_E = 1u << 5,
-  F_SIG_N = 1u << 6,
-  F_SIG_S = 1u << 7,
-  // cardinal neighbor negativity at bits 8..11 (valid when sig bit set)
-  F_NEG_W = 1u << 8,
-  F_NEG_E = 1u << 9,
-  F_NEG_N = 1u << 10,
-  F_NEG_S = 1u << 11,
-  // diagonal neighbor significance at bits 12..15
-  F_SIG_NW = 1u << 12,
-  F_SIG_NE = 1u << 13,
-  F_SIG_SW = 1u << 14,
-  F_SIG_SE = 1u << 15,
-};
-constexpr uint32_t F_NBR = 0xF0F0u;  // any neighbor significant
-
-uint8_t kZcLut[3][256];  // [cls][sigWENS | diag4<<4] -> ZC context
-uint8_t kScLut[256];     // [sigWENS | negWENS<<4] -> cx | xorbit<<5
-
-struct T1Luts {          // fills the plain global tables once at load
-  T1Luts() {
-    const int bands[3] = {0, 1, 3};  // cls 0: LL/LH, 1: HL, 2: HH
-    for (int idx = 0; idx < 256; idx++) {
-      int hsum = (idx & 1) + ((idx >> 1) & 1);
-      int vsum = ((idx >> 2) & 1) + ((idx >> 3) & 1);
-      int d = ((idx >> 4) & 1) + ((idx >> 5) & 1) + ((idx >> 6) & 1) +
-              ((idx >> 7) & 1);
-      for (int c = 0; c < 3; c++)
-        kZcLut[c][idx] = (uint8_t)zc_context(bands[c], hsum, vsum, d);
-      auto contrib = [&](int sig, int neg) {
-        return sig ? (neg ? -1 : 1) : 0;
-      };
-      int hs = contrib(idx & 1, (idx >> 4) & 1) +
-               contrib((idx >> 1) & 1, (idx >> 5) & 1);
-      int vs = contrib((idx >> 2) & 1, (idx >> 6) & 1) +
-               contrib((idx >> 3) & 1, (idx >> 7) & 1);
-      int hc = hs > 0 ? 1 : hs < 0 ? -1 : 0;
-      int vc = vs > 0 ? 1 : vs < 0 ? -1 : 0;
-      int cx, xorbit;
-      sc_context(hc, vc, &cx, &xorbit);
-      kScLut[idx] = (uint8_t)(cx | (xorbit << 5));
-    }
-  }
-};
-const T1Luts kLutInit;
-
-inline int zc_idx(uint32_t f) {
-  return (int)(((f >> 4) & 0xF) | (((f >> 12) & 0xF) << 4));
-}
-inline int sc_idx(uint32_t f) {
-  return (int)(((f >> 4) & 0xF) | (((f >> 8) & 0xF) << 4));
-}
-
-struct T1 {
-  int w, h, band, cls;
-  int ws;                     // padded stride = w + 2
-  std::vector<uint32_t> F;    // flags, (w+2)x(h+2) zero border
-  std::vector<int32_t> mag;
-  std::vector<uint8_t> sgn;   // sign bit per pixel (unpadded)
-
-  void reset(int w_, int h_, int band_) {
-    w = w_;
-    h = h_;
-    band = band_;
-    cls = band_ == 1 ? 1 : band_ == 3 ? 2 : 0;
-    ws = w + 2;
-    F.assign((size_t)ws * (h + 2), 0);
-    mag.assign((size_t)w * h, 0);
-    sgn.assign((size_t)w * h, 0);
-  }
-
-  inline size_t pi(int x, int y) const {
-    return (size_t)(y + 1) * ws + (x + 1);
-  }
-
-  // becoming significant: set own SIG and push sig/sign into the 8
-  // neighbors' flag words (pad ring absorbs border writes)
-  inline void mark_sig(int x, int y, int negative) {
-    uint32_t* p = &F[pi(x, y)];
-    p[0] |= F_SIG;
-    uint32_t neg = negative ? 1u : 0u;
-    p[-1] |= F_SIG_E | (neg << 9);        // west cell sees us as East
-    p[1] |= F_SIG_W | (neg << 8);
-    p[-ws] |= F_SIG_S | (neg << 11);      // north cell sees us as South
-    p[ws] |= F_SIG_N | (neg << 10);
-    p[-ws - 1] |= F_SIG_SE;
-    p[-ws + 1] |= F_SIG_SW;
-    p[ws - 1] |= F_SIG_NE;
-    p[ws + 1] |= F_SIG_NW;
-    sgn[(size_t)y * w + x] = (uint8_t)negative;
-  }
-};
 
 // ---------------------------------------------------------------- decode
 //
@@ -462,6 +366,28 @@ constexpr uint32_t CENTER_ALL = (1u << 4) | (1u << 7) | (1u << 10) | (1u << 13);
 inline uint32_t SIG_SELF(int j) { return 1u << (3 * j + 4); }
 inline uint32_t PI_BIT(int j) { return 1u << (24 + j); }
 inline uint32_t MU_BIT(int j) { return 1u << (28 + j); }
+
+uint8_t kScLut[256];  // [sigWENS | negWENS<<4] -> cx | xorbit<<5
+
+struct ScLutInit {  // fills the SC table once at load
+  ScLutInit() {
+    for (int idx = 0; idx < 256; idx++) {
+      auto contrib = [&](int sig, int neg) {
+        return sig ? (neg ? -1 : 1) : 0;
+      };
+      int hs = contrib(idx & 1, (idx >> 4) & 1) +
+               contrib((idx >> 1) & 1, (idx >> 5) & 1);
+      int vs = contrib((idx >> 2) & 1, (idx >> 6) & 1) +
+               contrib((idx >> 3) & 1, (idx >> 7) & 1);
+      int hc = hs > 0 ? 1 : hs < 0 ? -1 : 0;
+      int vc = vs > 0 ? 1 : vs < 0 ? -1 : 0;
+      int cx, xorbit;
+      sc_context(hc, vc, &cx, &xorbit);
+      kScLut[idx] = (uint8_t)(cx | (xorbit << 5));
+    }
+  }
+};
+const ScLutInit kScLutInit;
 
 uint8_t kZcLut9[3][512];  // [cls][9-bit 3x3 sig window] -> ZC context
 struct Zc9Init {
@@ -723,84 +649,235 @@ struct T1Decoder {
 };
 
 // ---------------------------------------------------------------- encode
-struct T1Encoder : T1 {
+// Stripe-column-word encoder: the same data layout and helpers as
+// T1Decoder above (one 32-bit word per 4-row stripe column carrying the
+// 3x6 significance window, centre signs and visited/refined bits), driven
+// from known sign-magnitude coefficients instead of the MQ decisions. The
+// legacy per-pixel-flag encoder this replaces spent ~3x the decoder\'s time
+// per sample in flag-word traffic.
+struct T1EncoderFast {
+  int w, h, S, cls, ws;
+  int64_t mstride;
+  std::vector<uint32_t> F;   // (S+2) x (w+2) pad ring
+  const int32_t* vals = nullptr;  // sign-magnitude input rows
   MQEncoder mq;
 
-  inline void encode_sign(int x, int y) {
-    uint8_t v = kScLut[sc_idx(F[pi(x, y)])];
-    int neg = sgn[(size_t)y * w + x];
-    mq.encode(v & 0x1F, neg ^ (v >> 5));
-    mark_sig(x, y, neg);
+  inline uint32_t* wp(int s, int x) {
+    return &F[(size_t)(s + 1) * ws + (x + 1)];
+  }
+
+  void reset(int w_, int h_, int band_) {
+    w = w_;
+    h = h_;
+    S = (h_ + 3) >> 2;
+    cls = band_ == 1 ? 1 : band_ == 3 ? 2 : 0;
+    ws = w + 2;
+    F.assign((size_t)ws * (S + 2), 0);
+  }
+
+  __attribute__((always_inline)) inline void update_sig_f(
+      uint32_t* p, uint32_t& f, int j, uint32_t neg) {
+    f |= SIG_SELF(j) | (neg << (19 + j));
+    p[-1] |= 1u << (3 * j + 5);
+    p[1] |= 1u << (3 * j + 3);
+    if (j == 0) {
+      uint32_t* q = p - ws;
+      q[0] |= (1u << 16) | (neg << 23);
+      q[-1] |= 1u << 17;
+      q[1] |= 1u << 15;
+    } else if (j == 3) {
+      uint32_t* q = p + ws;
+      q[0] |= (1u << 1) | (neg << 18);
+      q[-1] |= 1u << 2;
+      q[1] |= 1u << 0;
+    }
+  }
+
+  __attribute__((always_inline)) inline int sc_index_f(const uint32_t* p,
+                                                       uint32_t f, int j) {
+    return (int)(((f >> (3 * j + 3)) & 1) | (((f >> (3 * j + 5)) & 1) << 1) |
+                 (((f >> (3 * j + 1)) & 1) << 2) |
+                 (((f >> (3 * j + 7)) & 1) << 3) |
+                 (((p[-1] >> (19 + j)) & 1) << 4) |
+                 (((p[1] >> (19 + j)) & 1) << 5) |
+                 (((f >> (18 + j)) & 1) << 6) |
+                 (((f >> (20 + j)) & 1) << 7));
+  }
+
+  __attribute__((always_inline)) inline void encode_sign_f(
+      MqeVars& mv, uint32_t* p, uint32_t& f, int j, uint32_t neg) {
+    uint8_t v = kScLut[sc_index_f(p, f, j)];
+    mq.encode_w(mv, mq.ctxw[v & 0x1F], (int)(neg ^ (uint32_t)(v >> 5)));
+    update_sig_f(p, f, j, neg);
+  }
+
+#define T1E_SPP_ROW(J, R)                                               \
+  {                                                                     \
+    uint32_t nb = (f >> (3 * (J))) & 0x1FF;                             \
+    if ((nb != 0) & ((nb & 0x10u) == 0)) {                              \
+      uint32_t vv = (uint32_t)(R)[x];                                   \
+      int bit = (int)((vv >> bp) & 1);                                  \
+      mq.encode_w(mv, mq.ctxw[zc[nb]], bit);                            \
+      if (bit) encode_sign_f(mv, rowp + x, f, (J), vv >> 31);           \
+      f |= PI_BIT(J);                                                   \
+    }                                                                   \
   }
 
   void sig_prop_pass(int bp) {
-    for (int y0 = 0; y0 < h; y0 += 4)
-      for (int x = 0; x < w; x++)
-        for (int y = y0; y < y0 + 4 && y < h; y++) {
-          uint32_t f = F[pi(x, y)];
-          if ((f & F_SIG) || !(f & F_NBR)) continue;
-          int bit = (mag[(size_t)y * w + x] >> bp) & 1;
-          mq.encode(kZcLut[cls][zc_idx(f)], bit);
-          if (bit) encode_sign(x, y);
-          F[pi(x, y)] |= F_VISITED;
+    MqeVars mv = mq.v;
+    const uint8_t* zc = kZcLut9[cls];
+    for (int s = 0; s < S; s++) {
+      int jmax = h - 4 * s;
+      if (jmax > 4) jmax = 4;
+      uint32_t* rowp = wp(s, 0);
+      const int32_t* r0 = vals + (size_t)4 * s * mstride;
+      const int32_t* r1 = r0 + mstride;
+      const int32_t* r2 = r1 + mstride;
+      const int32_t* r3 = r2 + mstride;
+      if (jmax == 4) {
+        for (int x = 0; x < w; x++) {
+          uint32_t f = rowp[x];
+          if (!(f & SIG_ALL)) continue;
+          T1E_SPP_ROW(0, r0)
+          T1E_SPP_ROW(1, r1)
+          T1E_SPP_ROW(2, r2)
+          T1E_SPP_ROW(3, r3)
+          rowp[x] = f;
         }
+      } else {
+        for (int x = 0; x < w; x++) {
+          uint32_t f = rowp[x];
+          if (!(f & SIG_ALL)) continue;
+          T1E_SPP_ROW(0, r0)
+          if (jmax > 1) T1E_SPP_ROW(1, r1)
+          if (jmax > 2) T1E_SPP_ROW(2, r2)
+          rowp[x] = f;
+        }
+      }
+    }
+    mq.v = mv;
+  }
+
+#define T1E_MRP_ROW(J, R)                                               \
+  if ((f & (SIG_SELF(J) | PI_BIT(J))) == SIG_SELF(J)) {                 \
+    int bit = (int)(((uint32_t)(R)[x] >> bp) & 1);                      \
+    if (f & MU_BIT(J)) {                                                \
+      mq.encode_w(mv, c16, bit);                                        \
+    } else {                                                            \
+      int cx = ((f >> (3 * (J))) & 0x1FF & ~0x10u) ? 15 : 14;           \
+      mq.encode_w(mv, mq.ctxw[cx], bit);                                \
+    }                                                                   \
+    f |= MU_BIT(J) | PI_BIT(J);                                         \
   }
 
   void mag_ref_pass(int bp) {
-    for (int y0 = 0; y0 < h; y0 += 4)
-      for (int x = 0; x < w; x++)
-        for (int y = y0; y < y0 + 4 && y < h; y++) {
-          uint32_t& f = F[pi(x, y)];
-          if (!(f & F_SIG) || (f & F_VISITED)) continue;
-          int cx = (f & F_REFINED) ? 16 : (f & F_NBR) ? 15 : 14;
-          mq.encode(cx, (mag[(size_t)y * w + x] >> bp) & 1);
-          f |= F_REFINED | F_VISITED;
-        }
+    MqeVars mv = mq.v;
+    uint64_t c16 = mq.ctxw[16];
+    for (int s = 0; s < S; s++) {
+      int jmax = h - 4 * s;
+      if (jmax > 4) jmax = 4;
+      uint32_t* rowp = wp(s, 0);
+      const int32_t* r0 = vals + (size_t)4 * s * mstride;
+      const int32_t* r1 = r0 + mstride;
+      const int32_t* r2 = r1 + mstride;
+      const int32_t* r3 = r2 + mstride;
+      for (int x = 0; x < w; x++) {
+        uint32_t f = rowp[x];
+        if (!(f & CENTER_ALL)) continue;
+        T1E_MRP_ROW(0, r0)
+        if (jmax > 1) T1E_MRP_ROW(1, r1)
+        if (jmax > 2) T1E_MRP_ROW(2, r2)
+        if (jmax > 3) T1E_MRP_ROW(3, r3)
+        rowp[x] = f;
+      }
+    }
+    mq.ctxw[16] = c16;
+    mq.v = mv;
+  }
+
+#define T1E_CLN_SIG(J, R)                                               \
+  encode_sign_f(mv, rowp + x, f, (J), ((uint32_t)(R)[x]) >> 31);
+
+#define T1E_CLN_ROW(J, R)                                               \
+  {                                                                     \
+    if (!(f & (SIG_SELF(J) | PI_BIT(J)))) {                             \
+      uint32_t nb = (f >> (3 * (J))) & 0x1FF;                           \
+      int bit = (int)(((uint32_t)(R)[x] >> bp) & 1);                    \
+      mq.encode_w(mv, mq.ctxw[zc[nb]], bit);                            \
+      if (bit) T1E_CLN_SIG(J, R)                                        \
+    }                                                                   \
   }
 
   void cleanup_pass(int bp) {
-    for (int y0 = 0; y0 < h; y0 += 4)
+    MqeVars mv = mq.v;
+    uint64_t crun = mq.ctxw[CTX_RUN];
+    uint64_t cuni = mq.ctxw[CTX_UNI];
+    const uint8_t* zc = kZcLut9[cls];
+    for (int s = 0; s < S; s++) {
+      int jmax = h - 4 * s;
+      bool full = jmax >= 4;
+      if (jmax > 4) jmax = 4;
+      uint32_t* rowp = wp(s, 0);
+      const int32_t* r0 = vals + (size_t)4 * s * mstride;
+      const int32_t* r1 = r0 + mstride;
+      const int32_t* r2 = r1 + mstride;
+      const int32_t* r3 = r2 + mstride;
       for (int x = 0; x < w; x++) {
-        int y = y0;
-        if (y0 + 4 <= h) {
-          bool rl = true;
-          for (int yy = y0; yy < y0 + 4; yy++)
-            if (F[pi(x, yy)] & (F_SIG | F_VISITED | F_NBR)) {
-              rl = false;
-              break;
-            }
-          if (rl) {
+        uint32_t f = rowp[x];
+        if (full) {
+          if (!(f & (SIG_ALL | PI_ALL))) {
+            // run-length mode: none of the 4 rows has a sig neighbor
             int first = -1;
-            for (int yy = y0; yy < y0 + 4; yy++)
-              if ((mag[(size_t)yy * w + x] >> bp) & 1) {
-                first = yy;
-                break;
-              }
+            if (((uint32_t)r0[x] >> bp) & 1) first = 0;
+            else if (((uint32_t)r1[x] >> bp) & 1) first = 1;
+            else if (((uint32_t)r2[x] >> bp) & 1) first = 2;
+            else if (((uint32_t)r3[x] >> bp) & 1) first = 3;
             if (first < 0) {
-              mq.encode(CTX_RUN, 0);
-              for (int yy = y0; yy < y0 + 4; yy++)
-                F[pi(x, yy)] &= ~F_VISITED;
-              continue;
+              mq.encode_w(mv, crun, 0);
+              continue;  // f has no PI/MU bits to clear
             }
-            mq.encode(CTX_RUN, 1);
-            int r = first - y0;
-            mq.encode(CTX_UNI, (r >> 1) & 1);
-            mq.encode(CTX_UNI, r & 1);
-            encode_sign(x, first);
-            y = first + 1;
+            mq.encode_w(mv, crun, 1);
+            mq.encode_w(mv, cuni, (first >> 1) & 1);
+            mq.encode_w(mv, cuni, first & 1);
+            switch (first) {
+              case 0:
+                T1E_CLN_SIG(0, r0)
+                T1E_CLN_ROW(1, r1)
+                T1E_CLN_ROW(2, r2)
+                T1E_CLN_ROW(3, r3)
+                break;
+              case 1:
+                T1E_CLN_SIG(1, r1)
+                T1E_CLN_ROW(2, r2)
+                T1E_CLN_ROW(3, r3)
+                break;
+              case 2:
+                T1E_CLN_SIG(2, r2)
+                T1E_CLN_ROW(3, r3)
+                break;
+              default:
+                T1E_CLN_SIG(3, r3)
+                break;
+            }
+            rowp[x] = f & ~PI_ALL;
+            continue;
           }
+          T1E_CLN_ROW(0, r0)
+          T1E_CLN_ROW(1, r1)
+          T1E_CLN_ROW(2, r2)
+          T1E_CLN_ROW(3, r3)
+          rowp[x] = f & ~PI_ALL;
+        } else {
+          T1E_CLN_ROW(0, r0)
+          if (jmax > 1) T1E_CLN_ROW(1, r1)
+          if (jmax > 2) T1E_CLN_ROW(2, r2)
+          rowp[x] = f & ~PI_ALL;
         }
-        for (; y < y0 + 4 && y < h; y++) {
-          uint32_t f = F[pi(x, y)];
-          if (!(f & (F_SIG | F_VISITED))) {
-            int bit = (mag[(size_t)y * w + x] >> bp) & 1;
-            mq.encode(kZcLut[cls][zc_idx(f)], bit);
-            if (bit) encode_sign(x, y);
-          }
-        }
-        for (int yy = y0; yy < y0 + 4 && yy < h; yy++)
-          F[pi(x, yy)] &= ~F_VISITED;
       }
+    }
+    mq.ctxw[CTX_RUN] = crun;
+    mq.ctxw[CTX_UNI] = cuni;
+    mq.v = mv;
   }
 };
 
@@ -877,14 +954,16 @@ int tic_j2k_t1_encode(const int32_t* in, int w, int h, int band,
                       uint8_t* out_buf, int cap, int* outlen, int* num_bps,
                       int* num_passes) {
   if (w <= 0 || h <= 0 || w > 4096 || h > 4096) return 1;
-  T1Encoder t;
+  static thread_local T1EncoderFast t __attribute__((tls_model("initial-exec")));
+  static thread_local std::vector<int32_t> sm;  // sign-magnitude plane
   t.reset(w, h, band);
+  sm.resize((size_t)w * h);
   int32_t maxmag = 0;
   for (int i = 0; i < w * h; i++) {
     int32_t v = in[i];
-    int32_t m = v < 0 ? -v : v;
-    t.mag[i] = m;
-    t.sgn[i] = v < 0;
+    int32_t neg = (int32_t)((uint32_t)v >> 31);
+    int32_t m = (v ^ -neg) + neg;  // |v| branchless
+    sm[i] = m | (neg << 31);
     if (m > maxmag) maxmag = m;
   }
   int nbps = 0;
@@ -895,7 +974,10 @@ int tic_j2k_t1_encode(const int32_t* in, int w, int h, int band,
     *outlen = 0;
     return 0;
   }
+  t.vals = sm.data();
+  t.mstride = w;
   t.mq.init();
+  t.mq.out.clear();
   int pass = 0;
   for (int bp = nbps - 1; bp >= 0; bp--) {
     if (bp == nbps - 1) {
