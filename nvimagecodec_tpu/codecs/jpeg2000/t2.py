@@ -276,6 +276,37 @@ class PacketEncoder:
                 for (p, bi), ps in states.items():
                     self.state[(c, res.r, p, bi)] = ps
                     self.plans[(c, res.r, p, bi)] = []
+        # native header writer (native/j2k_t2.cpp encoder side); Python
+        # bit-writer below stays as the fallback and the reference
+        self._nctx = None
+        try:
+            import ctypes
+
+            from ...native import lib
+
+            L = lib()
+            i32p = ctypes.POINTER(ctypes.c_int32)
+            L.tic_t2e_create.restype = ctypes.c_void_p
+            L.tic_t2e_free.argtypes = [ctypes.c_void_p]
+            L.tic_t2e_add_precband.argtypes = [
+                ctypes.c_void_p, ctypes.c_int, ctypes.c_int, i32p, i32p]
+            L.tic_t2e_add_precband.restype = ctypes.c_int
+            L.tic_t2e_write_packet.argtypes = [
+                ctypes.c_void_p, i32p, ctypes.c_int, i32p, ctypes.c_int,
+                i32p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int]
+            L.tic_t2e_write_packet.restype = ctypes.c_int
+            self._NL = L
+            self._nctx = ctypes.c_void_p(L.tic_t2e_create())
+            self._nband: Dict[Tuple[int, int, int, int], int] = {}
+        except Exception:
+            self._nctx = None
+
+    def __del__(self):
+        if getattr(self, "_nctx", None) is not None:
+            try:
+                self._NL.tic_t2e_free(self._nctx)
+            except Exception:
+                pass
 
     def set_plan(self, c: int, r: int, p: int, bi: int,
                  plan: List[_EncCblk]) -> None:
@@ -284,11 +315,81 @@ class PacketEncoder:
         ps = self.state[(c, r, p, bi)]
         assert len(plan) == len(ps.cblks)
         self.plans[(c, r, p, bi)] = plan
+        if self._nctx is not None:
+            import ctypes
+
+            import numpy as _np
+
+            i32p = ctypes.POINTER(ctypes.c_int32)
+            fl = _np.asarray([e.first_layer for e in plan] or [0], _np.int32)
+            zb = _np.asarray([e.zero_bps for e in plan] or [0], _np.int32)
+            nx = max(ps.nx, 1) if plan else 0
+            ny = (len(plan) + nx - 1) // nx if plan else 0
+            bid = self._NL.tic_t2e_add_precband(
+                self._nctx, nx if plan else 0, ny,
+                fl.ctypes.data_as(i32p), zb.ctypes.data_as(i32p))
+            self._nband[(c, r, p, bi)] = bid
+            return
         if plan:
             ps.incl.set_values([e.first_layer for e in plan])
             ps.zbp.set_values([e.zero_bps for e in plan])
 
     def write_packet(self, c: int, r: int, p: int, layer: int) -> bytes:
+        if self._nctx is not None:
+            return self._write_packet_native(c, r, p, layer)
+        return self._write_packet_py(c, r, p, layer)
+
+    def _write_packet_native(self, c: int, r: int, p: int,
+                             layer: int) -> bytes:
+        import ctypes
+
+        import numpy as _np
+
+        res = self.resolutions[c][r]
+        nb = len(res.bands)
+        band_ids = _np.empty(nb, _np.int32)
+        ncbs = _np.empty(nb, _np.int32)
+        metas = []
+        bodies: List[bytes] = []
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        for bi in range(nb):
+            plan = self.plans[(c, r, p, bi)]
+            bid = self._nband.get((c, r, p, bi))
+            if bid is None:  # band whose plan was never set: empty
+                z = _np.zeros(1, _np.int32)
+                bid = self._NL.tic_t2e_add_precband(
+                    self._nctx, 0, 0, z.ctypes.data_as(i32p),
+                    z.ctypes.data_as(i32p))
+                self._nband[(c, r, p, bi)] = bid
+            band_ids[bi] = bid
+            ncbs[bi] = len(plan)
+            for e in plan:
+                seg, npasses = (
+                    e.layers[layer] if layer < len(e.layers) else (b"", 0)
+                )
+                contributes = layer >= e.first_layer and npasses > 0
+                row = [1 if contributes else 0, npasses, 0, 0, 1, 0, 1]
+                if contributes:
+                    segments = e.splits.get(layer, [(seg, npasses)])
+                    row[2] = len(segments)
+                    for sgi, (sdat, snp) in enumerate(segments[:2]):
+                        row[3 + 2 * sgi] = len(sdat)
+                        row[4 + 2 * sgi] = snp
+                        bodies.append(sdat)
+                metas.append(row)
+        meta = _np.asarray(metas or [[0] * 7], _np.int32)
+        cap = 4096 + 2 * meta.shape[0] * 8
+        out = _np.empty(cap, _np.uint8)
+        n = self._NL.tic_t2e_write_packet(
+            self._nctx, band_ids.ctypes.data_as(i32p), nb,
+            ncbs.ctypes.data_as(i32p), layer,
+            meta.ctypes.data_as(i32p),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
+        if n < 0:
+            raise ValueError("J2K: packet header overflow")
+        return out[:n].tobytes() + b"".join(bodies)
+
+    def _write_packet_py(self, c: int, r: int, p: int, layer: int) -> bytes:
         res = self.resolutions[c][r]
         bw = HeaderBitWriter()
         any_data = False

@@ -244,4 +244,233 @@ void tic_t2_dump(void* h, int band_id, int32_t* incl, int32_t* zbps,
     }
 }
 
+}  // extern "C"\n
+// ----------------------------------------------------------- encoder side
+// Native packet-header WRITER (T.800 B.10) — the symmetric move to the
+// reader above: tag-tree emission + lblock/npasses signaling were ~25% of
+// encode wall time in Python. State (tag trees, inclusion, lblock)
+// persists in the context across layers exactly like PacketEncoder's.
+
+namespace {
+
+struct BitWr {
+    std::vector<uint8_t> out;
+    uint32_t acc = 0;
+    int n = 0, limit = 8;
+
+    void bit(int b) {
+        acc = (acc << 1) | (uint32_t)(b & 1);
+        if (++n == limit) {
+            out.push_back((uint8_t)acc);
+            limit = out.back() == 0xFF ? 7 : 8;
+            acc = 0;
+            n = 0;
+        }
+    }
+    void bits(uint32_t v, int k) {
+        while (k--) bit((int)((v >> k) & 1));
+    }
+    void flush() {
+        while (n) bit(0);
+        if (!out.empty() && out.back() == 0xFF) out.push_back(0);
+    }
+};
+
+// Tag tree, encoder side (mirrors tagtree.py TagTree exactly)
+struct TagTE {
+    int w = 1, h = 1;
+    std::vector<int> offs, lws, lhs;
+    std::vector<int32_t> value, low;
+    std::vector<uint8_t> coded;
+
+    void init(int W, int H, const int32_t* leaves) {
+        w = W; h = H;
+        offs.clear(); lws.clear(); lhs.clear();
+        int lw = W, lh = H, acc = 0;
+        for (;;) {
+            offs.push_back(acc);
+            lws.push_back(lw);
+            lhs.push_back(lh);
+            acc += lw * lh;
+            if (lw == 1 && lh == 1) break;
+            lw = (lw + 1) / 2;
+            lh = (lh + 1) / 2;
+        }
+        value.assign(acc, 0);
+        low.assign(acc, 0);
+        coded.assign(acc, 0);
+        for (int i = 0; i < W * H; i++) value[i] = leaves[i];
+        for (size_t level = 1; level < offs.size(); level++) {
+            int pw = lws[level - 1], ph = lhs[level - 1];
+            int cw = lws[level], ch = lhs[level];
+            for (int y = 0; y < ch; y++)
+                for (int x = 0; x < cw; x++) {
+                    int32_t best = INT32_MAX;
+                    for (int dy = 0; dy < 2; dy++)
+                        for (int dx = 0; dx < 2; dx++) {
+                            int cx = 2 * x + dx, cy = 2 * y + dy;
+                            if (cx < pw && cy < ph) {
+                                int32_t v =
+                                    value[offs[level - 1] + cy * pw + cx];
+                                if (v < best) best = v;
+                            }
+                        }
+                    value[offs[level] + y * cw + x] =
+                        best == INT32_MAX ? 0 : best;
+                }
+        }
+    }
+
+    void encode(BitWr& bw, int x, int y, int threshold) {
+        int nlev = (int)offs.size();
+        int32_t lo = 0;
+        for (int level = nlev - 1; level >= 0; level--) {
+            int lx = x >> level, ly = y >> level;
+            int i = offs[level] + ly * lws[level] + lx;
+            if (low[i] < lo) low[i] = lo;
+            int32_t v = value[i];
+            while (!coded[i] && low[i] < threshold) {
+                if (low[i] == v) {
+                    coded[i] = 1;
+                    bw.bit(1);
+                } else {
+                    bw.bit(0);
+                    low[i]++;
+                }
+            }
+            lo = coded[i] ? (low[i] > v ? low[i] : v) : low[i];
+        }
+    }
+
+    bool leaf_coded(int x, int y) const { return coded[y * w + x] != 0; }
+};
+
+struct CbEState {
+    uint8_t included = 0;
+    int32_t lblock = 3;
+};
+
+struct EPrecBand {
+    TagTE incl, zbp;
+    int nx, ny;
+    std::vector<CbEState> cbs;
+};
+
+struct T2ECtx {
+    std::vector<EPrecBand> bands;
+};
+
+static void npasses_write(BitWr& bw, int n) {
+    if (n == 1) bw.bit(0);
+    else if (n == 2) bw.bits(0b10, 2);
+    else if (n <= 5) { bw.bits(0b11, 2); bw.bits((uint32_t)(n - 3), 2); }
+    else if (n <= 36) { bw.bits(0b1111, 4); bw.bits((uint32_t)(n - 6), 5); }
+    else { bw.bits(0b111111111, 9); bw.bits((uint32_t)(n - 37), 7); }
+}
+
+static inline int bit_length(int n) {
+    int r = 0;
+    while (n) { r++; n >>= 1; }
+    return r;
+}
+
+}  // namespace
+
+extern "C" {
+
+void* tic_t2e_create() { return new T2ECtx(); }
+
+void tic_t2e_free(void* h) { delete (T2ECtx*)h; }
+
+// Register one (component, resolution, precinct, band) grid; tag trees are
+// seeded with the per-code-block first-inclusion layer and zero-bitplane
+// counts (raster order). Returns the band id.
+int tic_t2e_add_precband(void* h, int nx, int ny,
+                         const int32_t* first_layer,
+                         const int32_t* zero_bps) {
+    T2ECtx* ctx = (T2ECtx*)h;
+    ctx->bands.emplace_back();
+    EPrecBand& pb = ctx->bands.back();
+    pb.nx = nx > 0 ? nx : 1;
+    pb.ny = ny > 0 ? ny : 1;
+    int n = pb.nx * pb.ny;
+    if (nx * ny > 0) {
+        pb.incl.init(pb.nx, pb.ny, first_layer);
+        pb.zbp.init(pb.nx, pb.ny, zero_bps);
+    }
+    pb.cbs.assign((size_t)(n > 0 ? n : 1), CbEState());
+    return (int)ctx->bands.size() - 1;
+}
+
+// Write one packet header. band_ids: the precinct's bands in order.
+// meta: per code-block, raster order across those bands, 7 int32s:
+//   [contributes, npasses, nsegs, len0, np0, len1, np1]
+// ncbs_per_band: code-block count per band (nx*ny, 0 allowed).
+// out/cap: header bytes. Returns header length, or -1 on overflow.
+int tic_t2e_write_packet(void* h, const int32_t* band_ids, int nbands,
+                         const int32_t* ncbs_per_band, int layer,
+                         const int32_t* meta, uint8_t* out, int cap) {
+    T2ECtx* ctx = (T2ECtx*)h;
+    BitWr bw;
+    bw.out.reserve(256);
+    int total = 0;
+    for (int b = 0; b < nbands; b++) total += ncbs_per_band[b];
+    bool any = false;
+    for (int i = 0; i < total; i++)
+        if (meta[7 * i]) { any = true; break; }
+    if (!any) {
+        bw.bit(0);
+        bw.flush();
+        if ((int)bw.out.size() > cap) return -1;
+        std::memcpy(out, bw.out.data(), bw.out.size());
+        return (int)bw.out.size();
+    }
+    bw.bit(1);
+    const int32_t* m = meta;
+    for (int b = 0; b < nbands; b++) {
+        EPrecBand& pb = ctx->bands[band_ids[b]];
+        int ncb = ncbs_per_band[b];
+        for (int idx = 0; idx < ncb; idx++, m += 7) {
+            int x = idx % pb.nx, y = idx / pb.nx;
+            int contributes = m[0];
+            CbEState& st = pb.cbs[idx];
+            if (!st.included) {
+                pb.incl.encode(bw, x, y, layer + 1);
+                if (!contributes) continue;
+                for (int k = 1;; k++) {
+                    pb.zbp.encode(bw, x, y, k);
+                    if (pb.zbp.leaf_coded(x, y)) break;
+                }
+                st.included = 1;
+            } else {
+                bw.bit(contributes);
+                if (!contributes) continue;
+            }
+            npasses_write(bw, m[1]);
+            int nsegs = m[2];
+            int need = 1;
+            for (int sgi = 0; sgi < nsegs; sgi++) {
+                int len = m[3 + 2 * sgi];
+                int np = m[4 + 2 * sgi];
+                int nb = bit_length(len > 1 ? len : 1) - floor_log2(np);
+                if (nb > need) need = nb;
+            }
+            while (st.lblock < need) {
+                bw.bit(1);
+                st.lblock++;
+            }
+            bw.bit(0);
+            for (int sgi = 0; sgi < nsegs; sgi++) {
+                int len = m[3 + 2 * sgi];
+                int np = m[4 + 2 * sgi];
+                bw.bits((uint32_t)len, st.lblock + floor_log2(np));
+            }
+        }
+    }
+    bw.flush();
+    if ((int)bw.out.size() > cap) return -1;
+    std::memcpy(out, bw.out.data(), bw.out.size());
+    return (int)bw.out.size();
+}
+
 }  // extern "C"
