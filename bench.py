@@ -289,18 +289,31 @@ def main() -> None:
         try:
             from nvimagecodec_tpu.ops.pallas_entropy import entropy_kernel_spec
 
+            from nvimagecodec_tpu.ops.pallas_entropy import prog_scan_specs
+
             cover = []
             for label, ss, prog in [
                 ("420", "420", False), ("422", "422", False),
                 ("444", "444", False), ("440", "440", False),
                 ("411", "411", False), ("410", "410", False),
-                ("gray", "gray", False), ("progressive", "420", True),
+                ("gray", "gray", False),
+                ("prog-spectral", "420", "spectral"),
+                ("prog-refine", "420", True),
             ]:
                 src = base[0][:, :, 0] if ss == "gray" else base[0]
-                f = parse_jpeg_structure(oracle.jpeg_encode(
-                    src, QUALITY, ss, progressive=prog, restart_interval=8))
+                if prog == "spectral":
+                    stream = oracle.jpeg_encode_spectral(
+                        src, QUALITY, ss, split=5, restart_interval=8)
+                else:
+                    stream = oracle.jpeg_encode(
+                        src, QUALITY, ss, progressive=bool(prog),
+                        restart_interval=8)
+                f = parse_jpeg_structure(stream)
                 try:
-                    entropy_kernel_spec(f)
+                    if f.is_progressive:
+                        prog_scan_specs(f)
+                    else:
+                        entropy_kernel_spec(f)
                     cover.append(label)
                 except ValueError:
                     pass

@@ -215,3 +215,97 @@ def reassemble_components(xp, out, frame: JpegFrame, B: int, nsegs: int,
         xc = xc.reshape(B, bh_pad, mcus_x * c.h, 64)
         coefs.append(xc[:, :mcus_y * c.v])  # drop short-segment padding rows
     return coefs
+
+
+def decode_progressive_device(frame: JpegFrame, raw: bytes,
+                              interpret: bool = False):
+    """PROTOTYPE: decode a spectral-selection-only progressive stream
+    (every scan Ah == 0, restart markers in every scan) entirely with the
+    device entropy kernels — the DC scan and each AC band scan are
+    restart-parallel (ops/pallas_entropy._build_prog_kernel). Returns
+    per-component ZIGZAG-order [bh, bw, 64] int16 planes (padded MCU
+    grid). Refinement-scan streams raise ValueError (host route)."""
+    from ...native import lib
+    from ...ops.pallas_entropy import (
+        decode_prog_scan_device,
+        prog_scan_specs,
+    )
+
+    scans = prog_scan_specs(frame)
+    L = lib()
+    mcus_x = -(-frame.width // (8 * frame.hmax))
+    mcus_y = -(-frame.height // (8 * frame.vmax))
+    coefs = []
+    for c in frame.components:
+        coefs.append(np.zeros((mcus_y * c.v, mcus_x * c.h, 64), np.int16))
+
+    for scan in scans:
+        R = scan.restart_interval
+        if scan.ss == 0:
+            units_total = mcus_x * mcus_y
+            bpm = sum(c.h * c.v for c in frame.components)
+        else:
+            ci = scan.comp_indices[0]
+            c = frame.components[ci]
+            tw = (frame.width * c.h + frame.hmax - 1) // frame.hmax
+            th = (frame.height * c.v + frame.vmax - 1) // frame.vmax
+            cbw = (tw + 7) // 8
+            cbh = (th + 7) // 8
+            units_total = cbw * cbh
+            bpm = 1
+        nsegs = -(-units_total // R)
+        S = -((-nsegs) // 128) * 128
+        data = raw[scan.data_start:scan.data_end]
+        max_words = 256
+        while True:
+            words = np.zeros((max_words, S), np.uint32)
+            n = L.tic_jpeg_split_segments(
+                data, len(data),
+                words.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+                S, 0, nsegs, max_words)
+            if n == -1:
+                max_words *= 2
+                continue
+            if n != nsegs:
+                raise ValueError(
+                    f"prog device entropy: scan split into {n} segments, "
+                    f"expected {nsegs}")
+            break
+        seg_units = np.zeros(S, np.int32)
+        seg_units[:nsegs] = R
+        seg_units[nsegs - 1] = units_total - (nsegs - 1) * R
+        out, err = decode_prog_scan_device(frame, scan, words, seg_units,
+                                           interpret)
+        if int(np.asarray(err)[:nsegs].sum()) != 0:
+            raise ValueError("prog device entropy: kernel flagged error")
+        out = np.asarray(out)  # [R*bpm, K, S]
+
+        lanes = np.arange(nsegs)
+        if scan.ss == 0:
+            # scatter DC values: per (block-in-mcu), all lanes/mcus at once
+            arr = out[:, 0, :nsegs]  # [R*bpm, nsegs]
+            off = 0
+            for ci, c in enumerate(frame.components):
+                for by in range(c.v):
+                    for bx in range(c.h):
+                        b = off + by * c.h + bx
+                        for m in range(R):
+                            g = lanes * R + m
+                            valid = g < units_total
+                            gv = g[valid]
+                            rows = (gv // mcus_x) * c.v + by
+                            cols = (gv % mcus_x) * c.h + bx
+                            coefs[ci][rows, cols, 0] = (
+                                arr[m * bpm + b, valid])
+                off += c.h * c.v
+        else:
+            arr = out[:, :, :nsegs]  # [R, 64, nsegs]
+            for m in range(R):
+                g = lanes * R + m
+                valid = g < units_total
+                gv = g[valid]
+                rows = gv // cbw
+                cols = gv % cbw
+                coefs[ci][rows, cols, scan.ss:scan.se + 1] = (
+                    arr[m, scan.ss:scan.se + 1, :].T[valid])
+    return coefs

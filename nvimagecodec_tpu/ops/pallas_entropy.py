@@ -454,3 +454,375 @@ def decode_segments_device(frame, words: np.ndarray, seg_mcus: np.ndarray,
     fn = _build_kernel(R, bpm, comp_map, tables, W, S, interpret)
     out, err = fn(words, make_side(seg_mcus, start_bits, dc0))
     return out, err[0]
+
+
+# ===================================================================
+# Progressive-scan device kernels (prototype): spectral-selection-only
+# streams (Ah == 0) with restart markers decode scan-by-scan on device —
+# the DC scan and each AC band scan are restart-parallel exactly like the
+# baseline kernel's segments. Refinement scans (Ah > 0) stay on the host.
+# The conveyor/Huffman machinery mirrors the baseline kernel above.
+
+def prog_scan_specs(frame):
+    """Validate a progressive frame for the device path; returns per-scan
+    (is_dc, comp_map_or_comp, R_units) metadata. Raises ValueError when
+    any scan is outside kernel support."""
+    if not frame.is_progressive or frame.precision != 8:
+        raise ValueError("prog device entropy: 8-bit progressive only")
+    specs = []
+    for s in frame.scans:
+        if s.ah != 0:
+            raise ValueError("prog device entropy: refinement scans (Ah>0)"
+                             " take the host route")
+        if s.restart_interval <= 0:
+            raise ValueError("prog device entropy: needs restart markers")
+        if s.ss == 0:
+            if s.se != 0:
+                raise ValueError("prog device entropy: bad DC scan")
+            if len(s.comp_indices) != len(frame.components):
+                raise ValueError("prog device entropy: partial DC scan")
+            for c in frame.components:
+                if c.h > 4 or c.v > 4:
+                    raise ValueError("prog device entropy: h/v <= 4")
+        else:
+            if len(s.comp_indices) != 1:
+                raise ValueError("prog device entropy: AC scan not single")
+        specs.append(s)
+    return specs
+
+
+@functools.lru_cache(maxsize=32)
+def _build_prog_kernel(kind: str, R: int, bpm: int, comp_map: tuple,
+                       tables_key: tuple, ss: int, se: int, al: int,
+                       W: int, S: int, interpret: bool):
+    """kind 'dc': interleaved DC scan (bpm blocks/MCU, per-comp DC tables;
+    out [R*bpm, 1, S]). kind 'ac': single-component band scan (R blocks
+    per segment, one AC table; out [R, 64, S] with rows ss..se filled)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    tables = tables_key
+    ncomp = len(tables)
+    NBLK = R * bpm if kind == "dc" else R
+    OUTK = 1 if kind == "dc" else 64
+
+    def _vals_mat():
+        nv = max(len(t[2]) for t in tables)
+        m = np.zeros((nv, ncomp), np.int32)
+        for c in range(ncomp):
+            v = tables[c][2]
+            m[: len(v), c] = v
+        return m
+
+    vals_np = _vals_mat()
+
+    def kernel(words_ref, side_ref, v_ref, out_ref, err_ref,
+               cur_ref, nxt_ref, p_ref, wfill_ref, fifo_ref, fcnt_ref,
+               pred_ref, errs_ref, eob_ref):
+        j = pl.program_id(0)
+        u32 = jnp.uint32
+        i32 = jnp.int32
+
+        @pl.when(j == 0)
+        def _init():
+            cur_ref[:] = words_ref[0, :][None, :]
+            nxt_ref[:] = words_ref[1, :][None, :]
+            p_ref[:] = side_ref[1:2, :]
+            wfill_ref[:] = jnp.full((1, S), 2, i32)
+            fifo_ref[:] = jnp.zeros((_FIFO, S), u32)
+            fcnt_ref[:] = jnp.zeros((1, S), i32)
+            pred_ref[:] = side_ref[2:6, :]
+            errs_ref[:] = jnp.zeros((1, S), i32)
+            eob_ref[:] = jnp.zeros((1, S), i32)
+
+        unit = j // bpm if kind == "dc" else j
+        b_in_mcu = j % bpm if kind == "dc" else 0
+        active0 = (side_ref[0, :][None, :] > unit)
+
+        def _bcast(cond, rows):
+            return jnp.broadcast_to(cond.astype(i32), (rows, S)) != 0
+
+        def conveyor_step(state):
+            cur, nxt, p, wfill, fifo, fcnt = state
+            space = active0 & (fcnt < _FIFO) & (wfill < W)
+            r = jnp.min(jnp.where(space, wfill, W))
+            row = words_ref[pl.ds(jnp.minimum(r, W - 1), 1), :]
+            want = space & (wfill == r)
+            slot = jax.lax.broadcasted_iota(i32, (_FIFO, S), 0)
+            push = _bcast(want, _FIFO) & (slot == fcnt)
+            fifo = jnp.where(push, row, fifo)
+            fcnt = fcnt + want.astype(i32)
+            wfill = wfill + want.astype(i32)
+            return cur, nxt, p, wfill, fifo, fcnt
+
+        def funnel(cur, nxt, p):
+            pu = p.astype(u32)
+            hi = cur << pu
+            lo = (nxt >> (u32(31) - pu)) >> u32(1)
+            return hi | lo
+
+        def consume(state, nbits, mask):
+            cur, nxt, p, wfill, fifo, fcnt = state
+            p2 = p + jnp.where(mask, nbits, 0)
+            need = p2 >= 32
+            cur = jnp.where(need, nxt, cur)
+            nxt = jnp.where(need, fifo[0:1, :], nxt)
+            shifted = jnp.concatenate(
+                [fifo[1:, :], jnp.zeros((1, S), u32)], axis=0)
+            fifo = jnp.where(_bcast(need, _FIFO), shifted, fifo)
+            fcnt = jnp.maximum(fcnt - need.astype(i32), 0)
+            p = p2 - 32 * need.astype(i32)
+            return (cur, nxt, p, wfill, fifo, fcnt)
+
+        def ready(state):
+            _, _, _, wfill, _, fcnt = state
+            return (fcnt >= 1) | (wfill >= W)
+
+        def decode_code(state, comp_sel):
+            cur, nxt, p, _, _, _ = state
+            f = funnel(cur, nxt, p)
+            peek16 = (f >> u32(16)).astype(i32)
+            ln = jnp.zeros((1, S), i32)
+            idx = jnp.zeros((1, S), i32)
+            found = jnp.zeros((1, S), jnp.bool_)
+            for l in range(1, 17):
+                code_l = peek16 >> (16 - l)
+                mc = _sel(comp_sel, [tables[c][0][l] for c in range(ncomp)])
+                ba = _sel(comp_sel, [tables[c][1][l] for c in range(ncomp)])
+                ok = (code_l <= mc) & (mc >= 0) & ~found
+                ln = jnp.where(ok, l, ln)
+                idx = jnp.where(ok, code_l + ba, idx)
+                found = found | ok
+            return ln, idx, found
+
+        def _sel(sel, consts):
+            v = jnp.asarray(consts[0], i32)
+            for c in range(1, len(consts)):
+                v = jnp.where(sel == c, jnp.asarray(consts[c], i32), v)
+            return v
+
+        def lookup_values(idx, comp_sel):
+            nv = v_ref.shape[0]
+            tab = v_ref[:, 0:1]
+            for c in range(1, ncomp):
+                tab = jnp.where(comp_sel == c, v_ref[:, c:c + 1], tab)
+            rows = jax.lax.broadcasted_iota(i32, (nv, S), 0)
+            eq = rows == idx
+            return jnp.sum(jnp.where(eq, tab, 0), axis=0, keepdims=True)
+
+        def extend(bits, t):
+            half = jnp.left_shift(jnp.ones((1, S), i32),
+                                  jnp.maximum(t - 1, 0))
+            full = jnp.left_shift(jnp.ones((1, S), i32), t)
+            neg = bits < half
+            v = jnp.where(neg, bits - full + 1, bits)
+            return jnp.where(t == 0, 0, v)
+
+        def get_bits(state, t, mask):
+            cur, nxt, p, *_ = state
+            f = funnel(cur, nxt, p)
+            tu = jnp.where(t > 0, t, 1).astype(u32)
+            bits = (f >> (u32(32) - tu)).astype(i32)
+            bits = jnp.where(t > 0, bits, 0)
+            return bits, consume(state, t, mask)
+
+        if kind == "dc":
+            comp_sel = jnp.asarray(comp_map[0], i32)
+            for b in range(1, bpm):
+                comp_sel = jnp.where(b_in_mcu == b,
+                                     jnp.asarray(comp_map[b], i32), comp_sel)
+        else:
+            comp_sel = jnp.zeros((), i32)
+
+        state = (cur_ref[:], nxt_ref[:], p_ref[:], wfill_ref[:],
+                 fifo_ref[:], fcnt_ref[:])
+        errs = errs_ref[:]
+        regs = jnp.zeros((OUTK, S), i32)
+
+        if kind == "dc":
+            pred0 = pred_ref[:]
+
+            def dc_cond(carry):
+                state, _, _, _, pend_i = carry
+                return jnp.any(pend_i != 0)
+
+            def dc_body(carry):
+                state, regs, errs, pred, pend_i = carry
+                pend = pend_i != 0
+                state = conveyor_step(state)
+                go = pend & ready(state)
+                ln, idx, found = decode_code(state, comp_sel)
+                t = lookup_values(idx, comp_sel)
+                bad = go & (~found | (t > 15))
+                errs = errs + bad.astype(i32)
+                ok = go & ~bad
+                state = consume(state, jnp.where(ok, ln, 0), ok)
+                bits, state = get_bits(state, jnp.where(ok, t, 0), ok)
+                diff = extend(bits, t)
+                rowsel = (jax.lax.broadcasted_iota(i32, (4, S), 0)
+                          == comp_sel)
+                pred = jnp.where(rowsel & _bcast(ok, 4), pred + diff, pred)
+                dcval = jnp.sum(jnp.where(rowsel, pred, 0), axis=0,
+                                keepdims=True)
+                regs = jnp.where(ok, dcval << al, regs)
+                pend = pend & ~ok & ~bad
+                return state, regs, errs, pred, pend.astype(i32)
+
+            state, regs, errs, pred0, _ = jax.lax.while_loop(
+                dc_cond, dc_body,
+                (state, regs, errs, pred0, active0.astype(i32)))
+            pred_ref[:] = pred0
+        else:
+            eob = eob_ref[:]
+            skip = active0 & (eob > 0)
+            eob = jnp.where(skip, eob - 1, eob)
+            pend0 = active0 & ~skip
+
+            def ac_cond(carry):
+                state, _, _, _, _, pend_i = carry
+                return jnp.any(pend_i != 0)
+
+            def ac_body(carry):
+                state, regs, errs, k, eob, pend_i = carry
+                pend = pend_i != 0
+                state = conveyor_step(state)
+                go = pend & ready(state)
+                ln, idx, found = decode_code(state, comp_sel)
+                sym = lookup_values(idx, comp_sel)
+                bad = go & ~found
+                run = sym >> 4
+                ssz = sym & 15
+                state = consume(state, jnp.where(go & ~bad, ln, 0),
+                                go & ~bad)
+                is_eobn = (ssz == 0) & (run != 15)
+                is_zrl = (ssz == 0) & (run == 15)
+                # EOBn: read `run` extra bits -> eobrun for FOLLOWING blocks
+                ebits, state = get_bits(
+                    state, jnp.where(go & ~bad & is_eobn, run, 0),
+                    go & ~bad & is_eobn)
+                neweob = (jnp.left_shift(jnp.ones((1, S), i32), run) - 1
+                          + ebits)
+                eob = jnp.where(go & ~bad & is_eobn, neweob, eob)
+                do_val = go & ~bad & ~is_eobn & ~is_zrl
+                kk = jnp.where(do_val, k + run, k)
+                overflow = do_val & (kk > se)
+                bad = bad | overflow
+                bits, state = get_bits(
+                    state, jnp.where(do_val & ~overflow, ssz, 0),
+                    do_val & ~overflow)
+                val = extend(bits, ssz) << al
+                kw = jnp.clip(kk, 0, 63)
+                wsel = (jax.lax.broadcasted_iota(i32, (64, S), 0)
+                        == jnp.broadcast_to(kw, (64, S)))
+                regs = jnp.where(wsel & _bcast(do_val & ~overflow, 64),
+                                 jnp.broadcast_to(val, (64, S)), regs)
+                k = jnp.where(go & ~bad,
+                              jnp.where(is_zrl, k + 16,
+                                        jnp.where(is_eobn, k, kk + 1)), k)
+                errs = errs + bad.astype(i32)
+                done_now = (go & (bad | is_eobn)) | (go & (k > se))
+                pend = pend & ~done_now
+                return state, regs, errs, k, eob, pend.astype(i32)
+
+            k_init = jnp.where(pend0, ss, 64)
+            state, regs, errs, _, eob, _ = jax.lax.while_loop(
+                ac_cond, ac_body,
+                (state, regs, errs, k_init, eob, pend0.astype(i32)))
+            eob_ref[:] = eob
+
+        cur, nxt, p, wfill, fifo, fcnt = state
+        cur_ref[:] = cur
+        nxt_ref[:] = nxt
+        p_ref[:] = p
+        wfill_ref[:] = wfill
+        fifo_ref[:] = fifo
+        fcnt_ref[:] = fcnt
+        errs_ref[:] = errs
+        out_ref[:] = regs.astype(jnp.int16)[None]
+        err_ref[:] = (errs > 0).astype(jnp.int32)
+
+    import jax
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(NBLK,),
+        in_specs=[
+            pl.BlockSpec((W, S), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((6, S), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(vals_np.shape, lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, OUTK, S), lambda j: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((NBLK, OUTK, S), jnp.int16),
+            jax.ShapeDtypeStruct((1, S), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, S), jnp.uint32),
+            pltpu.VMEM((1, S), jnp.uint32),
+            pltpu.VMEM((1, S), jnp.int32),
+            pltpu.VMEM((1, S), jnp.int32),
+            pltpu.VMEM((_FIFO, S), jnp.uint32),
+            pltpu.VMEM((1, S), jnp.int32),
+            pltpu.VMEM((4, S), jnp.int32),
+            pltpu.VMEM((1, S), jnp.int32),
+            pltpu.VMEM((1, S), jnp.int32),   # eobrun (AC scans)
+        ],
+        interpret=interpret,
+    )
+
+    def fn(words, side):
+        return call(words, side, vals_np)
+
+    return fn
+
+
+def decode_prog_scan_device(frame, scan, words: np.ndarray,
+                            seg_units: np.ndarray, interpret: bool = False):
+    """Decode one progressive scan's restart segments on device.
+    DC scan: returns ([R*bpm, 1, S] int16 DC values, err). AC scan:
+    returns ([R, 64, S] int16 band coefficients (zigzag rows ss..se), err).
+    seg_units: MCUs (DC) or blocks (AC) per lane."""
+    W, S = words.shape
+    R = scan.restart_interval
+
+    def _one(t):
+        # canonical (maxcode, base, values) from the SCAN's table snapshot
+        # (progressive streams may redefine tables between scans)
+        code = 0
+        k = 0
+        maxcode = [-1] * 17
+        base = [0] * 17
+        for l in range(1, 17):
+            n = t.bits[l - 1]
+            base[l] = k - code
+            code += n
+            k += n
+            maxcode[l] = code - 1 if n else -1
+            code <<= 1
+        return (tuple(maxcode), tuple(base),
+                tuple(int(v) for v in t.values))
+
+    if scan.ss == 0:
+        comp_map = []
+        for ci, c in enumerate(frame.components):
+            comp_map.extend([ci] * (c.h * c.v))
+        tables = tuple(_one(scan.dc_huff[scan.dc_tables[ci]])
+                       for ci in range(len(frame.components)))
+        fn = _build_prog_kernel("dc", R, len(comp_map), tuple(comp_map),
+                                tables, 0, 0, scan.al, W, S, interpret)
+    else:
+        tables = (_one(scan.ac_huff[scan.ac_tables[0]]),)
+        fn = _build_prog_kernel("ac", R, 1, (0,), tables, scan.ss, scan.se,
+                                scan.al, W, S, interpret)
+    out, err = fn(words, make_side(seg_units))
+    return out, err[0]

@@ -161,6 +161,31 @@ def jpeg_encode_arith(pix: np.ndarray, quality: int = 90,
     return data
 
 
+def jpeg_encode_spectral(pix: np.ndarray, quality: int = 90,
+                         subsamp: str = "420", split: int = 5,
+                         restart_interval: int = 0) -> bytes:
+    """Progressive JPEG with spectral-selection-only scans (Ah == 0):
+    DC scan + two AC band scans per component."""
+    L = lib()
+    pix = np.ascontiguousarray(pix, np.uint8)
+    if pix.ndim == 2:
+        pix = pix[:, :, None]
+    h, w, ch = pix.shape
+    if ch == 1:
+        subsamp = "gray"
+    out = c_u8p()
+    outlen = ctypes.c_size_t()
+    rc = L.oracle_jpeg_encode_spectral(pix.tobytes(), w, h, ch, quality,
+                                       SUBSAMP[subsamp], split,
+                                       restart_interval,
+                                       ctypes.byref(out), ctypes.byref(outlen))
+    if rc != 0:
+        raise RuntimeError("oracle spectral jpeg encode failed")
+    data = ctypes.string_at(out, outlen.value)
+    L.oracle_free(out)
+    return data
+
+
 def jpeg_encode(pix: np.ndarray, quality: int = 90, subsamp: str = "420",
                 progressive: bool = False, optimize: bool = False,
                 restart_interval: int = 0) -> bytes:

@@ -223,6 +223,79 @@ int oracle_jpeg_encode_arith(const uint8_t *pix, int w, int h, int ch,
     return 0;
 }
 
+/* Progressive encode with SPECTRAL-SELECTION-ONLY scans (no successive
+ * approximation): DC scan (0,0) then per-component AC scans split at
+ * `split` (1..split, split+1..63). Restart interval applies to every scan.
+ * Exercises the Ah==0 progressive class a device entropy decoder can
+ * parallelize per restart segment. */
+int oracle_jpeg_encode_spectral(const uint8_t *pix, int w, int h, int ch,
+                                int quality, int subsamp, int split,
+                                int restart_interval,
+                                uint8_t **out, size_t *outlen) {
+    struct jpeg_compress_struct cinfo;
+    struct jerr_mgr jerr;
+    cinfo.err = jpeg_std_error(&jerr.pub);
+    jerr.pub.error_exit = jerr_exit;
+    unsigned long sz = 0;
+    *out = NULL;
+    if (setjmp(jerr.jb)) {
+        jpeg_destroy_compress(&cinfo);
+        return -1;
+    }
+    jpeg_create_compress(&cinfo);
+    jpeg_mem_dest(&cinfo, out, &sz);
+    cinfo.image_width = w;
+    cinfo.image_height = h;
+    cinfo.input_components = ch;
+    cinfo.in_color_space = (ch == 1) ? JCS_GRAYSCALE : JCS_RGB;
+    jpeg_set_defaults(&cinfo);
+    jpeg_set_quality(&cinfo, quality, TRUE);
+    if (ch == 3) {
+        static const int HS[7] = {1, 2, 2, 1, 1, 4, 4};
+        static const int VS[7] = {1, 1, 2, 1, 2, 1, 2};
+        cinfo.comp_info[0].h_samp_factor = HS[subsamp];
+        cinfo.comp_info[0].v_samp_factor = VS[subsamp];
+        cinfo.comp_info[1].h_samp_factor = 1;
+        cinfo.comp_info[1].v_samp_factor = 1;
+        cinfo.comp_info[2].h_samp_factor = 1;
+        cinfo.comp_info[2].v_samp_factor = 1;
+    }
+    static jpeg_scan_info scans[16];
+    int ns = 0;
+    /* DC scan: all components interleaved */
+    scans[ns].comps_in_scan = ch;
+    for (int c = 0; c < ch; c++) scans[ns].component_index[c] = c;
+    scans[ns].Ss = 0; scans[ns].Se = 0; scans[ns].Ah = 0; scans[ns].Al = 0;
+    ns++;
+    if (split < 1) split = 5;
+    if (split > 62) split = 62;
+    for (int c = 0; c < ch; c++) {
+        scans[ns].comps_in_scan = 1;
+        scans[ns].component_index[0] = c;
+        scans[ns].Ss = 1; scans[ns].Se = split;
+        scans[ns].Ah = 0; scans[ns].Al = 0;
+        ns++;
+        scans[ns].comps_in_scan = 1;
+        scans[ns].component_index[0] = c;
+        scans[ns].Ss = split + 1; scans[ns].Se = 63;
+        scans[ns].Ah = 0; scans[ns].Al = 0;
+        ns++;
+    }
+    cinfo.scan_info = scans;
+    cinfo.num_scans = ns;
+    cinfo.restart_interval = restart_interval;
+    jpeg_start_compress(&cinfo, TRUE);
+    size_t stride = (size_t)w * ch;
+    while (cinfo.next_scanline < cinfo.image_height) {
+        const uint8_t *row = pix + stride * cinfo.next_scanline;
+        jpeg_write_scanlines(&cinfo, (JSAMPARRAY)&row, 1);
+    }
+    jpeg_finish_compress(&cinfo);
+    jpeg_destroy_compress(&cinfo);
+    *outlen = sz;
+    return 0;
+}
+
 /* ------------------------------------------------------------------- png */
 
 struct png_mem_reader {

@@ -151,3 +151,52 @@ def test_decoder_route_and_fallback(photo, monkeypatch):
         np.asarray(out[0].array), np.asarray(out_host[0].array))
     np.testing.assert_array_equal(
         np.asarray(out[3].array), np.asarray(out_host[2].array))
+
+
+# ------------------------------------------------- progressive (prototype)
+def _check_prog(data):
+    from nvimagecodec_tpu.codecs.jpeg import _entropy_decode
+    from nvimagecodec_tpu.codecs.jpeg.device_entropy import (
+        decode_progressive_device,
+    )
+    from nvimagecodec_tpu.codecs.jpeg.pixel import ZIGZAG_NAT
+
+    frame = parse_jpeg_structure(data)
+    zz = decode_progressive_device(frame, data, interpret=True)
+    host = _entropy_decode(frame, data)
+    for z, hco in zip(zz, host):
+        nat = np.zeros_like(z)
+        nat[:, :, ZIGZAG_NAT] = z
+        assert np.array_equal(nat, hco)
+
+
+@pytest.mark.parametrize("ss,split,ri", [
+    ("420", 5, 6), ("444", 5, 3), ("420", 20, 12), ("422", 9, 4),
+])
+def test_progressive_spectral_scans(photo, ss, split, ri):
+    """Spectral-selection-only progressive streams decode scan-by-scan on
+    the device kernels (DC scan + AC band scans, restart-parallel),
+    bit-exact vs the host entropy decoder."""
+    data = oracle.jpeg_encode_spectral(photo, 88, ss, split=split,
+                                       restart_interval=ri)
+    _check_prog(data)
+
+
+def test_progressive_gray(photo):
+    data = oracle.jpeg_encode_spectral(photo[:, :, 0], 90, "gray",
+                                       split=8, restart_interval=5)
+    _check_prog(data)
+
+
+def test_progressive_refinement_rejected(photo):
+    """Successive-approximation streams (Ah>0 scans) must raise: they take
+    the host route."""
+    from nvimagecodec_tpu.codecs.jpeg.device_entropy import (
+        decode_progressive_device,
+    )
+
+    data = oracle.jpeg_encode(photo, 88, "420", progressive=True,
+                              restart_interval=6)
+    frame = parse_jpeg_structure(data)
+    with pytest.raises(ValueError):
+        decode_progressive_device(frame, data, interpret=True)
