@@ -399,9 +399,18 @@ def encode_j2k(
         }
         arrays: Dict[Tuple[int, int, int], np.ndarray] = {}
         for c in range(C):
-            LL, bands_f = dwt_ops.dwt2d(
-                planes[c], levels, reversible,
-                origin=(ceil_div(ty0, sub[c][1]), ceil_div(tx0, sub[c][0])))
+            corigin = (ceil_div(ty0, sub[c][1]), ceil_div(tx0, sub[c][0]))
+            if reversible:
+                # native forward 5/3 (native/j2k_idwt.cpp tic_fdwt53),
+                # bit-identical to dwt_ops.dwt2d
+                from .t1_bridge import fdwt53
+
+                LL, bands_f = fdwt53(
+                    np.ascontiguousarray(planes[c], np.int32), levels,
+                    corigin)
+            else:
+                LL, bands_f = dwt_ops.dwt2d(
+                    planes[c], levels, reversible, origin=corigin)
             band_arrays: Dict[Tuple[int, int], np.ndarray] = {(0, 0): LL}
             for r in range(1, levels + 1):
                 lev = levels - r + 1

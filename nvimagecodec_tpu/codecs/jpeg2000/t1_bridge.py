@@ -339,6 +339,43 @@ def idwt53(LL: np.ndarray, bands_f, out_shape: Tuple[int, int],
     return out
 
 
+def fdwt53(plane: np.ndarray, levels: int,
+           origin: Tuple[int, int] = (0, 0)):
+    """Native multi-level forward 5/3 DWT (native/j2k_idwt.cpp) —
+    bit-identical to ops/dwt.dwt2d(reversible=True). Returns
+    (LL, [(HL, LH, HH) finest-first])."""
+    from ...ops.dwt import _level_parity, subband_dims
+
+    L = lib()
+    th, tw = plane.shape
+    dims = subband_dims(th, tw, levels, origin)
+
+    def _nlow(n, p):
+        return n // 2 if p else (n + 1) // 2
+
+    bands = []
+    ptrs = []
+    for s in range(levels):
+        h, w = dims[s]
+        pyy, pxx = _level_parity(origin, s)
+        nly, nlx = _nlow(h, pyy), _nlow(w, pxx)
+        HL = np.empty((nly, w - nlx), np.int32)
+        LH = np.empty((h - nly, nlx), np.int32)
+        HH = np.empty((h - nly, w - nlx), np.int32)
+        bands.append((HL, LH, HH))
+        ptrs.extend([HL.ctypes.data, LH.ctypes.data, HH.ctypes.data])
+    LL = np.empty(dims[levels], np.int32)
+    arr = (ctypes.c_void_p * max(1, len(ptrs)))(*ptrs)
+    pc = np.ascontiguousarray(plane, np.int32)
+    rc = L.tic_fdwt53(
+        pc.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), levels, th, tw,
+        origin[0], origin[1],
+        LL.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), arr)
+    if rc != 0:
+        raise ValueError(f"native FDWT failed rc={rc}")
+    return LL, bands
+
+
 def t1_encode(coefs: np.ndarray, band: int) -> Tuple[bytes, int, int]:
     """Encode one codeblock of signed int32 → (segment, num_bps, num_passes)."""
     L = lib()

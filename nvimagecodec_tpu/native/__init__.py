@@ -152,6 +152,13 @@ def _declare(L: ctypes.CDLL) -> None:
         ctypes.c_int32, ctypes.c_int32, ctypes.POINTER(ctypes.c_uint8),
     ]
     L.tic_tiff_fax_decode.restype = ctypes.c_int32
+    L.tic_fdwt53.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_void_p),
+    ]
+    L.tic_fdwt53.restype = ctypes.c_int
     L.tic_jpeg_arith_decode_coefficients.argtypes = [
         ctypes.c_char_p, ctypes.c_size_t, c_i16p * 4,
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),

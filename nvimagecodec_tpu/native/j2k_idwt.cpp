@@ -172,3 +172,152 @@ int tic_idwt53(const int32_t* LL, const int32_t* const* bands, int levels,
 }
 
 }  // extern "C"
+
+// ----------------------------------------------------------------- forward
+namespace {
+
+// 1D forward 5/3 on one row: in[n] -> L[nl], H[nh], start parity p.
+// Mirrors ops/dwt._fwd_lift_53 exactly (including its boundary clamps).
+static void fwd53_row(const int32_t* in, int32_t* L, int32_t* H, int n,
+                      int p) {
+    if (n <= 0) return;
+    int nl = nlow(n, p), nh = n - nl;
+    if (n == 1) {
+        if (p) H[0] = in[0] * 2;
+        else L[0] = in[0];
+        return;
+    }
+    if (!p) {
+        // H[k] = x[2k+1] - ((x[2k] + x[2k+2]) >> 1), right clamp
+        for (int k = 0; k < nh; k++) {
+            int32_t lc = in[2 * k];
+            int32_t lr = in[k + 1 < nl ? 2 * (k + 1) : 2 * (nl - 1)];
+            H[k] = in[2 * k + 1] - ((lc + lr) >> 1);
+        }
+        for (int k = 0; k < nl; k++) {
+            int32_t hl = H[k > 0 ? k - 1 : 0];
+            int32_t hc = H[k < nh ? k : nh - 1];
+            L[k] = in[2 * k] + ((hl + hc + 2) >> 2);
+        }
+    } else {
+        // low at local odd slots, high at local even
+        for (int k = 0; k < nh; k++) {
+            int32_t ll = in[k > 0 ? 2 * (k - 1) + 1 : 1];
+            int32_t lc = in[k < nl ? 2 * k + 1 : 2 * (nl - 1) + 1];
+            H[k] = in[2 * k] - ((ll + lc) >> 1);
+        }
+        for (int k = 0; k < nl; k++) {
+            int32_t hc = H[k];
+            int32_t hr = H[k + 1 < nh ? k + 1 : nh - 1];
+            L[k] = in[2 * k + 1] + ((hc + hr + 2) >> 2);
+        }
+    }
+}
+
+// vertical forward across rows, vectorized along width
+static void fwd53_cols(const int32_t* in, int32_t* Ly, int32_t* Hy, int n,
+                       int w, int p) {
+    if (n <= 0 || w <= 0) return;
+    int nl = nlow(n, p), nh = n - nl;
+    auto irow = [&](int r) { return in + size_t(r) * w; };
+    auto lrow = [&](int k) { return Ly + size_t(k) * w; };
+    auto hrow = [&](int k) { return Hy + size_t(k) * w; };
+    if (n == 1) {
+        if (p) for (int x = 0; x < w; x++) Hy[x] = in[x] * 2;
+        else memcpy(Ly, in, sizeof(int32_t) * w);
+        return;
+    }
+    if (!p) {
+        for (int k = 0; k < nh; k++) {
+            const int32_t* lc = irow(2 * k);
+            const int32_t* lr = irow(k + 1 < nl ? 2 * (k + 1) : 2 * (nl - 1));
+            const int32_t* xc = irow(2 * k + 1);
+            int32_t* o = hrow(k);
+            for (int x = 0; x < w; x++)
+                o[x] = xc[x] - ((lc[x] + lr[x]) >> 1);
+        }
+        for (int k = 0; k < nl; k++) {
+            const int32_t* hl = hrow(k > 0 ? k - 1 : 0);
+            const int32_t* hc = hrow(k < nh ? k : nh - 1);
+            const int32_t* xc = irow(2 * k);
+            int32_t* o = lrow(k);
+            for (int x = 0; x < w; x++)
+                o[x] = xc[x] + ((hl[x] + hc[x] + 2) >> 2);
+        }
+    } else {
+        for (int k = 0; k < nh; k++) {
+            const int32_t* ll = irow(k > 0 ? 2 * (k - 1) + 1 : 1);
+            const int32_t* lc = irow(k < nl ? 2 * k + 1 : 2 * (nl - 1) + 1);
+            const int32_t* xc = irow(2 * k);
+            int32_t* o = hrow(k);
+            for (int x = 0; x < w; x++)
+                o[x] = xc[x] - ((ll[x] + lc[x]) >> 1);
+        }
+        for (int k = 0; k < nl; k++) {
+            const int32_t* hc = hrow(k);
+            const int32_t* hr = hrow(k + 1 < nh ? k + 1 : nh - 1);
+            const int32_t* xc = irow(2 * k + 1);
+            int32_t* o = lrow(k);
+            for (int x = 0; x < w; x++)
+                o[x] = xc[x] + ((hc[x] + hr[x] + 2) >> 2);
+        }
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Multi-level forward 5/3: in [th, tw] int32; bands: 3*levels pointers,
+// finest-first (HL, LH, HH); LL: coarsest low band. (oy, ox): absolute
+// tile-component origin (per-level sizes + parities, same convention as
+// tic_idwt53). Column pass first, then rows — the T.800-normative order
+// ops/dwt.dwt2d_level uses; outputs are bit-identical to it.
+int tic_fdwt53(const int32_t* in, int levels, int th, int tw, int oy,
+               int ox, int32_t* LL, int32_t* const* bands) {
+    if (levels == 0) {
+        memcpy(LL, in, sizeof(int32_t) * size_t(th) * tw);
+        return 0;
+    }
+    int y1 = oy + th, x1 = ox + tw;
+    std::vector<int> hs(levels + 1), ws(levels + 1), py(levels + 1),
+        px(levels + 1);
+    for (int s = 0; s <= levels; s++) {
+        int d = 1 << s;
+        int yy0 = ceildiv(oy, d), xx0 = ceildiv(ox, d);
+        hs[s] = ceildiv(y1, d) - yy0;
+        ws[s] = ceildiv(x1, d) - xx0;
+        py[s] = yy0 & 1;
+        px[s] = xx0 & 1;
+    }
+    std::vector<int32_t> cur(in, in + size_t(th) * tw);
+    std::vector<int32_t> Ly, Hy, rl, rh;
+    for (int s = 0; s < levels; s++) {
+        int h = hs[s], w = ws[s];
+        int nly = nlow(h, py[s]), nhy = h - nly;
+        int nlx = nlow(w, px[s]), nhx = w - nlx;
+        Ly.assign(size_t(nly) * w, 0);
+        Hy.assign(size_t(nhy) * w, 0);
+        fwd53_cols(cur.data(), Ly.data(), Hy.data(), h, w, py[s]);
+        // rows of Ly -> (next LL | HL); rows of Hy -> (LH | HH)
+        int32_t* HL = (int32_t*)bands[3 * s + 0];
+        int32_t* LH = (int32_t*)bands[3 * s + 1];
+        int32_t* HH = (int32_t*)bands[3 * s + 2];
+        std::vector<int32_t> nxt(size_t(nly) * nlx);
+        rl.assign(size_t(nlx ? nlx : 1), 0);
+        rh.assign(size_t(nhx ? nhx : 1), 0);
+        for (int r = 0; r < nly; r++) {
+            fwd53_row(Ly.data() + size_t(r) * w, nxt.data() + size_t(r) * nlx,
+                      HL + size_t(r) * nhx, w, px[s]);
+        }
+        for (int r = 0; r < nhy; r++) {
+            fwd53_row(Hy.data() + size_t(r) * w, LH + size_t(r) * nlx,
+                      HH + size_t(r) * nhx, w, px[s]);
+        }
+        cur.swap(nxt);
+    }
+    memcpy(LL, cur.data(), sizeof(int32_t) * cur.size());
+    return 0;
+}
+
+}  // extern "C"
