@@ -142,7 +142,7 @@ def cmd_imtrans(args) -> int:
 def cmd_improc(args) -> int:
     from . import Decoder, Encoder
     from .core.interfaces import DecodeParams
-    from .ops.resize import resize_bilinear
+    from .ops.resize import resize as _resize
 
     dec = Decoder()
     enc = Encoder()
@@ -171,7 +171,8 @@ def cmd_improc(args) -> int:
             x, y, w, h = crop
             a = a[y : y + h, x : x + w]
         if resize:
-            a = np.asarray(resize_bilinear(a, resize[0], resize[1]))
+            a = np.asarray(_resize(a, resize[0], resize[1],
+                                   interp=args.interp))
         base = os.path.splitext(os.path.basename(path))[0]
         ext = _EXT.get(args.output_codec, "." + args.output_codec)
         out_path = (
@@ -199,6 +200,9 @@ def main(argv=None) -> int:
     _add_common(p2)
     p2.add_argument("--crop", default=None, help="x,y,w,h")
     p2.add_argument("--resize", default=None, help="WxH")
+    p2.add_argument("--interp", default="bilinear",
+                    choices=["bilinear", "bicubic", "lanczos"],
+                    help="resize interpolation (CV-CUDA mode analog)")
     args = ap.parse_args(argv)
     if getattr(args, "list_devices", False):
         import jax
