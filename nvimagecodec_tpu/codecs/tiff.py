@@ -232,6 +232,22 @@ def _decode_jpeg_unit(stream: bytes, rgb_direct: bool = False) -> np.ndarray:
     return np.asarray(decode_pixels(frame, coefs, use_jax=False))
 
 
+def _undo_predictor_fp(rows: np.ndarray, spp: int) -> np.ndarray:
+    """Predictor 3 (TIFF TechNote: floating-point horizontal differencing)
+    undo: byte-delta accumulate with stride spp over the scanline, then
+    reassemble the per-row byte planes (MSB plane first) into IEEE floats.
+    rows: [h, rowbytes] u8 → float32 [h, rowbytes // 4]."""
+    h, rb = rows.shape
+    acc = rows.copy()
+    for s in range(spp):
+        acc[:, s::spp] = np.cumsum(
+            acc[:, s::spp].astype(np.int64), axis=1).astype(np.uint8)
+    wc = rb // 4
+    planes = acc.reshape(h, 4, wc)
+    be = np.ascontiguousarray(planes.transpose(0, 2, 1))  # [h, wc, 4] MSB..
+    return be.reshape(h, wc * 4).view(">f4").astype(np.float32)
+
+
 def _undo_predictor(rows: np.ndarray, spp: int) -> np.ndarray:
     """Horizontal differencing undo: cumulative sum along x per channel
     (vectorized; wraps naturally in the sample dtype)."""
@@ -266,6 +282,7 @@ class TiffDirectory:
         self.planar = t.get(T_PLANAR, [1])[0]
         self.predictor = t.get(T_PREDICTOR, [1])[0]
         self.fill_order = t.get(T_FILLORDER, [1])[0]
+        self.sample_format = t.get(T_SAMPLE_FORMAT, [1])[0]
         self.orientation = t.get(T_ORIENTATION, [1])[0]
         self.tiled = T_TILE_OFFSETS in t
         self.colormap = t.get(T_COLORMAP)
@@ -290,9 +307,13 @@ def decode_tiff(data: bytes, region=None, work=None) -> np.ndarray:
     work without flaky wall-clock timing."""
     d = TiffDirectory(data)
     W, H, spp, bps = d.width, d.height, d.spp, d.bps
-    if bps not in (1, 2, 4, 8, 16):
-        raise ValueError(f"TIFF: unsupported BitsPerSample {bps}")
-    dtype = np.uint16 if bps == 16 else np.uint8
+    is_float = bps == 32 and d.sample_format == 3
+    if bps not in (1, 2, 4, 8, 16) and not is_float:
+        raise ValueError(
+            f"TIFF: unsupported BitsPerSample {bps} "
+            f"(SampleFormat {d.sample_format})")
+    dtype = (np.float32 if is_float
+             else np.uint16 if bps == 16 else np.uint8)
     e = "<" if d.le else ">"
     if d.compression in (2, 3, 4) and (bps != 1 or spp != 1):
         raise ValueError("TIFF: CCITT compression requires bilevel data")
@@ -322,6 +343,9 @@ def decode_tiff(data: bytes, region=None, work=None) -> np.ndarray:
         if bps == 16:
             arr = raw.reshape(raw.shape[0], -1).view(e + "u2")
             return arr[:, :width_samples].astype(np.uint16)
+        if bps == 32:
+            arr = raw.reshape(raw.shape[0], -1).view(e + "f4")
+            return arr[:, :width_samples].astype(np.float32)
         per = 8 // bps
         shifts = (np.arange(per - 1, -1, -1) * bps).astype(np.uint8)
         expanded = (raw[:, :, None] >> shifts[None, None, :]) & ((1 << bps) - 1)
@@ -363,6 +387,10 @@ def decode_tiff(data: bytes, region=None, work=None) -> np.ndarray:
             raw = _decompress(src, d.compression, unit_rowbytes * uh)
             raw = raw.ljust(unit_rowbytes * uh, b"\0")
         rows = np.frombuffer(raw, np.uint8).reshape(uh, unit_rowbytes)
+        if d.predictor == 3:
+            if not is_float:
+                raise ValueError("TIFF: predictor 3 requires float samples")
+            return _undo_predictor_fp(rows, cpp)[:, :uw * cpp]
         samples = expand_row_bytes(rows, uw * cpp)
         if d.predictor == 2:
             samples = _undo_predictor(samples.astype(dtype), cpp)

@@ -107,6 +107,12 @@ def _sig(L: ctypes.CDLL) -> None:
         ctypes.POINTER(c_u8p), ctypes.POINTER(ctypes.c_size_t),
     ]
     L.oracle_tiff_encode_fax.restype = ctypes.c_int
+    L.oracle_tiff_encode_float.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(c_u8p), ctypes.POINTER(ctypes.c_size_t),
+    ]
+    L.oracle_tiff_encode_float.restype = ctypes.c_int
     L.oracle_tiff_encode_jpeg.argtypes = [
         ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.c_int,
@@ -421,6 +427,30 @@ def tiff_encode_fax(pix: np.ndarray, compression: int, t4options: int = 0,
                                   ctypes.byref(out), ctypes.byref(outlen))
     if rc != 0:
         raise RuntimeError(f"oracle tiff fax encode failed rc={rc}")
+    data = ctypes.string_at(out, outlen.value)
+    L.oracle_free(out)
+    return data
+
+
+def tiff_encode_float(pix: np.ndarray, compression: int = 8,
+                      predictor: int = 1, rows_per_strip: int = 8) -> bytes:
+    """float32 TIFF (SampleFormat IEEE FP); predictor 3 = floating-point
+    horizontal differencing."""
+    L = lib()
+    if pix.ndim == 2:
+        pix = pix[:, :, None]
+    h, w, ch = pix.shape
+    # copy: libtiff's predictor differencing modifies the write buffer
+    # in place (documented TIFFWriteScanline behavior)
+    body = np.ascontiguousarray(pix, np.float32).copy()
+    out = c_u8p()
+    outlen = ctypes.c_size_t()
+    rc = L.oracle_tiff_encode_float(
+        body.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), w, h, ch,
+        compression, predictor, rows_per_strip,
+        ctypes.byref(out), ctypes.byref(outlen))
+    if rc != 0:
+        raise RuntimeError(f"oracle tiff float encode failed rc={rc}")
     data = ctypes.string_at(out, outlen.value)
     L.oracle_free(out)
     return data

@@ -626,6 +626,40 @@ int oracle_tiff_encode(const uint8_t *body, int w, int h, int ch, int bd,
     return 0;
 }
 
+/* Encode float32 samples (SampleFormat IEEE FP), optional predictor 3
+ * (floating-point horizontal differencing) with LZW/Deflate. */
+int oracle_tiff_encode_float(const float *body, int w, int h, int ch,
+                             int compression, int predictor,
+                             int rows_per_strip,
+                             uint8_t **out, size_t *outlen) {
+    struct tiff_mem m = {0};
+    m.writable = 1;
+    TIFF *tif = TIFFClientOpen("mem", "w", (thandle_t)&m, tm_read, tm_write,
+                               tm_seek, tm_close, tm_size, NULL, NULL);
+    if (!tif) return 1;
+    TIFFSetField(tif, TIFFTAG_IMAGEWIDTH, w);
+    TIFFSetField(tif, TIFFTAG_IMAGELENGTH, h);
+    TIFFSetField(tif, TIFFTAG_SAMPLESPERPIXEL, ch);
+    TIFFSetField(tif, TIFFTAG_BITSPERSAMPLE, 32);
+    TIFFSetField(tif, TIFFTAG_SAMPLEFORMAT, SAMPLEFORMAT_IEEEFP);
+    TIFFSetField(tif, TIFFTAG_COMPRESSION, compression);
+    TIFFSetField(tif, TIFFTAG_PHOTOMETRIC,
+                 ch >= 3 ? PHOTOMETRIC_RGB : PHOTOMETRIC_MINISBLACK);
+    TIFFSetField(tif, TIFFTAG_PLANARCONFIG, 1);
+    if (predictor > 1) TIFFSetField(tif, TIFFTAG_PREDICTOR, predictor);
+    TIFFSetField(tif, TIFFTAG_ROWSPERSTRIP,
+                 rows_per_strip > 0 ? rows_per_strip : 8);
+    for (int y = 0; y < h; ++y)
+        if (TIFFWriteScanline(tif, (void *)(body + (size_t)y * w * ch),
+                              y, 0) < 0) {
+            TIFFClose(tif); free(m.buf); return 2;
+        }
+    TIFFClose(tif);
+    *out = m.buf;
+    *outlen = m.len;
+    return 0;
+}
+
 /* Encode a bilevel image (one byte per pixel, 0 = white, nonzero = black)
  * with a CCITT fax compression: 2 = MH (CCITTRLE), 3 = G3 (T4Options
  * carries 2-D/fill flags), 4 = G4. fillorder 1 (MSB) or 2 (LSB). */

@@ -293,3 +293,31 @@ def test_system_libtiff_rung(img):
 
     res = dec.decode_batch([data], [None], DecodeParams())[0]
     assert res.array is not None and np.array_equal(res.array, img)
+
+
+# --------------------------------------------------------- float samples
+@pytest.mark.parametrize(
+    "comp,pred",
+    [(1, 1), (8, 1), (8, 3), (5, 1), (5, 3), (32773, 1)],
+)
+def test_float_samples(comp, pred):
+    """float32 TIFF (SampleFormat IEEE FP) incl. predictor 3 (floating-
+    point horizontal differencing, TIFF TechNote 3) — bit-exact roundtrip
+    through libtiff-encoded streams."""
+    x = (np.linspace(0, 1, 40 * 30 * 3).reshape(30, 40, 3)
+         .astype(np.float32) * np.float32(3.7) - np.float32(1.2))
+    for pix in (x, np.ascontiguousarray(x[:, :, 0])):
+        data = oracle.tiff_encode_float(pix, comp, pred)
+        out = decode_tiff(data)
+        assert out.dtype == np.float32
+        assert np.array_equal(out.squeeze(), pix.squeeze())
+
+
+def test_float_public_api():
+    import nvimagecodec_tpu as nic
+    from nvimagecodec_tpu.core.interfaces import DecodeParams
+
+    x = np.linspace(-2, 2, 24 * 32 * 3).reshape(24, 32, 3).astype(np.float32)
+    data = oracle.tiff_encode_float(x, 8, 3)
+    out = nic.Decoder().decode(data, DecodeParams(allow_any_depth=True))
+    assert np.array_equal(np.asarray(out), x)
