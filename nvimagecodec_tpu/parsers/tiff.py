@@ -78,7 +78,12 @@ class TiffParser(ParserPlugin):
         if photometric == 3:  # palette expands to RGB (reference: tiff.cpp)
             nch = 3
         bitdepth = bps[0] if bps else 8
-        if bitdepth <= 8:
+        sample_fmt = tags.get(339, [1])[0]  # SampleFormat: 3 = IEEE float
+        if sample_fmt == 3 and bitdepth == 32:
+            st = SampleDataType.FLOAT32
+        elif sample_fmt == 3 and bitdepth == 64:
+            st = SampleDataType.FLOAT64
+        elif bitdepth <= 8:
             st = SampleDataType.UINT8
         elif bitdepth <= 16:
             st = SampleDataType.UINT16
