@@ -250,3 +250,57 @@ def test_j2k_native_t2_fuzz():
             if out is not None:
                 a = np.asarray(out)
                 assert a.ndim in (2, 3) and a.shape[0] > 0
+
+
+class TestRound4PathRobustness:
+    """Fuzz the r04 decode paths (CCITT fax, arithmetic JPEG, JPEG-in-TIFF)
+    through the public API: truncations and bit flips must give per-sample
+    failure or a well-formed image — never a crash or hang."""
+
+    def _hammer(self, data: bytes, rng):
+        import nvimagecodec_tpu as nic
+
+        dec = nic.Decoder()
+        cases = [data[: len(data) // 4], data[: len(data) // 2],
+                 data[:-7], data[:16]]
+        for _ in range(8):
+            b = bytearray(data)
+            for _ in range(4):
+                b[rng.integers(0, len(b))] ^= 1 << rng.integers(0, 8)
+            cases.append(bytes(b))
+        outs = dec.decode(cases)
+        assert len(outs) == len(cases)  # every slot resolved, no hang
+
+    def test_fax_fuzz(self):
+        oracle = pytest.importorskip("oracle")
+        rng = np.random.default_rng(41)
+        doc = (np.indices((64, 96)).sum(0) % 11 < 3).astype(np.uint8)
+        for comp in (2, 3, 4):
+            self._hammer(oracle.tiff_encode_fax(doc, comp, 1 if comp == 3
+                                                else 0, 1, 32), rng)
+
+    def test_arith_jpeg_fuzz(self):
+        oracle = pytest.importorskip("oracle")
+        rng = np.random.default_rng(42)
+        img = make_photo(72, 96, seed=1)
+        try:
+            seq = oracle.jpeg_encode_arith(img, 90, "420")
+            prog = oracle.jpeg_encode_arith(img, 90, "444", progressive=True)
+        except RuntimeError:
+            pytest.skip("no arithmetic support in libjpeg")
+        self._hammer(seq, rng)
+        self._hammer(prog, rng)
+
+    def test_jpeg_in_tiff_fuzz(self):
+        oracle = pytest.importorskip("oracle")
+        rng = np.random.default_rng(43)
+        img = make_photo(72, 96, seed=2)
+        self._hammer(oracle.tiff_encode_jpeg(img, 90, 0, 16), rng)
+        self._hammer(oracle.tiff_encode_jpeg(img, 90, 64, 0), rng)
+
+    def test_float_tiff_fuzz(self):
+        oracle = pytest.importorskip("oracle")
+        rng = np.random.default_rng(44)
+        x = np.linspace(0, 1, 48 * 64 * 3).reshape(48, 64, 3).astype(
+            np.float32)
+        self._hammer(oracle.tiff_encode_float(x, 8, 3), rng)
