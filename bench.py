@@ -187,6 +187,7 @@ def main() -> None:
 
     # --- baseline summary (passes already interleaved with ours above) ----
     vs = vs_median = None
+    vs_paired = None
     if base_passes:
         base_ips = max(base_passes)
         log(f"libjpeg-turbo 1-thread: best of 5 interleaved -> "
@@ -194,8 +195,14 @@ def main() -> None:
             f"(all: {[round(p, 1) for p in base_passes]})")
         vs = ips / base_ips
         vs_median = ips_median / _median(base_passes)
+        # per-round ratio median: each tpu pass is paired with the baseline
+        # pass that ran seconds later, so host/tunnel drift cancels within
+        # the pair — the statistically robust estimator under drifting load
+        ratios = [t / b for t, b in zip(tpu_passes, base_passes)]
+        vs_paired = _median(ratios)
         log(f"decode vs baseline: best/best {vs:.3f}, "
-            f"median/median {vs_median:.3f}")
+            f"median/median {vs_median:.3f}, paired-ratio median "
+            f"{vs_paired:.3f} (ratios: {[round(r, 3) for r in ratios]})")
 
     print(
         json.dumps(
@@ -205,6 +212,7 @@ def main() -> None:
                 "unit": "images/s/chip",
                 "vs_baseline": round(vs, 3) if vs else None,
                 "vs_baseline_median": round(vs_median, 3) if vs_median else None,
+                "vs_baseline_paired": round(vs_paired, 3) if vs_paired else None,
                 "median": round(ips_median, 1),
                 "spread": round(spread, 1),
                 "device_ms_frac": round(device_ms_frac, 3),
