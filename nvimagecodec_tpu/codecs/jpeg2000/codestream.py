@@ -559,6 +559,11 @@ def parse_main_header(data: bytes, pos: int):
             cp.qcd_style = style
             cp.guard_bits = guard
             cp.band_q = q
+        elif marker in (POC, RGN, 0xFF60):  # POC / RGN / PPM
+            # progression-order changes, ROI maxshift and packed packet
+            # headers would silently mis-decode with the straight packet
+            # walk; reject so the system-openjpeg rung handles them
+            raise ValueError("J2K: POC/RGN/PPM markers not supported")
         pos += 2 + ln
     if siz is None or cp is None:
         raise ValueError("J2K: missing SIZ/COD")
@@ -647,6 +652,13 @@ def iter_tile_parts(data: bytes, pos: int):
             if m in (COD, COC, QCD, QCC):
                 raise ValueError(
                     "J2K: per-tile coding/quantization overrides not supported"
+                )
+            if m in (POC, RGN, 0xFF61):  # POC / RGN / PPT
+                # progression-order changes, ROI maxshift and packed packet
+                # headers would silently mis-decode with the straight packet
+                # walk; reject so the system-openjpeg rung handles them
+                raise ValueError(
+                    "J2K: POC/RGN/PPT tile-part segments not supported"
                 )
             ln = struct.unpack_from(">H", data, q + 2)[0]
             q += 2 + ln

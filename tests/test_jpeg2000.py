@@ -254,3 +254,28 @@ def test_chroma_subsampling_public_encode():
     )
     siz, _cp, _ = parse_main_header(unwrap_jp2(d420), 0)
     assert siz.sub_x == [1, 2, 2] and siz.sub_y == [1, 2, 2]
+
+
+def test_poc_rgn_markers_route_to_fallback():
+    """Streams with POC / RGN / PPM / PPT markers must NOT silently
+    mis-decode on the straight packet walk: the native plugin rejects and
+    the scheduler re-routes the sample to the system-openjpeg rung."""
+    import struct
+
+    import nvimagecodec_tpu as nic
+    from nvimagecodec_tpu.codecs.jpeg2000.core import decode_j2k, encode_j2k
+
+    img = make_photo(64, 64, seed=1)
+    s = encode_j2k(img, reversible=True, levels=2, stream_type="j2k")
+    i = s.find(b"\xff\x52")  # COD
+    for marker, body in [
+        (b"\xff\x5f", bytes([0, 0, 0, 1, 3, 3, 0])),   # POC
+        (b"\xff\x5e", bytes([0, 0])),                   # RGN
+    ]:
+        s2 = s[:i] + marker + struct.pack(">H", 2 + len(body)) + body + s[i:]
+        with pytest.raises(ValueError):
+            decode_j2k(s2)
+        # through the public API the sample resolves via the fallback chain
+        # (image or clean per-sample failure — never corrupt silence)
+        out = nic.Decoder().decode([s2])
+        assert len(out) == 1
