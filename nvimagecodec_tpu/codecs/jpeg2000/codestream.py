@@ -498,6 +498,11 @@ def parse_main_header(data: bytes, pos: int):
                 siz.sub_y.append(sy)
         elif marker == COD:
             scod = body[0]
+            if scod & 0x06:
+                # SOP/EPH in-bitstream markers: the packet reader would
+                # consume them as body bytes and silently mis-decode;
+                # reject so the system-openjpeg rung takes the stream
+                raise ValueError("J2K: SOP/EPH markers not supported")
             prog, nlayers, mct = struct.unpack_from(">BHB", body, 1)
             levels, cbw, cbh, style, transform = struct.unpack_from(
                 ">BBBBB", body, 5
@@ -640,6 +645,12 @@ def iter_tile_parts(data: bytes, pos: int):
             raise ValueError(f"J2K: expected SOT, got {marker:#x}")
         _, lsot = struct.unpack_from(">HH", data, pos)
         isot, psot, tpsot, tnsot = struct.unpack_from(">HIBB", data, pos + 4)
+        if tpsot > 0 or (tnsot not in (0, 1)):
+            # multiple tile-parts per tile: each part carries a slice of the
+            # packet sequence; decoding each as a fresh tile would corrupt.
+            # Reject -> system-openjpeg rung (our encoder emits one part).
+            raise ValueError("J2K: multiple tile-parts per tile "
+                             "not supported")
         tile_end = pos + psot if psot else n
         q = pos + 2 + lsot
         # skip tile-part header segments until SOD; reject per-tile coding

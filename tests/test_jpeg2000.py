@@ -279,3 +279,21 @@ def test_poc_rgn_markers_route_to_fallback():
         # (image or clean per-sample failure — never corrupt silence)
         out = nic.Decoder().decode([s2])
         assert len(out) == 1
+
+
+def test_sop_eph_and_tileparts_rejected():
+    """SOP/EPH-flagged COD and multi-tile-part SOT headers are rejected
+    (clean ValueError -> fallback rung) rather than silently mis-decoded."""
+    from nvimagecodec_tpu.codecs.jpeg2000.core import decode_j2k, encode_j2k
+
+    img = make_photo(48, 48, seed=2)
+    s = bytearray(encode_j2k(img, reversible=True, levels=1,
+                             stream_type="j2k"))
+    i = s.find(b"\xff\x52")  # COD; scod byte is at i+4
+    sop = bytes(s[:i + 4]) + bytes([s[i + 4] | 0x02]) + bytes(s[i + 5:])
+    with pytest.raises(ValueError):
+        decode_j2k(sop)
+    j = s.find(b"\xff\x90")  # SOT; TPsot is byte j+10
+    tp = bytes(s[:j + 10]) + b"\x01" + bytes(s[j + 11:])
+    with pytest.raises(ValueError):
+        decode_j2k(tp)
