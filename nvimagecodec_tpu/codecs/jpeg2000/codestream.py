@@ -681,10 +681,11 @@ def iter_tile_parts(data: bytes, pos: int):
 
 # ---------------------------------------------------------------- JP2 boxes
 def wrap_jp2(codestream: bytes, siz: SizInfo,
-             colorspace: str = None) -> bytes:
-    """Minimal JP2 container: signature, ftyp, jp2h(ihdr+colr), jp2c.
-    colorspace: None (sRGB for 3 comps, grey otherwise) or "sycc"
-    (EnumCS 18 — subsampled YCbCr encodes, ISO 15444-1 I.5.3.3)."""
+             colorspace: str = None, brand: bytes = b"jp2 ") -> bytes:
+    """Minimal JP2-family container: signature, ftyp, jp2h(ihdr+colr),
+    jp2c. colorspace: None (sRGB for 3 comps, grey otherwise) or "sycc"
+    (EnumCS 18 — subsampled YCbCr encodes, ISO 15444-1 I.5.3.3).
+    brand: b"jp2 " or b"jph " (HTJ2K container, ISO 15444-15)."""
 
     def box(btype: bytes, body: bytes) -> bytes:
         return struct.pack(">I", len(body) + 8) + btype + body
@@ -695,9 +696,10 @@ def wrap_jp2(codestream: bytes, siz: SizInfo,
     enum_cs = 18 if colorspace == "sycc" else (16 if siz.ncomp == 3 else 17)
     colr = b"\x01\x00\x00" + struct.pack(">I", enum_cs)
     jp2h = box(b"ihdr", ihdr) + box(b"colr", colr)
+    compat = brand if brand != b"jph " else b"jph jp2 "
     return (
         JP2_SIG
-        + box(b"ftyp", b"jp2 " + struct.pack(">I", 0) + b"jp2 ")
+        + box(b"ftyp", brand + struct.pack(">I", 0) + compat)
         + box(b"jp2h", jp2h)
         + box(b"jp2c", codestream)
     )

@@ -555,8 +555,11 @@ def encode_j2k(
         out += tdata
     out += struct.pack(">H", EOC)
     cs = bytes(out)
-    return (wrap_jp2(cs, siz, colorspace)
-            if stream_type == "jp2" else cs)
+    if stream_type == "jp2":
+        return wrap_jp2(cs, siz, colorspace)
+    if stream_type == "jph":  # HTJ2K container brand (ISO 15444-15)
+        return wrap_jp2(cs, siz, colorspace, brand=b"jph ")
+    return cs
 
 
 # ------------------------------------------------------------------ decode

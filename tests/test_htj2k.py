@@ -179,3 +179,18 @@ def test_ht_parser_reports_info():
     info = cs.get_image_info()
     assert (info.height, info.width) == (93, 141)
     assert cs.codec_name == "jpeg2k"
+
+
+def test_jph_container_roundtrip():
+    """.jph (ISO 15444-15 HTJ2K container brand) wraps and decodes through
+    the standard path; the JP2-family signature/box walk is brand-agnostic."""
+    import nvimagecodec_tpu as nic
+    from nvimagecodec_tpu.codecs.jpeg2000.core import decode_j2k, encode_j2k
+
+    img = make_photo(80, 96, seed=9)
+    data = encode_j2k(img, reversible=True, levels=3, stream_type="jph",
+                      ht=True)
+    assert b"jph " in data[:40]
+    assert np.array_equal(decode_j2k(data), img)
+    out = nic.Decoder().decode(data)
+    assert np.array_equal(np.asarray(out), img)
