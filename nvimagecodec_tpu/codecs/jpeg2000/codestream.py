@@ -635,22 +635,23 @@ def parse_main_header(data: bytes, pos: int):
 
 
 def iter_tile_parts(data: bytes, pos: int):
-    """Yield (tile_index, tile_data_span) for each SOT..SOD..next segment."""
+    """Yield (tile_index, tile_data) per tile, with MULTI-TILE-PART streams
+    reassembled: a tile's parts carry consecutive slices of its packet
+    sequence (tile-part boundaries fall on packet boundaries, T.800 A.4.2),
+    so concatenating the SOD payloads in TPsot order restores the full
+    sequence. Single-part streams stream through without buffering."""
     n = len(data)
+    parts: dict = {}
+    order: list = []
+    multi = False
     while pos + 4 <= n:
         marker = struct.unpack_from(">H", data, pos)[0]
         if marker == EOC:
-            return
+            break
         if marker != SOT:
             raise ValueError(f"J2K: expected SOT, got {marker:#x}")
         _, lsot = struct.unpack_from(">HH", data, pos)
         isot, psot, tpsot, tnsot = struct.unpack_from(">HIBB", data, pos + 4)
-        if tpsot > 0 or (tnsot not in (0, 1)):
-            # multiple tile-parts per tile: each part carries a slice of the
-            # packet sequence; decoding each as a fresh tile would corrupt.
-            # Reject -> system-openjpeg rung (our encoder emits one part).
-            raise ValueError("J2K: multiple tile-parts per tile "
-                             "not supported")
         tile_end = pos + psot if psot else n
         q = pos + 2 + lsot
         # skip tile-part header segments until SOD; reject per-tile coding
@@ -673,13 +674,23 @@ def iter_tile_parts(data: bytes, pos: int):
                 )
             ln = struct.unpack_from(">H", data, q + 2)[0]
             q += 2 + ln
-        yield isot, data[q:tile_end]
+        span = data[q:tile_end]
         if tile_end <= pos:  # corrupted Psot must not stall the walk
             raise ValueError("J2K: non-advancing tile-part length")
         pos = tile_end
+        if tpsot > 0 or isot in parts:
+            multi = True
+        parts.setdefault(isot, []).append((tpsot, span))
+        if isot not in order:
+            order.append(isot)
+    for isot in order:
+        plist = sorted(parts[isot], key=lambda t: t[0])
+        if multi and [t for t, _ in plist] != list(range(len(plist))):
+            raise ValueError("J2K: non-contiguous tile-part sequence")
+        yield isot, (plist[0][1] if len(plist) == 1
+                     else b"".join(sp for _, sp in plist))
 
 
-# ---------------------------------------------------------------- JP2 boxes
 def wrap_jp2(codestream: bytes, siz: SizInfo,
              colorspace: str = None, brand: bytes = b"jp2 ") -> bytes:
     """Minimal JP2-family container: signature, ftyp, jp2h(ihdr+colr),

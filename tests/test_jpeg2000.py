@@ -297,3 +297,50 @@ def test_sop_eph_and_tileparts_rejected():
     tp = bytes(s[:j + 10]) + b"\x01" + bytes(s[j + 11:])
     with pytest.raises(ValueError):
         decode_j2k(tp)
+
+
+def test_multi_tile_part_reassembly():
+    """A tile split across multiple tile-parts (TPsot 0..n-1) decodes
+    bit-exact: parts carry consecutive packet-sequence slices that
+    iter_tile_parts reassembles (T.800 A.4.2)."""
+    import struct as _st
+
+    import nvimagecodec_tpu as nic
+    from nvimagecodec_tpu.codecs.jpeg2000 import t2 as t2m
+    from nvimagecodec_tpu.codecs.jpeg2000.core import decode_j2k, encode_j2k
+
+    # record packet lengths to find a legal split boundary
+    lens = []
+    orig = t2m.PacketEncoder.write_packet
+
+    def rec(self, *a, **k):
+        b = orig(self, *a, **k)
+        lens.append(len(b))
+        return b
+
+    t2m.PacketEncoder.write_packet = rec
+    try:
+        img = make_photo(96, 96, seed=4)
+        s = encode_j2k(img, reversible=True, levels=3, stream_type="j2k",
+                       num_layers=2)
+    finally:
+        t2m.PacketEncoder.write_packet = orig
+    assert len(lens) > 2
+
+    # split the single tile's data after the first half of its packets
+    i = s.find(b"\xff\x90")  # SOT
+    _, lsot = _st.unpack_from(">HH", s, i)
+    isot, psot, tpsot, tnsot = _st.unpack_from(">HIBB", s, i + 4)
+    sod = s.find(b"\xff\x93", i) + 2
+    tdata = s[sod:i + psot]
+    cut = sum(lens[: len(lens) // 2])
+    assert 0 < cut < len(tdata)
+    part = lambda tp, nt, body: (
+        _st.pack(">HHHIBB", 0xFF90, 10, isot, 14 + len(body), tp, nt)
+        + b"\xff\x93" + body)
+    s2 = (s[:i] + part(0, 2, tdata[:cut]) + part(1, 2, tdata[cut:])
+          + s[i + psot:])
+    out = decode_j2k(s2)
+    assert np.array_equal(out, img)
+    out2 = nic.Decoder().decode(s2)
+    assert np.array_equal(np.asarray(out2), img)
