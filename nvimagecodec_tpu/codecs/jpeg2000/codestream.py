@@ -164,6 +164,9 @@ class CodingParams:
     # comp index -> CodingParams with that component's levels/cblk/precincts
     # (COC) and/or qcd_style/guard_bits/band_q (QCC)
     comp_overrides: Dict[int, "CodingParams"] = field(default_factory=dict)
+    # progression-order changes (POC marker, T.800 A.6.6): list of
+    # (RSpoc, CSpoc, LYEpoc, REpoc, CEpoc, Ppoc); None = COD order only
+    poc: Optional[List[Tuple[int, int, int, int, int, int]]] = None
 
     def pp(self, r: int) -> Tuple[int, int]:
         """Precinct exponents at resolution r (15/15 when no partition)."""
@@ -330,6 +333,10 @@ def progression_iter(cp: CodingParams, resolutions, ncomp: int,
     sample position of the precinct within the tile (T.800 B.12.1.3-5);
     for subsampled components the projection multiplies by XRsiz/YRsiz
     (`sub`: [(dx, dy)] per component). `resolutions`: comp -> [Resolution]."""
+    if cp.poc:
+        yield from progression_iter_poc(cp, resolutions, ncomp, tcx0, tcy0,
+                                        sub=sub)
+        return
     L = cp.num_layers
     entries = []  # (c, r, p, anchor_y, anchor_x)
     for c in range(ncomp):
@@ -379,6 +386,35 @@ def progression_iter(cp: CodingParams, resolutions, ncomp: int,
         ):
             for l in range(L):
                 yield l, r, c, p
+
+
+def progression_iter_poc(cp: CodingParams, resolutions, ncomp: int,
+                         tcx0: int, tcy0: int, sub=None):
+    """Packet order under progression-order changes (T.800 B.11): each POC
+    progression emits the packets inside its resolution/component/layer
+    bounds in its own order, skipping packets already emitted by earlier
+    progressions; any remainder follows the COD order."""
+    import dataclasses
+
+    seen = set()
+    for (rs, cs, lye, re_, ce, ppoc) in cp.poc:
+        sub_cp = dataclasses.replace(cp, prog_order=ppoc, poc=None)
+        for l, r, c, p in progression_iter(sub_cp, resolutions, ncomp,
+                                           tcx0, tcy0, sub=sub):
+            if not (rs <= r < re_ and cs <= c < ce and l < lye):
+                continue
+            key = (l, r, c, p)
+            if key in seen:
+                continue
+            seen.add(key)
+            yield key
+    # under-specified POC lists: remaining packets in COD order
+    base_cp = dataclasses.replace(cp, poc=None)
+    for key in progression_iter(base_cp, resolutions, ncomp, tcx0, tcy0,
+                                sub=sub):
+        if key not in seen:
+            seen.add(key)
+            yield key
 
 
 # ---------------------------------------------------------------- markers
@@ -478,6 +514,7 @@ def parse_main_header(data: bytes, pos: int):
     cp: Optional[CodingParams] = None
     coc_raw: List[bytes] = []
     qcc_raw: List[bytes] = []
+    poc_raw: Optional[bytes] = None
     while pos + 4 <= len(data):
         marker, ln = struct.unpack_from(">HH", data, pos)
         if marker == SOT:
@@ -564,14 +601,40 @@ def parse_main_header(data: bytes, pos: int):
             cp.qcd_style = style
             cp.guard_bits = guard
             cp.band_q = q
-        elif marker in (POC, RGN, 0xFF60):  # POC / RGN / PPM
-            # progression-order changes, ROI maxshift and packed packet
-            # headers would silently mis-decode with the straight packet
-            # walk; reject so the system-openjpeg rung handles them
-            raise ValueError("J2K: POC/RGN/PPM markers not supported")
+        elif marker == POC:
+            poc_raw = body  # decoded below once ncomp is known
+        elif marker in (RGN, 0xFF60):  # RGN / PPM
+            # ROI maxshift and packed packet headers would silently
+            # mis-decode; reject so the system-openjpeg rung handles them
+            raise ValueError("J2K: RGN/PPM markers not supported")
         pos += 2 + ln
     if siz is None or cp is None:
         raise ValueError("J2K: missing SIZ/COD")
+    if poc_raw is not None:
+        # T.800 A.6.6: component fields are 1 byte below 257 components
+        wide = siz.ncomp >= 257
+        step = 7 + (2 if wide else 0)
+        cp.poc = []
+        off = 0
+        while off + step <= len(poc_raw):
+            if wide:
+                rs = poc_raw[off]
+                (cs,) = struct.unpack_from(">H", poc_raw, off + 1)
+                (lye,) = struct.unpack_from(">H", poc_raw, off + 3)
+                re_ = poc_raw[off + 5]
+                (ce,) = struct.unpack_from(">H", poc_raw, off + 6)
+                ppoc = poc_raw[off + 8]
+            else:
+                rs, cs = poc_raw[off], poc_raw[off + 1]
+                (lye,) = struct.unpack_from(">H", poc_raw, off + 2)
+                re_, ce, ppoc = (poc_raw[off + 4], poc_raw[off + 5],
+                                 poc_raw[off + 6])
+            if ppoc > 4 or re_ <= rs or ce <= cs or lye == 0:
+                raise ValueError("J2K: invalid POC progression change")
+            cp.poc.append((rs, cs, lye, re_, ce, ppoc))
+            off += step
+        if not cp.poc:
+            raise ValueError("J2K: empty POC marker")
 
     # resolve per-component COC/QCC overrides (T.800 A.6.2 / A.6.5)
     import dataclasses as _dc

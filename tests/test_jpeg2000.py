@@ -256,10 +256,10 @@ def test_chroma_subsampling_public_encode():
     assert siz.sub_x == [1, 2, 2] and siz.sub_y == [1, 2, 2]
 
 
-def test_poc_rgn_markers_route_to_fallback():
-    """Streams with POC / RGN / PPM / PPT markers must NOT silently
-    mis-decode on the straight packet walk: the native plugin rejects and
-    the scheduler re-routes the sample to the system-openjpeg rung."""
+def test_rgn_marker_routes_to_fallback():
+    """RGN (ROI maxshift) / PPM streams must NOT silently mis-decode: the
+    native plugin rejects and the scheduler re-routes the sample to the
+    system-openjpeg rung. (POC streams decode natively — see the POC test.)"""
     import struct
 
     import nvimagecodec_tpu as nic
@@ -268,17 +268,89 @@ def test_poc_rgn_markers_route_to_fallback():
     img = make_photo(64, 64, seed=1)
     s = encode_j2k(img, reversible=True, levels=2, stream_type="j2k")
     i = s.find(b"\xff\x52")  # COD
-    for marker, body in [
-        (b"\xff\x5f", bytes([0, 0, 0, 1, 3, 3, 0])),   # POC
-        (b"\xff\x5e", bytes([0, 0])),                   # RGN
-    ]:
-        s2 = s[:i] + marker + struct.pack(">H", 2 + len(body)) + body + s[i:]
-        with pytest.raises(ValueError):
-            decode_j2k(s2)
-        # through the public API the sample resolves via the fallback chain
-        # (image or clean per-sample failure — never corrupt silence)
-        out = nic.Decoder().decode([s2])
-        assert len(out) == 1
+    body = bytes([0, 0])  # RGN
+    s2 = s[:i] + b"\xff\x5e" + struct.pack(">H", 2 + len(body)) + body + s[i:]
+    with pytest.raises(ValueError):
+        decode_j2k(s2)
+    out = nic.Decoder().decode([s2])
+    assert len(out) == 1
+
+
+def test_poc_progression_changes_decode():
+    """POC marker (T.800 A.6.6/B.11): the packet sequence follows the
+    progression-change list. Built by reordering a known stream's packets
+    per the POC order and prepending the marker; decodes bit-exact."""
+    import struct as _st
+
+    from nvimagecodec_tpu.codecs.jpeg2000 import t2 as t2m
+    from nvimagecodec_tpu.codecs.jpeg2000.codestream import (
+        progression_iter_poc,
+    )
+    from nvimagecodec_tpu.codecs.jpeg2000.core import decode_j2k, encode_j2k
+
+    recs = []
+    orig = t2m.PacketEncoder.write_packet
+
+    def rec(self, c, r, p, layer):
+        b = orig(self, c, r, p, layer)
+        recs.append(((layer, r, c, p), len(b)))
+        return b
+
+    t2m.PacketEncoder.write_packet = rec
+    try:
+        img = make_photo(96, 80, seed=6)
+        s = encode_j2k(img, reversible=True, levels=2, stream_type="j2k",
+                       num_layers=2)
+    finally:
+        t2m.PacketEncoder.write_packet = orig
+
+    # byte span per packet key within the tile data
+    i = s.find(b"\xff\x90")
+    _, psot = _st.unpack_from(">HI", s, i + 2)[0], _st.unpack_from(
+        ">I", s, i + 6)[0]
+    sod = s.find(b"\xff\x93", i) + 2
+    tdata = s[sod:i + psot]
+    spans = {}
+    off = 0
+    for key, ln in recs:
+        spans[key] = tdata[off:off + ln]
+        off += ln
+    assert off == len(tdata)
+
+    # POC: layer 0 of all resolutions in RLCP, then everything in CPRL
+    poc_list = [(0, 0, 1, 3, 3, 1), (0, 0, 2, 3, 3, 4)]
+    from nvimagecodec_tpu.codecs.jpeg2000.codestream import (
+        CodingParams,
+        build_resolutions,
+        parse_main_header,
+        unwrap_jp2,
+    )
+
+    raw = unwrap_jp2(s)
+    siz, cp, _ = parse_main_header(raw, 0)
+    cp.poc = list(poc_list)
+    resolutions = {c: build_resolutions(0, 0, siz.width, siz.height,
+                                        cp.levels)
+                   for c in range(siz.ncomp)}
+    order = list(progression_iter_poc(cp, resolutions, siz.ncomp, 0, 0))
+    assert sorted(order) == sorted(spans)
+    new_tdata = b"".join(spans[k] for k in order)
+
+    poc_body = b"".join(
+        bytes([rs, cs]) + _st.pack(">H", lye) + bytes([re_, ce, ppoc])
+        for rs, cs, lye, re_, ce, ppoc in poc_list)
+    poc_seg = b"\xff\x5f" + _st.pack(">H", 2 + len(poc_body)) + poc_body
+    j = raw.find(b"\xff\x90")
+    header = raw[:j]
+    cod_at = header.find(b"\xff\x52")
+    header = header[:cod_at] + poc_seg + header[cod_at:]
+    new_psot = 14 + len(new_tdata)
+    isot = _st.unpack_from(">H", raw, j + 4)[0]
+    stream2 = (header
+               + _st.pack(">HHHIBB", 0xFF90, 10, isot, new_psot, 0, 1)
+               + b"\xff\x93" + new_tdata + b"\xff\xd9")
+    out = decode_j2k(stream2)
+    assert np.array_equal(out, img)
 
 
 def test_sop_eph_and_tileparts_rejected():
