@@ -167,6 +167,9 @@ class CodingParams:
     # progression-order changes (POC marker, T.800 A.6.6): list of
     # (RSpoc, CSpoc, LYEpoc, REpoc, CEpoc, Ppoc); None = COD order only
     poc: Optional[List[Tuple[int, int, int, int, int, int]]] = None
+    # Scod bits 1/2: SOP markers between packets / EPH after headers
+    sop: bool = False
+    eph: bool = False
 
     def pp(self, r: int) -> Tuple[int, int]:
         """Precinct exponents at resolution r (15/15 when no partition)."""
@@ -535,11 +538,6 @@ def parse_main_header(data: bytes, pos: int):
                 siz.sub_y.append(sy)
         elif marker == COD:
             scod = body[0]
-            if scod & 0x06:
-                # SOP/EPH in-bitstream markers: the packet reader would
-                # consume them as body bytes and silently mis-decode;
-                # reject so the system-openjpeg rung takes the stream
-                raise ValueError("J2K: SOP/EPH markers not supported")
             prog, nlayers, mct = struct.unpack_from(">BHB", body, 1)
             levels, cbw, cbh, style, transform = struct.unpack_from(
                 ">BBBBB", body, 5
@@ -567,6 +565,8 @@ def parse_main_header(data: bytes, pos: int):
                         raise ValueError("J2K: PPx/PPy=0 above resolution 0")
                     precincts.append((ppx, ppy))
             cp = CodingParams(
+                sop=bool(scod & 2),
+                eph=bool(scod & 4),
                 levels=levels,
                 reversible=(transform == 1),  # T.800 A.20
                 mct=bool(mct),

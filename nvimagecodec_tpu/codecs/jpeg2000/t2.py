@@ -139,7 +139,7 @@ class PacketDecoder:
         self._L.tic_t2_read_packet.argtypes = [
             ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64, i64p,
             ctypes.c_int, i32p, ctypes.c_int, ctypes.c_int, i64p,
-            ctypes.c_int]
+            ctypes.c_int, ctypes.c_int]
         self._L.tic_t2_read_packet.restype = ctypes.c_int
         self._L.tic_t2_dump.argtypes = [
             ctypes.c_void_p, ctypes.c_int, i32p, i32p, i32p]
@@ -225,9 +225,10 @@ class PacketDecoder:
         cap = 8 + 2 * sum(len(e[1]) for e in entries)
         out = (ctypes.c_int64 * (3 * cap))()
         pos = ctypes.c_int64(br.pos)
+        flags = ((1 if self.cp.sop else 0) | (2 if self.cp.eph else 0))
         n = self._L.tic_t2_read_packet(
             self._ctx, br.data, len(br.data), ctypes.byref(pos),
-            layer, band_ids, nb, ht, out, cap)
+            layer, band_ids, nb, ht, out, cap, flags)
         if n < 0:
             raise ValueError(self._ERRORS.get(n, f"J2K: packet parse rc={n}"))
         data = br.data

@@ -154,17 +154,25 @@ int tic_t2_add_precband(void* h, int nx, int ny) {
 // Returns #triples (>= 0) or a negative error:
 //   -1 runaway zero-bitplane tree, -2 runaway Lblock,
 //   -3 absurd segment length, -4 body past end, -5 out capacity.
+// flags: bit 0 = SOP markers may precede packets (Scod bit 1),
+//        bit 1 = EPH marker terminates every packet header (Scod bit 2)
 int tic_t2_read_packet(void* h, const uint8_t* data, int64_t len,
                        int64_t* pos, int layer, const int32_t* band_ids,
                        int nbands, int ht_style, int64_t* out,
-                       int out_cap) {
+                       int out_cap, int flags) {
     T2Ctx* c = (T2Ctx*)h;
+    if ((flags & 1) && *pos + 6 <= len && data[*pos] == 0xFF &&
+        data[*pos + 1] == 0x91)
+        *pos += 6;  // SOP: FF91 Lsop(=4) Nsop(2) — optional per packet
     BitRd br;
     br.init(data, len, *pos);
     int nout = 0;
     if (!br.bit()) {  // empty packet
         br.align();
         *pos = br.pos;
+        if ((flags & 2) && *pos + 2 <= len && data[*pos] == 0xFF &&
+            data[*pos + 1] == 0x92)
+            *pos += 2;  // EPH after the (empty) packet header
         return 0;
     }
     // (cb_id, seg_len) body reads, order preserved
@@ -216,6 +224,8 @@ int tic_t2_read_packet(void* h, const uint8_t* data, int64_t len,
     br.align();
     if (body_n > out_cap) return -5;
     int64_t p = br.pos;
+    if ((flags & 2) && p + 2 <= len && data[p] == 0xFF && data[p + 1] == 0x92)
+        p += 2;  // EPH terminates the packet header
     for (int i = 0; i < body_n; i++) {
         int64_t cb_id = body[2 * i], seg_len = body[2 * i + 1];
         if (p + seg_len > len) return -4;

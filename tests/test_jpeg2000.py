@@ -353,22 +353,85 @@ def test_poc_progression_changes_decode():
     assert np.array_equal(out, img)
 
 
-def test_sop_eph_and_tileparts_rejected():
-    """SOP/EPH-flagged COD and multi-tile-part SOT headers are rejected
-    (clean ValueError -> fallback rung) rather than silently mis-decoded."""
+def test_lone_tilepart_continuation_rejected():
+    """A lone tile-part claiming TPsot=1 (continuation without part 0) is a
+    malformed sequence: clean ValueError, not a mis-decode."""
     from nvimagecodec_tpu.codecs.jpeg2000.core import decode_j2k, encode_j2k
 
     img = make_photo(48, 48, seed=2)
     s = bytearray(encode_j2k(img, reversible=True, levels=1,
                              stream_type="j2k"))
-    i = s.find(b"\xff\x52")  # COD; scod byte is at i+4
-    sop = bytes(s[:i + 4]) + bytes([s[i + 4] | 0x02]) + bytes(s[i + 5:])
-    with pytest.raises(ValueError):
-        decode_j2k(sop)
     j = s.find(b"\xff\x90")  # SOT; TPsot is byte j+10
     tp = bytes(s[:j + 10]) + b"\x01" + bytes(s[j + 11:])
     with pytest.raises(ValueError):
         decode_j2k(tp)
+
+
+def test_sop_eph_markers_decode():
+    """Scod SOP/EPH (T.800 A.6.1 bits 1-2): in-bitstream resync markers
+    between packets and after packet headers are consumed transparently.
+    Built by inserting SOP/EPH into a recorded-boundary stream."""
+    import struct as _st
+
+    from nvimagecodec_tpu.codecs.jpeg2000 import t2 as t2m
+    from nvimagecodec_tpu.codecs.jpeg2000.core import decode_j2k, encode_j2k
+
+    recs = []       # total packet length per write_packet call
+    hdr_lens = []   # header length per packet (HeaderBitWriter.flush)
+    wp_orig = t2m.PacketEncoder.write_packet
+    fl_orig = t2m.HeaderBitWriter.flush
+    init_orig = t2m.PacketEncoder.__init__
+
+    def init_py(self, *a, **k):
+        # force the pure-python writer so header lengths are observable
+        # (the native ctx path seeds only the native tag trees)
+        init_orig(self, *a, **k)
+        self._nctx = None  # tiny native ctx intentionally dropped
+
+    def wp_rec(self, c, r, p, layer):
+        b = wp_orig(self, c, r, p, layer)
+        recs.append(len(b))
+        return b
+
+    def fl_rec(self):
+        out = fl_orig(self)
+        hdr_lens.append(len(out))
+        return out
+
+    t2m.PacketEncoder.__init__ = init_py
+    t2m.PacketEncoder.write_packet = wp_rec
+    t2m.HeaderBitWriter.flush = fl_rec
+    try:
+        img = make_photo(80, 64, seed=7)
+        s = encode_j2k(img, reversible=True, levels=2, stream_type="j2k",
+                       num_layers=2)
+    finally:
+        t2m.PacketEncoder.__init__ = init_orig
+        t2m.PacketEncoder.write_packet = wp_orig
+        t2m.HeaderBitWriter.flush = fl_orig
+    assert len(hdr_lens) == len(recs)
+
+    i = s.find(b"\xff\x90")
+    psot = _st.unpack_from(">I", s, i + 6)[0]
+    sod = s.find(b"\xff\x93", i) + 2
+    tdata = s[sod:i + psot]
+    out = bytearray()
+    off = 0
+    for n, (total, hl) in enumerate(zip(recs, hdr_lens)):
+        pkt = tdata[off:off + total]
+        off += total
+        out += b"\xff\x91\x00\x04" + _st.pack(">H", n & 0xFFFF)
+        out += pkt[:hl] + b"\xff\x92" + pkt[hl:]
+    assert off == len(tdata)
+    cod = s.find(b"\xff\x52")
+    s2 = bytearray(s)
+    s2[cod + 4] |= 0x06  # Scod: SOP + EPH
+    isot = _st.unpack_from(">H", s, i + 4)[0]
+    stream2 = (bytes(s2[:i])
+               + _st.pack(">HHHIBB", 0xFF90, 10, isot, 14 + len(out), 0, 1)
+               + b"\xff\x93" + bytes(out) + b"\xff\xd9")
+    res = decode_j2k(stream2)
+    assert np.array_equal(res, img)
 
 
 def test_multi_tile_part_reassembly():
