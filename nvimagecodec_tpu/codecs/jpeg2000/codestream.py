@@ -170,6 +170,8 @@ class CodingParams:
     # Scod bits 1/2: SOP markers between packets / EPH after headers
     sop: bool = False
     eph: bool = False
+    # RGN maxshift (T.800 A.6.4/H): component -> SPrgn shift
+    rgn: Optional[Dict[int, int]] = None
 
     def pp(self, r: int) -> Tuple[int, int]:
         """Precinct exponents at resolution r (15/15 when no partition)."""
@@ -603,10 +605,26 @@ def parse_main_header(data: bytes, pos: int):
             cp.band_q = q
         elif marker == POC:
             poc_raw = body  # decoded below once ncomp is known
-        elif marker in (RGN, 0xFF60):  # RGN / PPM
-            # ROI maxshift and packed packet headers would silently
-            # mis-decode; reject so the system-openjpeg rung handles them
-            raise ValueError("J2K: RGN/PPM markers not supported")
+        elif marker == RGN:
+            # ROI maxshift (T.800 A.6.4): Crgn, Srgn(=0), SPrgn
+            if len(body) == 3:
+                crgn, srgn, sprgn = body[0], body[1], body[2]
+            elif len(body) == 4:
+                (crgn,) = struct.unpack_from(">H", body, 0)
+                srgn, sprgn = body[2], body[3]
+            else:
+                raise ValueError("J2K: malformed RGN marker")
+            if srgn != 0:
+                raise ValueError("J2K: only maxshift RGN (Srgn=0) defined")
+            if cp is None:
+                cp = CodingParams()
+            if cp.rgn is None:
+                cp.rgn = {}
+            cp.rgn[crgn] = sprgn
+        elif marker == 0xFF60:  # PPM
+            # packed packet headers would silently mis-decode; reject so
+            # the system-openjpeg rung handles them
+            raise ValueError("J2K: PPM markers not supported")
         pos += 2 + ln
     if siz is None or cp is None:
         raise ValueError("J2K: missing SIZ/COD")

@@ -51,6 +51,8 @@ from .codestream import (
     write_siz,
 )
 from .codestream import write_cap
+from .codestream import RGN
+from .codestream import _seg as _marker_seg
 from .t1_bridge import (BlockBatch, EncodeBatch, ht_decode, ht_encode,
                         idwt53, t1_decode, t1_encode)
 from .t2 import PacketDecoder, PacketEncoder, plan_layers, plan_layers_ht
@@ -211,6 +213,7 @@ def encode_j2k(
     size=None,
     colorspace: str = None,
     grid_offset: Tuple[int, int] = (0, 0),
+    roi: Optional[Tuple[int, int, int, int]] = None,
 ) -> bytes:
     """Encode [H, W] or [H, W, C] u8/u16 → JP2/J2K bytes.
 
@@ -454,6 +457,32 @@ def encode_j2k(
                 m = int(np.abs(q).max()) if q.size else 0
                 max_nbps[(r, bi)] = max(max_nbps[(r, bi)], m.bit_length())
 
+    # ---- ROI maxshift (T.800 H.1): scale ROI coefficients up by SPrgn so
+    # their bitplanes sit strictly above every background plane; eps stays
+    # at the background dynamic range and decoders add SPrgn back
+    if roi is not None:
+        if ntiles != 1 or rate_ctl or per_comp:
+            raise ValueError("roi: single-tile, non-rate-controlled only")
+        s_roi = max(max_nbps.values()) + (1 if ht else 0)
+        ry0, rx0, ry1, rx1 = roi
+        margin = 3 if reversible else 5  # 5/3 vs 9/7 synthesis support
+        res_by_c0, arrays0 = tile_banddata[0]
+        for (c, r, bi), arr in arrays0.items():
+            band = res_by_c0[c][r].bands[bi]
+            scale = levels - r + 1 if r > 0 else levels
+            by0 = max(0, (ry0 >> scale) - margin - band.y0)
+            bx0 = max(0, (rx0 >> scale) - margin - band.x0)
+            by1 = min(band.h,
+                      -(-ry1 // (1 << scale)) + margin - band.y0)
+            bx1 = min(band.w,
+                      -(-rx1 // (1 << scale)) + margin - band.x0)
+            if by0 >= by1 or bx0 >= bx1:
+                continue
+            if max_nbps[(r, bi)] + s_roi > 30:
+                raise ValueError("roi: shifted bitplanes exceed int32")
+            arr[by0:by1, bx0:bx1] = arr[by0:by1, bx0:bx1] << s_roi
+        cp.rgn = {c: s_roi for c in range(C)}
+
     # ---- choose QCD so Mb >= nbps everywhere (HT: Mb >= Umax = nbps + 1,
     # the magnitude-exponent bound of the T.814 cleanup pass)
     band_q: List[Tuple[int, int]] = []
@@ -509,7 +538,8 @@ def encode_j2k(
         for (c, r, p, bi), rows in results.items():
             ccp = cp.for_comp(c)
             eps = ccp.band_q[border.index((r, bi))][0]
-            mb = eps + ccp.guard_bits - 1
+            mb = (eps + ccp.guard_bits - 1
+                  + (cp.rgn.get(c, 0) if cp.rgn else 0))
             plan = []
             if ht:
                 for k, (cup, ref, B, umax) in sorted(rows):
@@ -539,6 +569,9 @@ def encode_j2k(
         out += write_cap(max(e + cp.guard_bits - 1 for e, _m in cp.band_q))
     out += write_cod(cp)
     out += write_qcd(cp)
+    if cp.rgn:
+        for c_, s_ in sorted(cp.rgn.items()):
+            out += _marker_seg(RGN, bytes([c_, 0, s_]))
     from .codestream import write_coc, write_qcc
 
     for c, spec in (per_comp or {}).items():
@@ -982,7 +1015,8 @@ def decode_j2k(
             for (r, bi) in kepts[c]:
                 band = resolutions[c][r].bands[bi]
                 eps, mu = cc.band_q[border_c.index((r, bi))]
-                mb = eps + cc.guard_bits - 1
+                mb = (eps + cc.guard_bits - 1
+                      + (cp.rgn.get(c, 0) if cp.rgn else 0))
                 need = (
                     _roi_needed_rect(r, cp.levels, *roi) if roi is not None
                     else None
@@ -1011,11 +1045,28 @@ def decode_j2k(
                     if dests is not None:
                         dests.append((decoded[c][(r, bi)],
                                       cb.y0 - band.y0, cb.x0 - band.x0))
+        def _rgn_unshift(a, s_):
+            # maxshift decode (T.800 H.2): coefficients whose magnitude
+            # reaches the shifted planes are ROI; scale them back down
+            mag = np.abs(a)
+            hi = mag >= (1 << s_)
+            return np.where(hi, np.sign(a) * (mag >> s_), a)
+
         if dests is not None:
             batch.run_into(dests, num_threads)
+            if cp.rgn:
+                for c in range(C):
+                    s_ = cp.rgn.get(c, 0)
+                    if not s_:
+                        continue
+                    for (r, bi) in kepts[c]:
+                        a = decoded[c][(r, bi)]
+                        a[...] = _rgn_unshift(a, s_)
         else:
             for (c, r, bi, cb), blk in batch.run(num_threads):
                 band = resolutions[c][r].bands[bi]
+                if cp.rgn and cp.rgn.get(c, 0):
+                    blk = _rgn_unshift(blk, cp.rgn[c]).astype(np.int32)
                 if not ccs[c].reversible:
                     eps, mu = ccs[c].band_q[borders[c].index((r, bi))]
                     rb = depth + band.gain

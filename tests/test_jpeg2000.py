@@ -479,3 +479,38 @@ def test_multi_tile_part_reassembly():
     assert np.array_equal(out, img)
     out2 = nic.Decoder().decode(s2)
     assert np.array_equal(np.asarray(out2), img)
+
+
+def test_rgn_maxshift_roundtrip():
+    """RGN maxshift ROI (T.800 A.6.4/H): encode scales ROI coefficients
+    above every background plane, decode detects and rescales them.
+    Reversible roundtrips bit-exact; the EBCOT stream also cross-decodes
+    exactly in openjpeg (independent validation of the RGN signaling)."""
+    from nvimagecodec_tpu.codecs.jpeg2000.core import decode_j2k, encode_j2k
+
+    img = make_photo(96, 128, seed=11)
+    roi = (20, 30, 60, 90)
+    for ht in (False, True):
+        s = encode_j2k(img, reversible=True, levels=3, stream_type="j2k",
+                       roi=roi, ht=ht)
+        assert np.array_equal(decode_j2k(s), img)
+    s = encode_j2k(img, reversible=True, levels=3, stream_type="j2k",
+                   roi=roi)
+    from nvimagecodec_tpu.native import opj_bridge
+
+    arr, prec, signed = opj_bridge.decode(s)
+    assert np.array_equal(arr.squeeze().astype(np.uint8), img)
+
+
+def test_rgn_maxshift_irreversible_identity():
+    """For full (untruncated) decode, maxshift is quality-neutral: the
+    shifted planes carry the same quantized values, so the decode equals
+    the no-ROI encode at the same quality."""
+    from nvimagecodec_tpu.codecs.jpeg2000.core import decode_j2k, encode_j2k
+
+    img = make_photo(80, 80, seed=12)
+    a = decode_j2k(encode_j2k(img, reversible=False, levels=2, quality=70,
+                              stream_type="j2k"))
+    b = decode_j2k(encode_j2k(img, reversible=False, levels=2, quality=70,
+                              stream_type="j2k", roi=(10, 10, 50, 50)))
+    assert np.array_equal(a, b)
