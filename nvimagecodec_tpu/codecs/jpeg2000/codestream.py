@@ -723,6 +723,7 @@ def iter_tile_parts(data: bytes, pos: int):
     sequence. Single-part streams stream through without buffering."""
     n = len(data)
     parts: dict = {}
+    ppt_segs: dict = {}
     order: list = []
     multi = False
     while pos + 4 <= n:
@@ -746,14 +747,18 @@ def iter_tile_parts(data: bytes, pos: int):
                 raise ValueError(
                     "J2K: per-tile coding/quantization overrides not supported"
                 )
-            if m in (POC, RGN, 0xFF61):  # POC / RGN / PPT
-                # progression-order changes, ROI maxshift and packed packet
-                # headers would silently mis-decode with the straight packet
-                # walk; reject so the system-openjpeg rung handles them
+            if m in (POC, RGN):
+                # tile-level progression/ROI overrides: reject so the
+                # system-openjpeg rung handles them (main-header POC/RGN
+                # decode natively)
                 raise ValueError(
-                    "J2K: POC/RGN/PPT tile-part segments not supported"
+                    "J2K: POC/RGN tile-part segments not supported"
                 )
             ln = struct.unpack_from(">H", data, q + 2)[0]
+            if m == 0xFF61:  # PPT: Zppt + packed packet headers
+                zppt = data[q + 4]
+                ppt_segs.setdefault(isot, []).append(
+                    (zppt, data[q + 5:q + 2 + ln]))
             q += 2 + ln
         span = data[q:tile_end]
         if tile_end <= pos:  # corrupted Psot must not stall the walk
@@ -768,8 +773,12 @@ def iter_tile_parts(data: bytes, pos: int):
         plist = sorted(parts[isot], key=lambda t: t[0])
         if multi and [t for t, _ in plist] != list(range(len(plist))):
             raise ValueError("J2K: non-contiguous tile-part sequence")
+        ppt = None
+        if isot in ppt_segs:
+            segs = sorted(ppt_segs[isot], key=lambda t: t[0])
+            ppt = b"".join(sp for _, sp in segs)
         yield isot, (plist[0][1] if len(plist) == 1
-                     else b"".join(sp for _, sp in plist))
+                     else b"".join(sp for _, sp in plist)), ppt
 
 
 def wrap_jp2(codestream: bytes, siz: SizInfo,

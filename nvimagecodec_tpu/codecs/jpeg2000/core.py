@@ -961,7 +961,7 @@ def decode_j2k(
     )
     tile_stacks = {} if uniform_grid else None
 
-    for tidx, tdata in iter_tile_parts(cs, pos):
+    for tidx, tdata, ppt in iter_tile_parts(cs, pos):
         tx0, ty0, tx1, ty1 = siz.tile_rect(tidx)
         if roi is not None and (
             tx1 <= roi[1] or tx0 >= roi[3] or ty1 <= roi[0] or ty0 >= roi[2]
@@ -983,12 +983,24 @@ def decode_j2k(
                                             ccs[c].levels)
                        for c in range(C)}
         pdec = PacketDecoder(siz, cp, resolutions)
-        br = HeaderBitReader(tdata, 0)
-        for l, r, c, p in progression_iter(cp, resolutions, C, tx0, ty0,
-                                           sub=sub):
-            if br.pos > len(tdata):
-                raise ValueError("J2K: tile data exhausted mid-packet")
-            pdec.read_packet(br, c, r, l, p)
+        if ppt is not None:
+            import ctypes as _ct
+
+            br = HeaderBitReader(ppt, 0)   # packed packet headers
+            body_pos = _ct.c_int64(0)
+            for l, r, c, p in progression_iter(cp, resolutions, C, tx0,
+                                               ty0, sub=sub):
+                if br.pos > len(ppt):
+                    raise ValueError("J2K: PPT headers exhausted")
+                pdec.read_packet(br, c, r, l, p, body=tdata,
+                                 body_pos=body_pos)
+        else:
+            br = HeaderBitReader(tdata, 0)
+            for l, r, c, p in progression_iter(cp, resolutions, C, tx0,
+                                               ty0, sub=sub):
+                if br.pos > len(tdata):
+                    raise ValueError("J2K: tile data exhausted mid-packet")
+                pdec.read_packet(br, c, r, l, p)
 
         # T1 decode all codeblocks in parallel, then dequant + IDWT
         planes = []

@@ -140,6 +140,11 @@ class PacketDecoder:
             ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64, i64p,
             ctypes.c_int, i32p, ctypes.c_int, ctypes.c_int, i64p,
             ctypes.c_int, ctypes.c_int]
+        self._L.tic_t2_read_packet_split.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64, i64p,
+            ctypes.c_int, i32p, ctypes.c_int, ctypes.c_int, i64p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_char_p, ctypes.c_int64,
+            i64p]
         self._L.tic_t2_read_packet.restype = ctypes.c_int
         self._L.tic_t2_dump.argtypes = [
             ctypes.c_void_p, ctypes.c_int, i32p, i32p, i32p]
@@ -205,7 +210,8 @@ class PacketDecoder:
         return out
 
     def read_packet(self, br: HeaderBitReader, c: int, r: int, layer: int,
-                    p: int = 0) -> None:
+                    p: int = 0, body: bytes = None,
+                    body_pos=None) -> None:
         """Parse one packet header via the native T2 context.
 
         On a negative native return this raises and the context must be
@@ -226,12 +232,20 @@ class PacketDecoder:
         out = (ctypes.c_int64 * (3 * cap))()
         pos = ctypes.c_int64(br.pos)
         flags = ((1 if self.cp.sop else 0) | (2 if self.cp.eph else 0))
-        n = self._L.tic_t2_read_packet(
-            self._ctx, br.data, len(br.data), ctypes.byref(pos),
-            layer, band_ids, nb, ht, out, cap, flags)
+        if body is None:
+            n = self._L.tic_t2_read_packet(
+                self._ctx, br.data, len(br.data), ctypes.byref(pos),
+                layer, band_ids, nb, ht, out, cap, flags)
+        else:
+            # PPT mode (T.800 A.7.5): header bits from the packed-header
+            # buffer, codeword segments from the tile body stream
+            n = self._L.tic_t2_read_packet_split(
+                self._ctx, br.data, len(br.data), ctypes.byref(pos),
+                layer, band_ids, nb, ht, out, cap, flags,
+                body, len(body), ctypes.byref(body_pos))
         if n < 0:
             raise ValueError(self._ERRORS.get(n, f"J2K: packet parse rc={n}"))
-        data = br.data
+        data = br.data if body is None else body
         segs = self._segs
         for i in range(n):
             cb_id = out[3 * i]

@@ -156,14 +156,23 @@ int tic_t2_add_precband(void* h, int nx, int ny) {
 //   -3 absurd segment length, -4 body past end, -5 out capacity.
 // flags: bit 0 = SOP markers may precede packets (Scod bit 1),
 //        bit 1 = EPH marker terminates every packet header (Scod bit 2)
-int tic_t2_read_packet(void* h, const uint8_t* data, int64_t len,
-                       int64_t* pos, int layer, const int32_t* band_ids,
-                       int nbands, int ht_style, int64_t* out,
-                       int out_cap, int flags) {
+// body/body_len/body_pos: when non-NULL, packet headers come from `data`
+// (a PPT packed-header buffer) while the codeword segments live in the
+// separate body stream (T.800 A.7.5); otherwise bodies follow the header.
+int tic_t2_read_packet_split(void* h, const uint8_t* data, int64_t len,
+                             int64_t* pos, int layer,
+                             const int32_t* band_ids, int nbands,
+                             int ht_style, int64_t* out, int out_cap,
+                             int flags, const uint8_t* bodyd,
+                             int64_t body_len, int64_t* body_pos) {
     T2Ctx* c = (T2Ctx*)h;
-    if ((flags & 1) && *pos + 6 <= len && data[*pos] == 0xFF &&
-        data[*pos + 1] == 0x91)
-        *pos += 6;  // SOP: FF91 Lsop(=4) Nsop(2) — optional per packet
+    if (flags & 1) {  // SOP precedes the packet in the BODY stream
+        const uint8_t* sd = bodyd ? bodyd : data;
+        int64_t slen = bodyd ? body_len : len;
+        int64_t* sp = bodyd ? body_pos : pos;
+        if (*sp + 6 <= slen && sd[*sp] == 0xFF && sd[*sp + 1] == 0x91)
+            *sp += 6;  // SOP: FF91 Lsop(=4) Nsop(2) — optional per packet
+    }
     BitRd br;
     br.init(data, len, *pos);
     int nout = 0;
@@ -226,6 +235,11 @@ int tic_t2_read_packet(void* h, const uint8_t* data, int64_t len,
     int64_t p = br.pos;
     if ((flags & 2) && p + 2 <= len && data[p] == 0xFF && data[p + 1] == 0x92)
         p += 2;  // EPH terminates the packet header
+    if (bodyd) {
+        *pos = p;  // header buffer position advances independently
+        p = *body_pos;
+        len = body_len;
+    }
     for (int i = 0; i < body_n; i++) {
         int64_t cb_id = body[2 * i], seg_len = body[2 * i + 1];
         if (p + seg_len > len) return -4;
@@ -235,8 +249,18 @@ int tic_t2_read_packet(void* h, const uint8_t* data, int64_t len,
         nout++;
         p += seg_len;
     }
-    *pos = p;
+    if (bodyd) *body_pos = p;
+    else *pos = p;
     return nout;
+}
+
+int tic_t2_read_packet(void* h, const uint8_t* data, int64_t len,
+                       int64_t* pos, int layer, const int32_t* band_ids,
+                       int nbands, int ht_style, int64_t* out,
+                       int out_cap, int flags) {
+    return tic_t2_read_packet_split(h, data, len, pos, layer, band_ids,
+                                    nbands, ht_style, out, out_cap, flags,
+                                    nullptr, 0, nullptr);
 }
 
 // Dump accumulated per-code-block state for a band id range [b0, b1):

@@ -514,3 +514,72 @@ def test_rgn_maxshift_irreversible_identity():
     b = decode_j2k(encode_j2k(img, reversible=False, levels=2, quality=70,
                               stream_type="j2k", roi=(10, 10, 50, 50)))
     assert np.array_equal(a, b)
+
+
+def test_ppt_packed_packet_headers_decode():
+    """PPT (T.800 A.7.5): packet headers relocated into tile-part header
+    segments (Zppt-ordered) with only the codeword bodies left in the
+    bitstream. Built by separating a recorded stream's headers/bodies."""
+    import struct as _st
+
+    from nvimagecodec_tpu.codecs.jpeg2000 import t2 as t2m
+    from nvimagecodec_tpu.codecs.jpeg2000.core import decode_j2k, encode_j2k
+
+    recs = []
+    hdr_lens = []
+    wp_orig = t2m.PacketEncoder.write_packet
+    fl_orig = t2m.HeaderBitWriter.flush
+    init_orig = t2m.PacketEncoder.__init__
+
+    def init_py(self, *a, **k):
+        init_orig(self, *a, **k)
+        self._nctx = None
+
+    def wp_rec(self, c, r, p, layer):
+        b = wp_orig(self, c, r, p, layer)
+        recs.append(len(b))
+        return b
+
+    def fl_rec(self):
+        out = fl_orig(self)
+        hdr_lens.append(len(out))
+        return out
+
+    t2m.PacketEncoder.__init__ = init_py
+    t2m.PacketEncoder.write_packet = wp_rec
+    t2m.HeaderBitWriter.flush = fl_rec
+    try:
+        img = make_photo(72, 88, seed=8)
+        s = encode_j2k(img, reversible=True, levels=2, stream_type="j2k",
+                       num_layers=2)
+    finally:
+        t2m.PacketEncoder.__init__ = init_orig
+        t2m.PacketEncoder.write_packet = wp_orig
+        t2m.HeaderBitWriter.flush = fl_orig
+    assert len(hdr_lens) == len(recs)
+
+    i = s.find(b"\xff\x90")
+    psot = _st.unpack_from(">I", s, i + 6)[0]
+    sod = s.find(b"\xff\x93", i) + 2
+    tdata = s[sod:i + psot]
+    headers = bytearray()
+    bodies = bytearray()
+    off = 0
+    for total, hl in zip(recs, hdr_lens):
+        pkt = tdata[off:off + total]
+        off += total
+        headers += pkt[:hl]
+        bodies += pkt[hl:]
+    assert off == len(tdata)
+    # two PPT segments exercise Zppt ordering
+    cut = len(headers) // 2
+    ppt0 = b"\xff\x61" + _st.pack(">H", 3 + cut) + b"\x00" + headers[:cut]
+    ppt1 = (b"\xff\x61" + _st.pack(">H", 3 + len(headers) - cut) + b"\x01"
+            + headers[cut:])
+    isot = _st.unpack_from(">H", s, i + 4)[0]
+    body = bytes(ppt0 + ppt1) + b"\xff\x93" + bytes(bodies)
+    stream2 = (s[:i]
+               + _st.pack(">HHHIBB", 0xFF90, 10, isot, 12 + len(body), 0, 1)
+               + body + b"\xff\xd9")
+    res = decode_j2k(stream2)
+    assert np.array_equal(res, img)
