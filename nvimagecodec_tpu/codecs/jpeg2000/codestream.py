@@ -172,6 +172,9 @@ class CodingParams:
     eph: bool = False
     # RGN maxshift (T.800 A.6.4/H): component -> SPrgn shift
     rgn: Optional[Dict[int, int]] = None
+    # PPM (T.800 A.7.4): Zppm-ordered packed-header record stream, one
+    # [Nppm(4)][headers] record per tile-part in stream order
+    ppm: Optional[bytes] = None
 
     def pp(self, r: int) -> Tuple[int, int]:
         """Precinct exponents at resolution r (15/15 when no partition)."""
@@ -520,6 +523,7 @@ def parse_main_header(data: bytes, pos: int):
     coc_raw: List[bytes] = []
     qcc_raw: List[bytes] = []
     poc_raw: Optional[bytes] = None
+    ppm_segs: List[Tuple[int, bytes]] = []
     while pos + 4 <= len(data):
         marker, ln = struct.unpack_from(">HH", data, pos)
         if marker == SOT:
@@ -621,13 +625,14 @@ def parse_main_header(data: bytes, pos: int):
             if cp.rgn is None:
                 cp.rgn = {}
             cp.rgn[crgn] = sprgn
-        elif marker == 0xFF60:  # PPM
-            # packed packet headers would silently mis-decode; reject so
-            # the system-openjpeg rung handles them
-            raise ValueError("J2K: PPM markers not supported")
+        elif marker == 0xFF60:  # PPM: Zppm + packed-header record stream
+            ppm_segs.append((body[0], body[1:]))
         pos += 2 + ln
     if siz is None or cp is None:
         raise ValueError("J2K: missing SIZ/COD")
+    if ppm_segs:
+        cp.ppm = b"".join(b for _z, b in sorted(ppm_segs,
+                                                key=lambda t: t[0]))
     if poc_raw is not None:
         # T.800 A.6.6: component fields are 1 byte below 257 components
         wide = siz.ncomp >= 257
@@ -715,15 +720,19 @@ def parse_main_header(data: bytes, pos: int):
     return siz, cp, pos
 
 
-def iter_tile_parts(data: bytes, pos: int):
-    """Yield (tile_index, tile_data) per tile, with MULTI-TILE-PART streams
-    reassembled: a tile's parts carry consecutive slices of its packet
-    sequence (tile-part boundaries fall on packet boundaries, T.800 A.4.2),
-    so concatenating the SOD payloads in TPsot order restores the full
-    sequence. Single-part streams stream through without buffering."""
+def iter_tile_parts(data: bytes, pos: int, ppm: bytes = None):
+    """Yield (tile_index, tile_data, packed_headers) per tile, with
+    MULTI-TILE-PART streams reassembled: a tile's parts carry consecutive
+    slices of its packet sequence (tile-part boundaries fall on packet
+    boundaries, T.800 A.4.2), so concatenating the SOD payloads in TPsot
+    order restores the full sequence. packed_headers is the tile's PPT
+    (A.7.5) or PPM (A.7.4) header stream, or None. Single-part streams
+    stream through without buffering."""
     n = len(data)
     parts: dict = {}
     ppt_segs: dict = {}
+    ppm_hdrs: dict = {}
+    ppm_pos = 0
     order: list = []
     multi = False
     while pos + 4 <= n:
@@ -766,6 +775,14 @@ def iter_tile_parts(data: bytes, pos: int):
         pos = tile_end
         if tpsot > 0 or isot in parts:
             multi = True
+        if ppm is not None:
+            # one [Nppm][headers] record per tile-part, stream order
+            if ppm_pos + 4 > len(ppm):
+                raise ValueError("J2K: PPM record stream exhausted")
+            (nppm,) = struct.unpack_from(">I", ppm, ppm_pos)
+            rec = ppm[ppm_pos + 4:ppm_pos + 4 + nppm]
+            ppm_pos += 4 + nppm
+            ppm_hdrs.setdefault(isot, []).append((tpsot, rec))
         parts.setdefault(isot, []).append((tpsot, span))
         if isot not in order:
             order.append(isot)
@@ -776,6 +793,9 @@ def iter_tile_parts(data: bytes, pos: int):
         ppt = None
         if isot in ppt_segs:
             segs = sorted(ppt_segs[isot], key=lambda t: t[0])
+            ppt = b"".join(sp for _, sp in segs)
+        elif isot in ppm_hdrs:
+            segs = sorted(ppm_hdrs[isot], key=lambda t: t[0])
             ppt = b"".join(sp for _, sp in segs)
         yield isot, (plist[0][1] if len(plist) == 1
                      else b"".join(sp for _, sp in plist)), ppt

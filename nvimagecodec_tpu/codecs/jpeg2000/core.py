@@ -961,7 +961,7 @@ def decode_j2k(
     )
     tile_stacks = {} if uniform_grid else None
 
-    for tidx, tdata, ppt in iter_tile_parts(cs, pos):
+    for tidx, tdata, ppt in iter_tile_parts(cs, pos, ppm=cp.ppm):
         tx0, ty0, tx1, ty1 = siz.tile_rect(tidx)
         if roi is not None and (
             tx1 <= roi[1] or tx0 >= roi[3] or ty1 <= roi[0] or ty0 >= roi[2]

@@ -583,3 +583,69 @@ def test_ppt_packed_packet_headers_decode():
                + body + b"\xff\xd9")
     res = decode_j2k(stream2)
     assert np.array_equal(res, img)
+
+
+def test_ppm_packed_packet_headers_decode():
+    """PPM (T.800 A.7.4): packet headers relocated into MAIN-header
+    segments as per-tile-part [Nppm][headers] records."""
+    import struct as _st
+
+    from nvimagecodec_tpu.codecs.jpeg2000 import t2 as t2m
+    from nvimagecodec_tpu.codecs.jpeg2000.core import decode_j2k, encode_j2k
+
+    recs, hdr_lens = [], []
+    wp_orig = t2m.PacketEncoder.write_packet
+    fl_orig = t2m.HeaderBitWriter.flush
+    init_orig = t2m.PacketEncoder.__init__
+
+    def init_py(self, *a, **k):
+        init_orig(self, *a, **k)
+        self._nctx = None
+
+    def wp_rec(self, c, r, p, layer):
+        b = wp_orig(self, c, r, p, layer)
+        recs.append(len(b))
+        return b
+
+    def fl_rec(self):
+        out = fl_orig(self)
+        hdr_lens.append(len(out))
+        return out
+
+    t2m.PacketEncoder.__init__ = init_py
+    t2m.PacketEncoder.write_packet = wp_rec
+    t2m.HeaderBitWriter.flush = fl_rec
+    try:
+        img = make_photo(64, 72, seed=13)
+        s = encode_j2k(img, reversible=True, levels=2, stream_type="j2k")
+    finally:
+        t2m.PacketEncoder.__init__ = init_orig
+        t2m.PacketEncoder.write_packet = wp_orig
+        t2m.HeaderBitWriter.flush = fl_orig
+
+    i = s.find(b"\xff\x90")
+    psot = _st.unpack_from(">I", s, i + 6)[0]
+    sod = s.find(b"\xff\x93", i) + 2
+    tdata = s[sod:i + psot]
+    headers = bytearray()
+    bodies = bytearray()
+    off = 0
+    for total, hl in zip(recs, hdr_lens):
+        pkt = tdata[off:off + total]
+        off += total
+        headers += pkt[:hl]
+        bodies += pkt[hl:]
+    assert off == len(tdata)
+    record = _st.pack(">I", len(headers)) + bytes(headers)
+    # split into two PPM segments across a record boundary mid-record
+    cut = len(record) // 2
+    ppm0 = b"\xff\x60" + _st.pack(">H", 3 + cut) + b"\x00" + record[:cut]
+    ppm1 = (b"\xff\x60" + _st.pack(">H", 3 + len(record) - cut) + b"\x01"
+            + record[cut:])
+    isot = _st.unpack_from(">H", s, i + 4)[0]
+    body = b"\xff\x93" + bytes(bodies)
+    stream2 = (s[:i] + ppm0 + ppm1
+               + _st.pack(">HHHIBB", 0xFF90, 10, isot, 12 + len(body), 0, 1)
+               + body + b"\xff\xd9")
+    res = decode_j2k(stream2)
+    assert np.array_equal(res, img)
