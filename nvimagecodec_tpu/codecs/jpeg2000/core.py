@@ -463,7 +463,10 @@ def encode_j2k(
     if roi is not None:
         if ntiles != 1 or rate_ctl or per_comp:
             raise ValueError("roi: single-tile, non-rate-controlled only")
-        s_roi = max(max_nbps.values()) + (1 if ht else 0)
+        # s must exceed every background bitplane by ONE: decoders detect
+        # ROI indices at magnitude >= 2^(s-1) (openjpeg's threshold; any
+        # background coefficient reaches at most 2^max_nbps - 1)
+        s_roi = max(max_nbps.values()) + 1 + (1 if ht else 0)
         ry0, rx0, ry1, rx1 = roi
         margin = 3 if reversible else 5  # 5/3 vs 9/7 synthesis support
         res_by_c0, arrays0 = tile_banddata[0]
@@ -527,10 +530,16 @@ def encode_j2k(
                         _, _, blocks = cblk_grid_precinct(
                             band, r, ppx, ppy, prect, ccp.cblk_w, ccp.cblk_h
                         )
+                        # RGN: decoders that bound zbps by the nominal Mb
+                        # (openjpeg) need background blocks coded with at
+                        # least SPrgn+1 planes so zbps stays below Mb
+                        mbp = ((cp.rgn.get(c, 0) + 1)
+                               if (cp.rgn and not ht) else 0)
                         for k, (bx0, by0, bx1, by1) in enumerate(blocks):
                             blk = arr[by0 - band.y0 : by1 - band.y0,
                                       bx0 - band.x0 : bx1 - band.x0]
-                            ebatch.add((c, r, p, bi, k), blk, band.btype)
+                            ebatch.add((c, r, p, bi, k), blk, band.btype,
+                                       min_bps=mbp)
         results: Dict[Tuple[int, int, int, int], List] = {}
         for (c, r, p, bi, k), rv in ebatch.run(num_threads):
             results.setdefault((c, r, p, bi), []).append((k, rv))

@@ -257,7 +257,8 @@ class EncodeBatch:
         self._out_bytes = 0
         self._results: list = []  # (key, kind) kind: 0 batch idx, -1 zero
 
-    def add(self, key, blk: np.ndarray, band_btype: int) -> None:
+    def add(self, key, blk: np.ndarray, band_btype: int,
+            min_bps: int = 0) -> None:
         h, w = blk.shape
         if self.ht and not blk.any():
             self._results.append((key, -1, 0, 0))
@@ -272,7 +273,7 @@ class EncodeBatch:
         if self.ht:
             self._meta += [off, w, h, self.ht_passes]
         else:
-            self._meta += [off, w, h, band_btype]
+            self._meta += [off, w, h, band_btype | (min_bps << 8)]
         idx = len(self._outs) // 2
         self._outs += [oo, cap]
         self._results.append((key, idx, oo, cap))
@@ -389,7 +390,7 @@ def t1_encode(coefs: np.ndarray, band: int) -> Tuple[bytes, int, int]:
     rc = L.tic_j2k_t1_encode(
         coefs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), w, h, band,
         out, cap, ctypes.byref(outlen), ctypes.byref(nbps),
-        ctypes.byref(npasses),
+        ctypes.byref(npasses), 0,
     )
     if rc != 0:
         raise ValueError(f"J2K T1 encode failed rc={rc}")

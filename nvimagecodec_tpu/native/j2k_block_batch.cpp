@@ -173,7 +173,7 @@ int tic_ht_decode_batch_into(int32_t n, const uint8_t* blob,
 
 int tic_j2k_t1_encode(const int32_t* coefs, int w, int h, int band,
                       uint8_t* out, int cap, int* outlen, int* nbps,
-                      int* npasses);
+                      int* npasses, int min_bps);
 
 int tic_ht_encode_block(const int32_t* coefs, int32_t w, int32_t h,
                         int32_t num_passes, uint8_t* out, int32_t cap,
@@ -196,10 +196,12 @@ int tic_t1_encode_batch(int32_t n, const int32_t* coefs,
             if (i >= n) break;
             const int64_t* m = meta + 4 * i;
             int outlen = 0, nbps = 0, npasses = 0;
+            // m[3]: band type in the low byte, forced min bitplanes above
             int rc = tic_j2k_t1_encode(coefs + m[0], (int)m[1], (int)m[2],
-                                       (int)m[3], out + outs[2 * i],
+                                       (int)(m[3] & 0xFF),
+                                       out + outs[2 * i],
                                        (int)outs[2 * i + 1], &outlen, &nbps,
-                                       &npasses);
+                                       &npasses, (int)(m[3] >> 8));
             res[3 * i] = rc ? -1 : outlen;
             res[3 * i + 1] = nbps;
             res[3 * i + 2] = npasses;

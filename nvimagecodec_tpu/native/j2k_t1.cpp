@@ -950,9 +950,13 @@ int tic_j2k_t1_decode(const uint8_t* data, int len, int w, int h, int band,
 // Encode one codeblock from signed int32 coefficients. Returns the number
 // of magnitude bitplanes used via *num_bps and passes via *num_passes;
 // caller provides out buffer of cap bytes, gets *outlen written.
+// min_bps: force at least this many coded magnitude bitplanes (leading
+// all-zero planes become cheap RL cleanup passes). Decoders that bound the
+// signaled zero-bitplanes by the band's nominal Mb (openjpeg with RGN)
+// need background blocks to keep zbps < Mb.
 int tic_j2k_t1_encode(const int32_t* in, int w, int h, int band,
                       uint8_t* out_buf, int cap, int* outlen, int* num_bps,
-                      int* num_passes) {
+                      int* num_passes, int min_bps) {
   if (w <= 0 || h <= 0 || w > 4096 || h > 4096) return 1;
   static thread_local T1EncoderFast t __attribute__((tls_model("initial-exec")));
   static thread_local std::vector<int32_t> sm;  // sign-magnitude plane
@@ -968,12 +972,14 @@ int tic_j2k_t1_encode(const int32_t* in, int w, int h, int band,
   }
   int nbps = 0;
   while ((1 << nbps) <= maxmag) nbps++;
-  *num_bps = nbps;
   if (nbps == 0) {
+    *num_bps = 0;
     *num_passes = 0;
     *outlen = 0;
     return 0;
   }
+  if (nbps < min_bps && min_bps <= 30) nbps = min_bps;
+  *num_bps = nbps;
   t.vals = sm.data();
   t.mstride = w;
   t.mq.init();
