@@ -708,8 +708,15 @@ class BitWriterLSB:
 
 
 def _limited_huffman_lengths(freq: np.ndarray, max_len: int = 15) -> np.ndarray:
-    """Code lengths from frequencies, limited to max_len (same
-    merge-then-push-down algorithm as the JPEG optimized-table path)."""
+    """Length-limited Huffman code lengths with an EXACT Kraft sum of 1.
+
+    Decoders (libwebp's BuildHuffmanTable included) reject incomplete
+    prefix codes, so after clamping over-long codes the lengths are
+    adjusted until sum(2^-len) == 1: clamping only over-fills (> 1), the
+    over-full tree is fixed by deepening the cheapest symbols, and any
+    over-shoot is returned by shortening the deepest symbol whose gain
+    fits the remaining deficit (all gains are powers of two, so the
+    greedy always lands exactly)."""
     n = len(freq)
     lengths = np.zeros(n, np.int32)
     nz = np.nonzero(freq)[0]
@@ -728,24 +735,41 @@ def _limited_huffman_lengths(freq: np.ndarray, max_len: int = 15) -> np.ndarray:
         for sym in s1 + s2:
             lengths[sym] += 1
         heapq.heappush(heap, (f1 + f2, min(s1 + s2), s1 + s2))
-    # push over-long codes down (Kraft-preserving adjustment)
-    while lengths.max() > max_len:
-        over = np.argmax(lengths)
-        lengths[over] -= 1
-        # find deepest leaf shallower than max_len-1 to deepen
-        cand = np.where((lengths > 0) & (lengths < max_len) &
-                        (np.arange(n) != over))[0]
-        deepen = cand[np.argmax(lengths[cand])]
-        lengths[deepen] += 1
-        # verify Kraft; if violated, revert via full redistribution
-        if np.sum(np.where(lengths > 0, 2.0 ** (-lengths.astype(float)), 0)) > 1.0 + 1e-12:
-            lengths[over] += 1
-            lengths[deepen] -= 1
-            # flatten everything long to max_len then fix greedily
-            lengths = np.where(lengths > max_len, max_len, lengths)
-            while np.sum(np.where(lengths > 0, 2.0 ** (-lengths.astype(float)), 0)) > 1.0 + 1e-12:
-                i = int(np.argmin(np.where(lengths > 0, lengths, 99)))
-                lengths[i] += 1
+    if lengths.max() <= max_len:
+        return lengths
+    lengths = np.minimum(lengths, max_len)
+    unit = 1 << max_len
+    kraft = int(sum(1 << (max_len - int(lengths[i])) for i in nz))
+    # over-full from clamping: deepen lowest-frequency symbols first
+    while kraft > unit:
+        cand = [int(i) for i in nz if lengths[i] < max_len]
+        i = min(cand, key=lambda j: (int(freq[j]), j))
+        kraft -= 1 << (max_len - int(lengths[i]) - 1)
+        lengths[i] += 1
+    # give back any over-shoot: shorten the deepest symbol whose gain
+    # fits (gains are powers of two; highest-frequency first at a depth)
+    while kraft < unit:
+        deficit = unit - kraft
+        best = None
+        for i in nz:
+            li = int(lengths[i])
+            if li <= 1:
+                continue
+            gain = 1 << (max_len - li)
+            if gain <= deficit and (
+                best is None
+                or (li, int(freq[i])) > (int(lengths[best]),
+                                         int(freq[best]))
+            ):
+                best = int(i)
+        if best is None:  # cannot land exactly: deepen cheapest and retry
+            cand = [int(i) for i in nz if lengths[i] < max_len]
+            i = min(cand, key=lambda j: (int(freq[j]), j))
+            kraft -= 1 << (max_len - int(lengths[i]) - 1)
+            lengths[i] += 1
+            continue
+        kraft += 1 << (max_len - int(lengths[best]))
+        lengths[best] -= 1
     return lengths
 
 

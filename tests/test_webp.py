@@ -320,3 +320,32 @@ def test_lossy_alpha_encode_roundtrip():
     out = np.asarray(nic.Decoder().decode(nic.Encoder().encode(
         rgba, codec="webp", params=EncodeParams(quality=70))))
     assert out.shape == rgba.shape and np.array_equal(out[:, :, 3], a)
+
+
+def test_lossless_length_limited_codes_complete():
+    """Regression: the length-limited Huffman must emit COMPLETE prefix
+    codes (Kraft sum exactly 1) — libwebp rejects incomplete codes that a
+    lenient decoder would accept. This image class forced the 7-bit
+    code-length-code limiter into its adjustment path."""
+    from nvimagecodec_tpu.codecs.webp import encode_webp_lossless
+
+    img = np.ascontiguousarray(make_photo(42, 139, seed=9032)[:16, :131])
+    data = encode_webp_lossless(img)
+    truth = oracle.webp_decode_rgba(data)  # must not raise
+    assert np.array_equal(truth[:, :, :3], img)
+
+    from fractions import Fraction
+
+    from nvimagecodec_tpu.codecs.webp import _limited_huffman_lengths
+
+    rng = np.random.default_rng(3)
+    for maxlen in (7, 15):
+        for _ in range(200):
+            n = int(rng.integers(2, 40))
+            freq = rng.integers(0, 1000, n)
+            freq[rng.integers(0, n)] += 1  # ensure some mass
+            L = _limited_huffman_lengths(freq.astype(np.int64), maxlen)
+            nzl = L[L > 0]
+            if len(nzl) > 1:
+                assert L.max() <= maxlen
+                assert sum(Fraction(1, 2 ** int(l)) for l in nzl) == 1
