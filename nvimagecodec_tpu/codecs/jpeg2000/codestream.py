@@ -548,10 +548,11 @@ def parse_main_header(data: bytes, pos: int):
             levels, cbw, cbh, style, transform = struct.unpack_from(
                 ">BBBBB", body, 5
             )
-            if style not in (0, CBLK_HT):
-                # 0xC0 (mixed HT/EBCOT) and part-1 mode switches
-                # (bypass/reset/termall/causal/segsym) route to the
-                # system-openjpeg fallback plugin
+            # supported: plain EBCOT, HT, and the part-1 mode switches
+            # RESET (0x02), CAUSAL (0x08), SEGSYM (0x20). BYPASS/TERMALL
+            # (0x01/0x04) change the codeword segmentation and 0xC0 mixes
+            # coders — those route to the system-openjpeg fallback plugin.
+            if style != CBLK_HT and (style & ~0x2A):
                 raise ValueError("J2K: unsupported code-block style")
             # range checks: corrupted bytes here would otherwise drive
             # gigantic geometry loops (levels/cblk are exponents)
@@ -675,7 +676,7 @@ def parse_main_header(data: bytes, pos: int):
         scoc = body[cw]
         levels, cbw, cbh, style, transform = struct.unpack_from(
             ">BBBBB", body, cw + 1)
-        if style not in (0, CBLK_HT):
+        if style != CBLK_HT and (style & ~0x2A):
             raise ValueError("J2K: unsupported code-block style (COC)")
         if levels > 32 or cbw > 8 or cbh > 8:
             raise ValueError("J2K: invalid COC parameters")

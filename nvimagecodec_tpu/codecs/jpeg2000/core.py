@@ -214,6 +214,7 @@ def encode_j2k(
     colorspace: str = None,
     grid_offset: Tuple[int, int] = (0, 0),
     roi: Optional[Tuple[int, int, int, int]] = None,
+    mode_switches: int = 0,
 ) -> bytes:
     """Encode [H, W] or [H, W, C] u8/u16 → JP2/J2K bytes.
 
@@ -319,7 +320,7 @@ def encode_j2k(
         prog_order=_PROG_NAMES.get(str(prog_order).upper(), 0)
         if isinstance(prog_order, str) else int(prog_order),
         num_layers=max(1, int(num_layers)),
-        cblk_style=0x40 if ht else 0,
+        cblk_style=(0x40 if ht else (mode_switches & 0x2A)),
         precincts=precincts,
         qcd_style=0 if reversible else 2,
         guard_bits=2,
@@ -535,11 +536,12 @@ def encode_j2k(
                         # least SPrgn+1 planes so zbps stays below Mb
                         mbp = ((cp.rgn.get(c, 0) + 1)
                                if (cp.rgn and not ht) else 0)
+                        sty = 0 if ht else (ccp.cblk_style & 0x2A)
                         for k, (bx0, by0, bx1, by1) in enumerate(blocks):
                             blk = arr[by0 - band.y0 : by1 - band.y0,
                                       bx0 - band.x0 : bx1 - band.x0]
                             ebatch.add((c, r, p, bi, k), blk, band.btype,
-                                       min_bps=mbp)
+                                       min_bps=mbp, style=sty)
         results: Dict[Tuple[int, int, int, int], List] = {}
         for (c, r, p, bi, k), rv in ebatch.run(num_threads):
             results.setdefault((c, r, p, bi), []).append((k, rv))
@@ -1062,7 +1064,8 @@ def decode_j2k(
                         nbps = max(0, mb - cb.zero_bps)
                         batch.add_t1((c, r, bi, cb), seg,
                                      cb.x1 - cb.x0, cb.y1 - cb.y0,
-                                     band.btype, nbps, cb.num_passes)
+                                     band.btype, nbps, cb.num_passes,
+                                     style=cc.cblk_style & 0x2A)
                     if dests is not None:
                         dests.append((decoded[c][(r, bi)],
                                       cb.y0 - band.y0, cb.x0 - band.x0))

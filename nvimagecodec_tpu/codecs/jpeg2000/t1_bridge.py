@@ -128,11 +128,12 @@ class BlockBatch:
         self._results.append((key, w, h))
 
     def add_t1(self, key, seg: bytes, w: int, h: int, band: int,
-               num_bps: int, num_passes: int) -> None:
+               num_bps: int, num_passes: int, style: int = 0) -> None:
         so, sl = self._put(seg)
         oo = self._out_elems
         self._out_elems += w * h
-        self._t1_meta += [so, sl, w, h, band, num_bps, num_passes, oo]
+        self._t1_meta += [so, sl, w, h, band | (style << 8), num_bps,
+                          num_passes, oo]
         self._kinds.append("t1")
         self._results.append((key, w, h))
 
@@ -258,7 +259,7 @@ class EncodeBatch:
         self._results: list = []  # (key, kind) kind: 0 batch idx, -1 zero
 
     def add(self, key, blk: np.ndarray, band_btype: int,
-            min_bps: int = 0) -> None:
+            min_bps: int = 0, style: int = 0) -> None:
         h, w = blk.shape
         if self.ht and not blk.any():
             self._results.append((key, -1, 0, 0))
@@ -273,7 +274,8 @@ class EncodeBatch:
         if self.ht:
             self._meta += [off, w, h, self.ht_passes]
         else:
-            self._meta += [off, w, h, band_btype | (min_bps << 8)]
+            self._meta += [off, w, h,
+                           band_btype | (min_bps << 8) | (style << 16)]
         idx = len(self._outs) // 2
         self._outs += [oo, cap]
         self._results.append((key, idx, oo, cap))
@@ -390,7 +392,7 @@ def t1_encode(coefs: np.ndarray, band: int) -> Tuple[bytes, int, int]:
     rc = L.tic_j2k_t1_encode(
         coefs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), w, h, band,
         out, cap, ctypes.byref(outlen), ctypes.byref(nbps),
-        ctypes.byref(npasses), 0,
+        ctypes.byref(npasses), 0, 0,
     )
     if rc != 0:
         raise ValueError(f"J2K T1 encode failed rc={rc}")

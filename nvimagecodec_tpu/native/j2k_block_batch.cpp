@@ -24,6 +24,11 @@ int tic_ht_decode_block(const uint8_t* cup, int32_t lcup, const uint8_t* ref,
 int tic_j2k_t1_decode(const uint8_t* data, int len, int w, int h, int band,
                       int num_bps, int num_passes, int32_t* out);
 
+int tic_j2k_t1_decode_strided_style(const uint8_t* data, int len, int w,
+                                    int h, int64_t stride, int band,
+                                    int num_bps, int num_passes,
+                                    int32_t* out, int style);
+
 // meta: 10 int32 per block —
 //   [cup_off, cup_len, ref_off, ref_len, num_passes, w, h, B, Ucap, out_off]
 // out_off indexes int32 elements of `out`. rcs: per-block return codes.
@@ -71,8 +76,10 @@ int tic_t1_decode_batch(int32_t n, const uint8_t* blob, const int32_t* meta,
             int32_t i = next.fetch_add(1, std::memory_order_relaxed);
             if (i >= n) break;
             const int32_t* m = meta + 8 * i;
-            int rc = tic_j2k_t1_decode(blob + m[0], m[1], m[2], m[3], m[4],
-                                       m[5], m[6], out + m[7]);
+            // m[4]: band type byte 0, code-block style bits 8+
+            int rc = tic_j2k_t1_decode_strided_style(
+                blob + m[0], m[1], m[2], m[3], m[2], m[4] & 0xFF, m[5],
+                m[6], out + m[7], m[4] >> 8);
             rcs[i] = rc;
             if (rc) bad.store(rc, std::memory_order_relaxed);
         }
@@ -92,10 +99,6 @@ int tic_t1_decode_batch(int32_t n, const uint8_t* blob, const int32_t* meta,
     return bad.load();
 }
 
-int tic_j2k_t1_decode_strided(const uint8_t* data, int len, int w, int h,
-                              int64_t stride, int band, int num_bps,
-                              int num_passes, int32_t* out);
-
 // Direct-to-band batch decode: each block is written straight into its
 // subband array at (dests[i], strides[i]) — no intermediate coefficient
 // blob and no per-block Python consume loop. meta layouts match the
@@ -114,9 +117,10 @@ int tic_t1_decode_batch_into(int32_t n, const uint8_t* blob,
             int32_t i = next.fetch_add(1, std::memory_order_relaxed);
             if (i >= n) break;
             const int32_t* m = meta + 7 * i;
-            int rc = tic_j2k_t1_decode_strided(blob + m[0], m[1], m[2], m[3],
-                                               strides[i], m[4], m[5], m[6],
-                                               dests[i]);
+            // m[4]: band type byte 0, code-block style bits 8+
+            int rc = tic_j2k_t1_decode_strided_style(
+                blob + m[0], m[1], m[2], m[3], strides[i], m[4] & 0xFF,
+                m[5], m[6], dests[i], m[4] >> 8);
             rcs[i] = rc;
             if (rc) bad.store(rc, std::memory_order_relaxed);
         }
@@ -173,7 +177,7 @@ int tic_ht_decode_batch_into(int32_t n, const uint8_t* blob,
 
 int tic_j2k_t1_encode(const int32_t* coefs, int w, int h, int band,
                       uint8_t* out, int cap, int* outlen, int* nbps,
-                      int* npasses, int min_bps);
+                      int* npasses, int min_bps, int style);
 
 int tic_ht_encode_block(const int32_t* coefs, int32_t w, int32_t h,
                         int32_t num_passes, uint8_t* out, int32_t cap,
@@ -196,12 +200,14 @@ int tic_t1_encode_batch(int32_t n, const int32_t* coefs,
             if (i >= n) break;
             const int64_t* m = meta + 4 * i;
             int outlen = 0, nbps = 0, npasses = 0;
-            // m[3]: band type in the low byte, forced min bitplanes above
+            // m[3]: band type byte 0, forced min bitplanes byte 1,
+            // code-block style byte 2
             int rc = tic_j2k_t1_encode(coefs + m[0], (int)m[1], (int)m[2],
                                        (int)(m[3] & 0xFF),
                                        out + outs[2 * i],
                                        (int)outs[2 * i + 1], &outlen, &nbps,
-                                       &npasses, (int)(m[3] >> 8));
+                                       &npasses, (int)((m[3] >> 8) & 0xFF),
+                                       (int)(m[3] >> 16));
             res[3 * i] = rc ? -1 : outlen;
             res[3 * i + 1] = nbps;
             res[3 * i + 2] = npasses;

@@ -156,6 +156,13 @@ struct MQDecoder {
   MqVars v;
   uint64_t ctx[kNumCtx];
 
+  void reset_ctx() {
+    for (int i = 0; i < kNumCtx; i++) ctx[i] = kMqPacked[0];
+    ctx[CTX_UNI] = kMqPacked[2 * 46];
+    ctx[CTX_RUN] = kMqPacked[2 * 3];
+    ctx[0] = kMqPacked[2 * 4];
+  }
+
   void init(const uint8_t* data, int len) {
     v.bp = data;
     v.end = data + len;
@@ -406,6 +413,10 @@ const Zc9Init kZc9Init;
 
 struct T1Decoder {
   int w, h, S, cls, ws;
+  int style = 0;            // part-1 mode switches (RESET/CAUSAL/SEGSYM)
+  uint32_t ncm3 = 0x1FF;    // row-3 ZC window mask (causal drops t=5)
+  uint32_t scm3 = 1;        // row-3 south sig/sign mask (causal: 0)
+  uint32_t clnm = SIG_ALL;  // cleanup RL significance check mask
   int64_t mstride;          // row stride (elements) of the mag output
   std::vector<uint32_t> F;  // (S+2) x (w+2), pad ring absorbs border writes
   int32_t* mag = nullptr;   // caller's zeroed out buffer
@@ -415,13 +426,18 @@ struct T1Decoder {
     return &F[(size_t)(s + 1) * ws + (x + 1)];
   }
 
-  void reset(int w_, int h_, int band_) {
+  void reset(int w_, int h_, int band_, int style_ = 0) {
     w = w_;
     h = h_;
     S = (h_ + 3) >> 2;
     cls = band_ == 1 ? 1 : band_ == 3 ? 2 : 0;
     ws = w + 2;
     F.assign((size_t)ws * (S + 2), 0);
+    style = style_;
+    bool causal = (style_ & 0x08) != 0;
+    ncm3 = causal ? 0x3Fu : 0x1FFu;    // drop window row t=5 for j=3
+    scm3 = causal ? 0u : 1u;
+    clnm = causal ? 0x7FFFu : SIG_ALL;  // RL check ignores t=5 row
   }
 
   // Register-resident column word: the pass loops load the stripe-column
@@ -456,13 +472,14 @@ struct T1Decoder {
   // neighbor words in memory (kept current by earlier columns' writebacks).
   __attribute__((always_inline)) inline int sc_index_f(const uint32_t* p,
                                                        uint32_t f, int j) {
+    uint32_t sm = j == 3 ? scm3 : 1u;  // stripe-causal: no south for j=3
     int idx = (int)(((f >> (3 * j + 3)) & 1) | (((f >> (3 * j + 5)) & 1) << 1) |
                     (((f >> (3 * j + 1)) & 1) << 2) |
-                    (((f >> (3 * j + 7)) & 1) << 3) |
+                    ((((f >> (3 * j + 7)) & 1) & sm) << 3) |
                     (((p[-1] >> (19 + j)) & 1) << 4) |
                     (((p[1] >> (19 + j)) & 1) << 5) |
                     (((f >> (18 + j)) & 1) << 6) |
-                    (((f >> (20 + j)) & 1) << 7));
+                    ((((f >> (20 + j)) & 1) & sm) << 7));
     return idx;
   }
 
@@ -479,7 +496,7 @@ struct T1Decoder {
 // register-resident column word `f`; R is the hoisted output row pointer
 #define T1_SPP_ROW(J, R)                                                \
   {                                                                     \
-    uint32_t nb = (f >> (3 * (J))) & 0x1FF;                             \
+    uint32_t nb = (f >> (3 * (J))) & ((J) == 3 ? ncm3 : 0x1FFu);        \
     if ((nb != 0) & ((nb & 0x10u) == 0)) {                              \
       if (mq_decode(mv, &mq.ctx[zc[nb]])) {                             \
         uint32_t neg = decode_sign_f(mv, rowp + x, f, (J));             \
@@ -536,7 +553,8 @@ struct T1Decoder {
     if (f & MU_BIT(J)) {                                                \
       (R)[x] |= one & -mq_decode(mv, &c16);                             \
     } else {                                                            \
-      int cx = ((f >> (3 * (J))) & 0x1FF & ~0x10u) ? 15 : 14;           \
+      int cx = ((f >> (3 * (J))) & ((J) == 3 ? ncm3 : 0x1FFu) & ~0x10u) \
+                   ? 15 : 14;                                           \
       (R)[x] |= one & -mq_decode(mv, &mq.ctx[cx]);                      \
     }                                                                   \
     f |= MU_BIT(J) | PI_BIT(J);                                         \
@@ -579,9 +597,19 @@ struct T1Decoder {
 #define T1_CLN_ROW(J, R)                                                \
   {                                                                     \
     if (!(f & (SIG_SELF(J) | PI_BIT(J)))) {                             \
-      uint32_t nb = (f >> (3 * (J))) & 0x1FF;                           \
+      uint32_t nb = (f >> (3 * (J))) & ((J) == 3 ? ncm3 : 0x1FFu);      \
       if (mq_decode(mv, &mq.ctx[zc[nb]])) T1_CLN_SIG(J, R)              \
     }                                                                   \
+  }
+
+  void read_segsym() {
+    // T.800 D.5: segmentation symbol 1010 on the UNIFORM context at the
+    // end of every cleanup pass; consumed (decoders may validate)
+    MqVars mv = mq.v;
+    uint64_t cuni = mq.ctx[CTX_UNI];
+    for (int i = 0; i < 4; i++) (void)mq_decode(mv, &cuni);
+    mq.ctx[CTX_UNI] = cuni;
+    mq.v = mv;
   }
 
   void cleanup_pass(int bp) {
@@ -602,7 +630,7 @@ struct T1Decoder {
       for (int x = 0; x < w; x++) {
         uint32_t f = rowp[x];
         if (full) {
-          if (!(f & (SIG_ALL | PI_ALL))) {
+          if (!(f & (clnm | PI_ALL))) {
             // run-length mode
             if (mq_decode(mv, &crun) == 0) continue;
             int r = (mq_decode(mv, &cuni) << 1) | mq_decode(mv, &cuni);
@@ -657,6 +685,10 @@ struct T1Decoder {
 // per sample in flag-word traffic.
 struct T1EncoderFast {
   int w, h, S, cls, ws;
+  int style = 0;            // part-1 mode switches (RESET/CAUSAL/SEGSYM)
+  uint32_t ncm3 = 0x1FF;
+  uint32_t scm3 = 1;
+  uint32_t clnm = SIG_ALL;
   int64_t mstride;
   std::vector<uint32_t> F;   // (S+2) x (w+2) pad ring
   const int32_t* vals = nullptr;  // sign-magnitude input rows
@@ -666,13 +698,18 @@ struct T1EncoderFast {
     return &F[(size_t)(s + 1) * ws + (x + 1)];
   }
 
-  void reset(int w_, int h_, int band_) {
+  void reset(int w_, int h_, int band_, int style_ = 0) {
     w = w_;
     h = h_;
     S = (h_ + 3) >> 2;
     cls = band_ == 1 ? 1 : band_ == 3 ? 2 : 0;
     ws = w + 2;
     F.assign((size_t)ws * (S + 2), 0);
+    style = style_;
+    bool causal = (style_ & 0x08) != 0;
+    ncm3 = causal ? 0x3Fu : 0x1FFu;    // drop window row t=5 for j=3
+    scm3 = causal ? 0u : 1u;
+    clnm = causal ? 0x7FFFu : SIG_ALL;  // RL check ignores t=5 row
   }
 
   __attribute__((always_inline)) inline void update_sig_f(
@@ -695,13 +732,14 @@ struct T1EncoderFast {
 
   __attribute__((always_inline)) inline int sc_index_f(const uint32_t* p,
                                                        uint32_t f, int j) {
+    uint32_t sm = j == 3 ? scm3 : 1u;  // stripe-causal: no south for j=3
     return (int)(((f >> (3 * j + 3)) & 1) | (((f >> (3 * j + 5)) & 1) << 1) |
                  (((f >> (3 * j + 1)) & 1) << 2) |
-                 (((f >> (3 * j + 7)) & 1) << 3) |
+                 ((((f >> (3 * j + 7)) & 1) & sm) << 3) |
                  (((p[-1] >> (19 + j)) & 1) << 4) |
                  (((p[1] >> (19 + j)) & 1) << 5) |
                  (((f >> (18 + j)) & 1) << 6) |
-                 (((f >> (20 + j)) & 1) << 7));
+                 ((((f >> (20 + j)) & 1) & sm) << 7));
   }
 
   __attribute__((always_inline)) inline void encode_sign_f(
@@ -713,7 +751,7 @@ struct T1EncoderFast {
 
 #define T1E_SPP_ROW(J, R)                                               \
   {                                                                     \
-    uint32_t nb = (f >> (3 * (J))) & 0x1FF;                             \
+    uint32_t nb = (f >> (3 * (J))) & ((J) == 3 ? ncm3 : 0x1FFu);        \
     if ((nb != 0) & ((nb & 0x10u) == 0)) {                              \
       uint32_t vv = (uint32_t)(R)[x];                                   \
       int bit = (int)((vv >> bp) & 1);                                  \
@@ -764,7 +802,8 @@ struct T1EncoderFast {
     if (f & MU_BIT(J)) {                                                \
       mq.encode_w(mv, c16, bit);                                        \
     } else {                                                            \
-      int cx = ((f >> (3 * (J))) & 0x1FF & ~0x10u) ? 15 : 14;           \
+      int cx = ((f >> (3 * (J))) & ((J) == 3 ? ncm3 : 0x1FFu) & ~0x10u) \
+                   ? 15 : 14;                                           \
       mq.encode_w(mv, mq.ctxw[cx], bit);                                \
     }                                                                   \
     f |= MU_BIT(J) | PI_BIT(J);                                         \
@@ -801,11 +840,28 @@ struct T1EncoderFast {
 #define T1E_CLN_ROW(J, R)                                               \
   {                                                                     \
     if (!(f & (SIG_SELF(J) | PI_BIT(J)))) {                             \
-      uint32_t nb = (f >> (3 * (J))) & 0x1FF;                           \
+      uint32_t nb = (f >> (3 * (J))) & ((J) == 3 ? ncm3 : 0x1FFu);      \
       int bit = (int)(((uint32_t)(R)[x] >> bp) & 1);                    \
       mq.encode_w(mv, mq.ctxw[zc[nb]], bit);                            \
       if (bit) T1E_CLN_SIG(J, R)                                        \
     }                                                                   \
+  }
+
+  void write_segsym() {
+    // T.800 D.5: segmentation symbol 1010 on the UNIFORM context
+    MqeVars mv = mq.v;
+    mq.encode_w(mv, mq.ctxw[CTX_UNI], 1);
+    mq.encode_w(mv, mq.ctxw[CTX_UNI], 0);
+    mq.encode_w(mv, mq.ctxw[CTX_UNI], 1);
+    mq.encode_w(mv, mq.ctxw[CTX_UNI], 0);
+    mq.v = mv;
+  }
+
+  void reset_ctx() {
+    for (int i = 0; i < kNumCtx; i++) mq.ctxw[i] = kMqPacked[0];
+    mq.ctxw[CTX_UNI] = kMqPacked[2 * 46];
+    mq.ctxw[CTX_RUN] = kMqPacked[2 * 3];
+    mq.ctxw[0] = kMqPacked[2 * 4];
   }
 
   void cleanup_pass(int bp) {
@@ -825,7 +881,7 @@ struct T1EncoderFast {
       for (int x = 0; x < w; x++) {
         uint32_t f = rowp[x];
         if (full) {
-          if (!(f & (SIG_ALL | PI_ALL))) {
+          if (!(f & (clnm | PI_ALL))) {
             // run-length mode: none of the 4 rows has a sig neighbor
             int first = -1;
             if (((uint32_t)r0[x] >> bp) & 1) first = 0;
@@ -892,9 +948,10 @@ extern "C" {
 // h rows of w at row stride `stride` elements. The written region must
 // arrive zero-initialized (magnitude bits are OR-accumulated in place) —
 // both bridges pass np.zeros / fresh band arrays.
-int tic_j2k_t1_decode_strided(const uint8_t* data, int len, int w, int h,
-                              int64_t stride, int band, int num_bps,
-                              int num_passes, int32_t* out) {
+int tic_j2k_t1_decode_strided_style(const uint8_t* data, int len, int w,
+                                    int h, int64_t stride, int band,
+                                    int num_bps, int num_passes,
+                                    int32_t* out, int style) {
   if (w <= 0 || h <= 0 || w > 4096 || h > 4096 || num_bps < 0 ||
       num_bps > 31 || num_passes < 0 || stride < w)
     return 1;
@@ -903,26 +960,34 @@ int tic_j2k_t1_decode_strided(const uint8_t* data, int len, int w, int h,
   // t-relative access (including mq.ctx inside the MQ decode hot path)
   // through __tls_get_addr — measured 22% of the whole T1 decode.
   static thread_local T1Decoder t __attribute__((tls_model("initial-exec")));
-  t.reset(w, h, band);
+  t.reset(w, h, band, style);
   t.mstride = stride;
   t.mag = out;
   t.mq.init(data, len);
+  const bool segsym = (style & 0x20) != 0;
+  const bool ctxreset = (style & 0x02) != 0;
   int pass = 0;
   for (int bp = num_bps - 1; bp >= 0 && pass < num_passes; bp--) {
     if (bp == num_bps - 1) {
       t.cleanup_pass(bp);
+      if (segsym) t.read_segsym();
+      if (ctxreset) t.mq.reset_ctx();
       pass++;
     } else {
       if (pass < num_passes) {
         t.sig_prop_pass(bp);
+        if (ctxreset) t.mq.reset_ctx();
         pass++;
       }
       if (pass < num_passes) {
         t.mag_ref_pass(bp);
+        if (ctxreset) t.mq.reset_ctx();
         pass++;
       }
       if (pass < num_passes) {
         t.cleanup_pass(bp);
+        if (segsym) t.read_segsym();
+        if (ctxreset) t.mq.reset_ctx();
         pass++;
       }
     }
@@ -938,6 +1003,13 @@ int tic_j2k_t1_decode_strided(const uint8_t* data, int len, int w, int h,
     }
   }
   return 0;
+}
+
+int tic_j2k_t1_decode_strided(const uint8_t* data, int len, int w, int h,
+                              int64_t stride, int band, int num_bps,
+                              int num_passes, int32_t* out) {
+  return tic_j2k_t1_decode_strided_style(data, len, w, h, stride, band,
+                                         num_bps, num_passes, out, 0);
 }
 
 // contiguous-output compatibility wrapper (stride == w)
@@ -956,11 +1028,11 @@ int tic_j2k_t1_decode(const uint8_t* data, int len, int w, int h, int band,
 // need background blocks to keep zbps < Mb.
 int tic_j2k_t1_encode(const int32_t* in, int w, int h, int band,
                       uint8_t* out_buf, int cap, int* outlen, int* num_bps,
-                      int* num_passes, int min_bps) {
+                      int* num_passes, int min_bps, int style) {
   if (w <= 0 || h <= 0 || w > 4096 || h > 4096) return 1;
   static thread_local T1EncoderFast t __attribute__((tls_model("initial-exec")));
   static thread_local std::vector<int32_t> sm;  // sign-magnitude plane
-  t.reset(w, h, band);
+  t.reset(w, h, band, style);
   sm.resize((size_t)w * h);
   int32_t maxmag = 0;
   for (int i = 0; i < w * h; i++) {
@@ -984,17 +1056,25 @@ int tic_j2k_t1_encode(const int32_t* in, int w, int h, int band,
   t.mstride = w;
   t.mq.init();
   t.mq.out.clear();
+  const bool segsym = (style & 0x20) != 0;
+  const bool ctxreset = (style & 0x02) != 0;
   int pass = 0;
   for (int bp = nbps - 1; bp >= 0; bp--) {
     if (bp == nbps - 1) {
       t.cleanup_pass(bp);
+      if (segsym) t.write_segsym();
+      if (ctxreset) t.reset_ctx();
       pass++;
     } else {
       t.sig_prop_pass(bp);
+      if (ctxreset) t.reset_ctx();
       pass++;
       t.mag_ref_pass(bp);
+      if (ctxreset) t.reset_ctx();
       pass++;
       t.cleanup_pass(bp);
+      if (segsym) t.write_segsym();
+      if (ctxreset) t.reset_ctx();
       pass++;
     }
   }

@@ -649,3 +649,51 @@ def test_ppm_packed_packet_headers_decode():
                + body + b"\xff\xd9")
     res = decode_j2k(stream2)
     assert np.array_equal(res, img)
+
+
+@pytest.mark.parametrize("mode,name", [
+    (0x02, "reset"), (0x08, "causal"), (0x20, "segsym"),
+    (0x2A, "all-three"),
+])
+def test_mode_switches_reset_causal_segsym(mode, name):
+    """Part-1 T1 mode switches (T.800 A.6.1 SPcod bits): context RESET per
+    pass, vertically stripe-CAUSAL context formation, and the SEGSYM
+    segmentation symbol — both directions, cross-decoded bit-exact by
+    openjpeg (independent validation of the coder-level semantics)."""
+    from nvimagecodec_tpu.codecs.jpeg2000.core import decode_j2k, encode_j2k
+    from nvimagecodec_tpu.native import opj_bridge
+
+    img = make_photo(96, 128, seed=21)
+    s = encode_j2k(img, reversible=True, levels=3, stream_type="j2k",
+                   mode_switches=mode)
+    assert np.array_equal(decode_j2k(s), img)
+    arr, prec, signed = opj_bridge.decode(s)
+    assert np.array_equal(arr.squeeze().astype(np.uint8), img)
+    # irreversible too (two independent 9/7 float synthesis pipelines:
+    # allow one code value of rounding skew)
+    s = encode_j2k(img, reversible=False, quality=80, levels=2,
+                   stream_type="j2k", mode_switches=mode)
+    out = np.asarray(decode_j2k(s)).astype(np.int64)
+    arr, prec, signed = opj_bridge.decode(s)
+    ref = np.clip(arr.squeeze(), 0, 255).astype(np.int64)
+    assert np.abs(out - ref).max() <= 1
+
+
+def test_bypass_termall_still_rejected():
+    """BYPASS/TERMALL change the codeword segmentation and stay on the
+    system-openjpeg rung for now: clean rejection, no mis-decode."""
+    import struct as _st
+
+    from nvimagecodec_tpu.codecs.jpeg2000.core import decode_j2k, encode_j2k
+
+    img = make_photo(48, 48, seed=3)
+    s = bytearray(encode_j2k(img, reversible=True, levels=1,
+                             stream_type="j2k"))
+    cod = s.find(b"\xff\x52")
+    # SPcod style byte: Lcod(2) Scod(1) SGcod(4) SPcod: levels cbw cbh style
+    style_off = cod + 4 + 1 + 4 + 3
+    for bit in (0x01, 0x04):
+        s2 = bytes(s[:style_off]) + bytes([s[style_off] | bit]) + bytes(
+            s[style_off + 1:])
+        with pytest.raises(ValueError):
+            decode_j2k(s2)
