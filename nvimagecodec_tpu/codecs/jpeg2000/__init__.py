@@ -204,6 +204,7 @@ class Jpeg2kEncoder(EncoderPlugin):
                     prog_order=getattr(jp, "prog_order", "LRCP"),
                     precincts=getattr(jp, "precincts", None),
                     ht=getattr(jp, "ht", False),
+                    mode_switches=getattr(jp, "mode_switches", 0),
                     # single-pass rate control: target_psnr drives the
                     # DWT-domain rate allocator inside encode_j2k (ONE T1
                     # encode, like nvjpeg2k's native allocator)

@@ -548,11 +548,13 @@ def parse_main_header(data: bytes, pos: int):
             levels, cbw, cbh, style, transform = struct.unpack_from(
                 ">BBBBB", body, 5
             )
-            # supported: plain EBCOT, HT, and the part-1 mode switches
-            # RESET (0x02), CAUSAL (0x08), SEGSYM (0x20). BYPASS/TERMALL
-            # (0x01/0x04) change the codeword segmentation and 0xC0 mixes
-            # coders — those route to the system-openjpeg fallback plugin.
-            if style != CBLK_HT and (style & ~0x2A):
+            # supported: plain EBCOT, HT, and all part-1 mode switches —
+            # BYPASS (0x01), RESET (0x02), TERMALL (0x04), CAUSAL (0x08),
+            # ERTERM (0x10, encoder-side termination choice only: any
+            # conforming MQ decoder reads such segments), SEGSYM (0x20).
+            # 0xC0 (HT mixed with MQ blocks) routes to the
+            # system-openjpeg fallback plugin.
+            if style != CBLK_HT and (style & ~0x3F):
                 raise ValueError("J2K: unsupported code-block style")
             # range checks: corrupted bytes here would otherwise drive
             # gigantic geometry loops (levels/cblk are exponents)
@@ -676,7 +678,7 @@ def parse_main_header(data: bytes, pos: int):
         scoc = body[cw]
         levels, cbw, cbh, style, transform = struct.unpack_from(
             ">BBBBB", body, cw + 1)
-        if style != CBLK_HT and (style & ~0x2A):
+        if style != CBLK_HT and (style & ~0x3F):
             raise ValueError("J2K: unsupported code-block style (COC)")
         if levels > 32 or cbw > 8 or cbh > 8:
             raise ValueError("J2K: invalid COC parameters")

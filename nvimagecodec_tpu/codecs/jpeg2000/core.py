@@ -55,7 +55,8 @@ from .codestream import RGN
 from .codestream import _seg as _marker_seg
 from .t1_bridge import (BlockBatch, EncodeBatch, ht_decode, ht_encode,
                         idwt53, t1_decode, t1_encode)
-from .t2 import PacketDecoder, PacketEncoder, plan_layers, plan_layers_ht
+from .t2 import (PacketDecoder, PacketEncoder, plan_layers, plan_layers_ht,
+                 plan_layers_seg, seg_pass_groups)
 
 _PROG_LRCP, _PROG_RLCP, _PROG_RPCL, _PROG_PCRL, _PROG_CPRL = range(5)
 _PROG_NAMES = {"LRCP": 0, "RLCP": 1, "RPCL": 2, "PCRL": 3, "CPRL": 4}
@@ -320,7 +321,7 @@ def encode_j2k(
         prog_order=_PROG_NAMES.get(str(prog_order).upper(), 0)
         if isinstance(prog_order, str) else int(prog_order),
         num_layers=max(1, int(num_layers)),
-        cblk_style=(0x40 if ht else (mode_switches & 0x2A)),
+        cblk_style=(0x40 if ht else (mode_switches & 0x2F)),
         precincts=precincts,
         qcd_style=0 if reversible else 2,
         guard_bits=2,
@@ -536,7 +537,7 @@ def encode_j2k(
                         # least SPrgn+1 planes so zbps stays below Mb
                         mbp = ((cp.rgn.get(c, 0) + 1)
                                if (cp.rgn and not ht) else 0)
-                        sty = 0 if ht else (ccp.cblk_style & 0x2A)
+                        sty = 0 if ht else (ccp.cblk_style & 0x2F)
                         for k, (bx0, by0, bx1, by1) in enumerate(blocks):
                             blk = arr[by0 - band.y0 : by1 - band.y0,
                                       bx0 - band.x0 : bx1 - band.x0]
@@ -559,6 +560,26 @@ def encode_j2k(
                     plan.append(plan_layers_ht(cup, ref, npasses,
                                                mb - B if cup else 0,
                                                cp.num_layers))
+            elif ccp.cblk_style & 0x05:
+                # TERMALL/BYPASS: one terminated codeword segment per
+                # native seg_end; pass counts per segment follow the
+                # termination rule (must match the T2 reader's grouping)
+                for k, (seg, nbps, npasses, ends) in sorted(rows):
+                    assert nbps <= mb, (nbps, mb, r, bi)
+                    if npasses <= 0:
+                        plan.append(plan_layers(b"", 0, mb - nbps,
+                                                cp.num_layers))
+                        continue
+                    groups = seg_pass_groups(ccp.cblk_style & 0x05,
+                                             npasses)
+                    assert len(ends) == len(groups), (ends, groups)
+                    prev = 0
+                    segl = []
+                    for e_, g_ in zip(ends, groups):
+                        segl.append((seg[prev:e_], g_))
+                        prev = e_
+                    plan.append(plan_layers_seg(segl, mb - nbps,
+                                                cp.num_layers))
             else:
                 for k, (seg, nbps, npasses) in sorted(rows):
                     assert nbps <= mb, (nbps, mb, r, bi)
@@ -1060,12 +1081,24 @@ def decode_j2k(
                                      cb.y1 - cb.y0, mb - cb.zero_bps,
                                      cb.zero_bps + 1)
                     else:
-                        seg = b"".join(cb.segments)
+                        sty = cc.cblk_style & 0x2F
+                        if sty & 0x05:
+                            # multi-segment blob the native decoder
+                            # parses: [i32 nsegs][i32 lens...][data]
+                            import struct as _st
+
+                            segs = cb.segments or [b""]
+                            seg = (_st.pack(
+                                f"<{1 + len(segs)}i", len(segs),
+                                *[len(x) for x in segs])
+                                + b"".join(segs))
+                        else:
+                            seg = b"".join(cb.segments)
                         nbps = max(0, mb - cb.zero_bps)
                         batch.add_t1((c, r, bi, cb), seg,
                                      cb.x1 - cb.x0, cb.y1 - cb.y0,
                                      band.btype, nbps, cb.num_passes,
-                                     style=cc.cblk_style & 0x2A)
+                                     style=sty)
                     if dests is not None:
                         dests.append((decoded[c][(r, bi)],
                                       cb.y0 - band.y0, cb.x0 - band.x0))

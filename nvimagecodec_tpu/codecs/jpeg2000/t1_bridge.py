@@ -251,6 +251,7 @@ class EncodeBatch:
     def __init__(self, ht: bool, ht_passes: int = 1):
         self.ht = ht
         self.ht_passes = ht_passes
+        self._seg = False  # any block coded with TERMALL/BYPASS (0x05)
         self._coef_chunks: list = []
         self._coef_elems = 0
         self._meta: list = []
@@ -274,6 +275,8 @@ class EncodeBatch:
         if self.ht:
             self._meta += [off, w, h, self.ht_passes]
         else:
+            if style & 0x05:
+                self._seg = True
             self._meta += [off, w, h,
                            band_btype | (min_bps << 8) | (style << 16)]
         idx = len(self._outs) // 2
@@ -282,24 +285,44 @@ class EncodeBatch:
 
     def run(self, nthreads: int = 0):
         """Yields (key, result) in add order — result is
-        (cup, ref, B, umax) for HT or (seg, nbps, npasses) for EBCOT."""
+        (cup, ref, B, umax) for HT or (seg, nbps, npasses) for EBCOT;
+        when any block uses TERMALL/BYPASS the EBCOT result grows a 4th
+        element: the list of cumulative codeword-segment end offsets."""
         L = lib()
         n = len(self._outs) // 2
         out = np.empty(self._out_bytes, np.uint8) if n else None
         res = np.zeros(((4 if self.ht else 3) * n,), np.int32)
+        segres = (np.zeros(113 * n, np.int32)
+                  if (self._seg and not self.ht and n) else None)
         if n:
             coefs = np.concatenate(self._coef_chunks)
             meta = np.asarray(self._meta, np.int64)
             outs = np.asarray(self._outs, np.int64)
-            fn = L.tic_ht_encode_batch if self.ht else L.tic_t1_encode_batch
             i32p = ctypes.POINTER(ctypes.c_int32)
             with _ThreadBudget() as fair:
-                rc = fn(n, coefs.ctypes.data_as(i32p),
+                nt = nthreads if nthreads > 0 else fair
+                if self.ht:
+                    rc = L.tic_ht_encode_batch(
+                        n, coefs.ctypes.data_as(i32p),
+                        meta.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                        outs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                        res.ctypes.data_as(i32p), nt)
+                elif segres is not None:
+                    rc = L.tic_t1_encode_batch_seg(
+                        n, coefs.ctypes.data_as(i32p),
                         meta.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
                         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
                         outs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
                         res.ctypes.data_as(i32p),
-                        nthreads if nthreads > 0 else fair)
+                        segres.ctypes.data_as(i32p), nt)
+                else:
+                    rc = L.tic_t1_encode_batch(
+                        n, coefs.ctypes.data_as(i32p),
+                        meta.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                        outs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                        res.ctypes.data_as(i32p), nt)
             if rc != 0:
                 raise ValueError(f"J2K block encode failed rc={rc}")
         for (key, idx, oo, cap) in self._results:
@@ -312,8 +335,14 @@ class EncodeBatch:
                 yield key, (seg[:lcup], seg[lcup:], int(B), int(umax))
             else:
                 outlen, nbps, npasses = res[3 * idx:3 * idx + 3]
-                yield key, (out[oo:oo + outlen].tobytes(), int(nbps),
-                            int(npasses))
+                data = out[oo:oo + outlen].tobytes()
+                if segres is None:
+                    yield key, (data, int(nbps), int(npasses))
+                else:
+                    ns = int(segres[113 * idx])
+                    ends = [int(v) for v in
+                            segres[113 * idx + 1:113 * idx + 1 + ns]]
+                    yield key, (data, int(nbps), int(npasses), ends)
 
 
 def idwt53(LL: np.ndarray, bands_f, out_shape: Tuple[int, int],

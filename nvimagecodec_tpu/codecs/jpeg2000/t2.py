@@ -226,9 +226,13 @@ class PacketDecoder:
         nb = len(res.bands)
         entries = [self._bands[(c, r, p, bi)] for bi in range(nb)]
         band_ids = (ctypes.c_int32 * nb)(*[e[0] for e in entries])
-        ht = 1 if (self.cp.for_comp(c).cblk_style & 0x40) else 0
-        # worst case: two codeword segments per code-block in the precinct
-        cap = 8 + 2 * sum(len(e[1]) for e in entries)
+        # Segment-rule style bits the native reader understands: 0x40 (HT
+        # two-segment rule) and 0x05 (part-1 TERMALL/BYPASS terminations).
+        ht = self.cp.for_comp(c).cblk_style & 0x45
+        # worst case codeword segments per code-block in the precinct:
+        # 2 for HT, one per pass (<= 109 for part-1) under TERMALL/BYPASS
+        per_cb = 110 if (ht & 0x05) else 2
+        cap = 8 + per_cb * sum(len(e[1]) for e in entries)
         out = (ctypes.c_int64 * (3 * cap))()
         pos = ctypes.c_int64(br.pos)
         flags = ((1 if self.cp.sop else 0) | (2 if self.cp.eph else 0))
@@ -249,9 +253,16 @@ class PacketDecoder:
         segs = self._segs
         for i in range(n):
             cb_id = out[3 * i]
+            # bit 62: this length-field group continues the codeword
+            # segment started in an earlier layer (TERMALL/BYPASS only)
+            cont = cb_id & (1 << 62)
+            cb_id &= (1 << 62) - 1
             off = out[3 * i + 1]
             ln = out[3 * i + 2]
-            segs.setdefault(cb_id, []).append(data[off:off + ln])
+            if cont and segs.get(cb_id):
+                segs[cb_id][-1] += data[off:off + ln]
+            else:
+                segs.setdefault(cb_id, []).append(data[off:off + ln])
         br.pos = pos.value
 
 
@@ -292,8 +303,13 @@ class PacketEncoder:
                     self.state[(c, res.r, p, bi)] = ps
                     self.plans[(c, res.r, p, bi)] = []
         # native header writer (native/j2k_t2.cpp encoder side); Python
-        # bit-writer below stays as the fallback and the reference
+        # bit-writer below stays as the fallback and the reference.
+        # TERMALL/BYPASS blocks can carry many codeword segments per
+        # packet (one per terminated pass); the native writer's meta rows
+        # hold at most two, so those streams use the Python writer.
         self._nctx = None
+        if cp.cblk_style & 0x05:
+            return
         try:
             import ctypes
 
@@ -482,6 +498,70 @@ def plan_layers_ht(cup: bytes, ref: bytes, npasses: int, zero_bps: int,
     while len(layers) < num_layers:
         layers.append((b"", 0))
     return _EncCblk(layers, zero_bps, 0, splits=splits)
+
+
+def pass_is_raw(style: int, p: int) -> bool:
+    """Part-1 selective bypass (T.800 B.10.7.2): cumulative pass p is
+    raw-coded when BYPASS is on, p >= 10 and p is not a cleanup pass."""
+    return bool(style & 0x01) and p >= 10 and (p % 3) != 0
+
+
+def terminated_after(style: int, p: int) -> bool:
+    """True when a codeword-segment termination follows pass p: always
+    under TERMALL (0x04); at every MQ<->raw switch under BYPASS (0x01)."""
+    if style & 0x04:
+        return True
+    if not (style & 0x01):
+        return False
+    return pass_is_raw(style, p) != pass_is_raw(style, p + 1)
+
+
+def seg_pass_groups(style: int, npasses: int, start: int = 0) -> List[int]:
+    """Pass counts per terminated codeword segment for a block coded with
+    TERMALL/BYPASS — must mirror the native T1 encoder's termination
+    points (native/j2k_t1.cpp terminated_after) and the T2 reader's
+    grouping (native/j2k_t2.cpp)."""
+    groups: List[int] = []
+    cnt = 0
+    for p in range(start, start + npasses):
+        cnt += 1
+        if p == start + npasses - 1 or terminated_after(style, p):
+            groups.append(cnt)
+            cnt = 0
+    return groups
+
+
+def plan_layers_seg(segments: List[Tuple[bytes, int]], zero_bps: int,
+                    num_layers: int) -> _EncCblk:
+    """Layer plan for a multi-segment (TERMALL/BYPASS) code-block. Each
+    terminated codeword segment is atomic — its length is signaled in the
+    packet whose layer carries its passes (T.800 B.10.7.2) — so segments
+    are distributed across layers near-proportionally by pass count rather
+    than split at arbitrary byte positions like plan_layers."""
+    npasses = sum(n for _, n in segments)
+    if npasses <= 0:
+        return _EncCblk([(b"", 0)] * num_layers, zero_bps, num_layers)
+    layers: List[Tuple[bytes, int]] = []
+    splits: Dict[int, List[Tuple[bytes, int]]] = {}
+    si = 0
+    done = 0
+    for l in range(num_layers):
+        target = ((l + 1) * npasses + num_layers - 1) // num_layers
+        take: List[Tuple[bytes, int]] = []
+        while si < len(segments) and (done < target
+                                      or l == num_layers - 1):
+            take.append(segments[si])
+            done += segments[si][1]
+            si += 1
+        if take:
+            layers.append((b"".join(s for s, _ in take),
+                           sum(n for _, n in take)))
+            if len(take) > 1:
+                splits[l] = take
+        else:
+            layers.append((b"", 0))
+    first = next(l for l, (s, n) in enumerate(layers) if n > 0)
+    return _EncCblk(layers, zero_bps, first, splits=splits)
 
 
 def plan_layers(seg: bytes, npasses: int, zero_bps: int,

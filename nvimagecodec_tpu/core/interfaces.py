@@ -85,6 +85,9 @@ class Jpeg2kEncodeParams:
     # HTJ2K (ITU-T T.814): use the HT block coder — the reference's
     # "High Throughput JPEG2000" (README.md:38, nvjpeg2k native)
     ht: bool = False
+    # part-1 T1 mode switches (T.800 A.6.1 SPcod bits, ignored when ht):
+    # 0x01 BYPASS, 0x02 RESET, 0x04 TERMALL, 0x08 CAUSAL, 0x20 SEGSYM
+    mode_switches: int = 0
 
 
 class ParserPlugin:

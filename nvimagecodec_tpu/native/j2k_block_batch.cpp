@@ -179,6 +179,11 @@ int tic_j2k_t1_encode(const int32_t* coefs, int w, int h, int band,
                       uint8_t* out, int cap, int* outlen, int* nbps,
                       int* npasses, int min_bps, int style);
 
+int tic_j2k_t1_encode_seg(const int32_t* coefs, int w, int h, int band,
+                          uint8_t* out, int cap, int* outlen, int* nbps,
+                          int* npasses, int min_bps, int style,
+                          int* seg_ends, int* nsegs_out);
+
 int tic_ht_encode_block(const int32_t* coefs, int32_t w, int32_t h,
                         int32_t num_passes, uint8_t* out, int32_t cap,
                         int32_t* lcup, int32_t* lref, int32_t* B,
@@ -188,6 +193,45 @@ int tic_ht_encode_block(const int32_t* coefs, int32_t w, int32_t h,
 //   [coef_off (int32 elements), w, h, band]
 // outs: per-block regions [out_off (int64), out_cap (int64)] into `out`.
 // res: 3 int32 per block — [outlen, nbps, npasses].
+// Segment-aware variant for TERMALL/BYPASS (style bits 0x05): segres is
+// 113 int32 per block — [nsegs, seg_end_0, ..., seg_end_{nsegs-1}, ...]
+// where seg_end_i is the cumulative byte offset ending segment i.
+int tic_t1_encode_batch_seg(int32_t n, const int32_t* coefs,
+                            const int64_t* meta, uint8_t* out,
+                            const int64_t* outs, int32_t* res,
+                            int32_t* segres, int32_t nthreads) {
+    std::atomic<int32_t> next(0);
+    std::atomic<int32_t> bad(0);
+    auto worker = [&]() {
+        for (;;) {
+            int32_t i = next.fetch_add(1, std::memory_order_relaxed);
+            if (i >= n) break;
+            const int64_t* m = meta + 4 * i;
+            int outlen = 0, nbps = 0, npasses = 0, nsegs = 0;
+            int rc = tic_j2k_t1_encode_seg(
+                coefs + m[0], (int)m[1], (int)m[2], (int)(m[3] & 0xFF),
+                out + outs[2 * i], (int)outs[2 * i + 1], &outlen, &nbps,
+                &npasses, (int)((m[3] >> 8) & 0xFF), (int)(m[3] >> 16),
+                segres ? segres + 113 * i + 1 : nullptr,
+                segres ? segres + 113 * i : &nsegs);
+            res[3 * i] = rc ? -1 : outlen;
+            res[3 * i + 1] = nbps;
+            res[3 * i + 2] = npasses;
+            if (rc) bad.store(rc, std::memory_order_relaxed);
+        }
+    };
+    int nt = nthreads < 1 ? 1 : (nthreads > n ? n : nthreads);
+    if (nt <= 1) {
+        worker();
+    } else {
+        std::vector<std::thread> ts;
+        for (int t = 0; t < nt - 1; t++) ts.emplace_back(worker);
+        worker();
+        for (auto& t : ts) t.join();
+    }
+    return bad.load();
+}
+
 int tic_t1_encode_batch(int32_t n, const int32_t* coefs,
                         const int64_t* meta, uint8_t* out,
                         const int64_t* outs, int32_t* res,

@@ -163,6 +163,18 @@ struct MQDecoder {
     ctx[0] = kMqPacked[2 * 4];
   }
 
+  // restart the arithmetic registers on a new terminated segment while
+  // keeping the adapted context states (TERMALL/BYPASS continuation)
+  void init_keep_ctx(const uint8_t* data, int len) {
+    v.bp = data;
+    v.end = data + len;
+    v.c = (uint32_t)(v.bp < v.end ? *v.bp : 0xFF) << 16;
+    mq_bytein(v);
+    v.c <<= 7;
+    v.ct -= 7;
+    v.a = 0x8000;
+  }
+
   void init(const uint8_t* data, int len) {
     v.bp = data;
     v.end = data + len;
@@ -178,6 +190,38 @@ struct MQDecoder {
   }
 
   inline int decode(int cxi) { return mq_decode(v, &ctx[cxi]); }
+};
+
+// Raw (bypass) bit writer: MSB-first with 0xFF stuffing (T.800 D.6)
+struct RawWriter {
+  std::vector<uint8_t>* out;
+  uint32_t acc = 0;
+  int n = 0, limit = 8;
+
+  void start(std::vector<uint8_t>* o) {
+    out = o;
+    acc = 0;
+    n = 0;
+    limit = 8;
+  }
+  inline void bit(int b) {
+    acc = (acc << 1) | (uint32_t)(b & 1);
+    if (++n == limit) {
+      out->push_back((uint8_t)acc);
+      limit = out->back() == 0xFF ? 7 : 8;
+      acc = 0;
+      n = 0;
+    }
+  }
+  void flush() {
+    if (n) {
+      acc <<= (limit - n);  // pad with zeros
+      out->push_back((uint8_t)acc);
+      acc = 0;
+      n = 0;
+      limit = 8;
+    }
+  }
 };
 
 struct MqeVars {
@@ -266,6 +310,13 @@ struct MQEncoder {
   }
 
   void encode(int cx, int d) { encode_w(v, ctxw[cx], d); }
+
+  void restart_keep_ctx() {
+    v.a = 0x8000;
+    v.c = 0;
+    v.ct = 12;
+    bp = -1;  // carry state does not cross a terminated segment
+  }
 
   void flush() {
     // SETBITS
@@ -395,6 +446,34 @@ struct ScLutInit {  // fills the SC table once at load
   }
 };
 const ScLutInit kScLutInit;
+
+// Raw (bypass) segment reader: MSB-first bits with 0xFF stuffing — after
+// an 0xFF byte only 7 bits come from the next byte (T.800 D.6).
+struct RawReader {
+  const uint8_t* p;
+  const uint8_t* end;
+  uint32_t acc;
+  int n;
+  bool prev_ff;
+
+  void init(const uint8_t* d, int len) {
+    p = d;
+    end = d + len;
+    acc = 0;
+    n = 0;
+    prev_ff = false;
+  }
+  inline int bit() {
+    if (n == 0) {
+      uint8_t b = p < end ? *p++ : 0xFF;
+      n = prev_ff ? 7 : 8;
+      prev_ff = (b == 0xFF);
+      acc = b;
+    }
+    n--;
+    return (int)((acc >> n) & 1);
+  }
+};
 
 uint8_t kZcLut9[3][512];  // [cls][9-bit 3x3 sig window] -> ZC context
 struct Zc9Init {
@@ -600,6 +679,59 @@ struct T1Decoder {
       uint32_t nb = (f >> (3 * (J))) & ((J) == 3 ? ncm3 : 0x1FFu);      \
       if (mq_decode(mv, &mq.ctx[zc[nb]])) T1_CLN_SIG(J, R)              \
     }                                                                   \
+  }
+
+  // Raw (bypass) significance pass: the decision and the sign are plain
+  // bits; visited/significance bookkeeping identical to the MQ pass.
+  void sig_prop_pass_raw(int bp, RawReader& rr) {
+    const int32_t one = (int32_t)1 << bp;
+    for (int s = 0; s < S; s++) {
+      int jmax = h - 4 * s;
+      if (jmax > 4) jmax = 4;
+      uint32_t* rowp = wp(s, 0);
+      int32_t* rows[4];
+      rows[0] = mag + (size_t)4 * s * mstride;
+      for (int j = 1; j < 4; j++) rows[j] = rows[j - 1] + mstride;
+      for (int x = 0; x < w; x++) {
+        uint32_t f = rowp[x];
+        if (!(f & SIG_ALL)) continue;
+        for (int j = 0; j < jmax; j++) {
+          uint32_t nb = (f >> (3 * j)) & (j == 3 ? ncm3 : 0x1FFu);
+          if ((nb != 0) & ((nb & 0x10u) == 0)) {
+            if (rr.bit()) {
+              uint32_t neg = (uint32_t)rr.bit();
+              update_sig_f(rowp + x, f, j, neg);
+              rows[j][x] |= one | (int32_t)(neg << 31);
+            }
+            f |= PI_BIT(j);
+          }
+        }
+        rowp[x] = f;
+      }
+    }
+  }
+
+  void mag_ref_pass_raw(int bp, RawReader& rr) {
+    const int32_t one = (int32_t)1 << bp;
+    for (int s = 0; s < S; s++) {
+      int jmax = h - 4 * s;
+      if (jmax > 4) jmax = 4;
+      uint32_t* rowp = wp(s, 0);
+      int32_t* rows[4];
+      rows[0] = mag + (size_t)4 * s * mstride;
+      for (int j = 1; j < 4; j++) rows[j] = rows[j - 1] + mstride;
+      for (int x = 0; x < w; x++) {
+        uint32_t f = rowp[x];
+        if (!(f & CENTER_ALL)) continue;
+        for (int j = 0; j < jmax; j++) {
+          if ((f & (SIG_SELF(j) | PI_BIT(j))) == SIG_SELF(j)) {
+            rows[j][x] |= one & -rr.bit();
+            f |= MU_BIT(j) | PI_BIT(j);
+          }
+        }
+        rowp[x] = f;
+      }
+    }
   }
 
   void read_segsym() {
@@ -847,6 +979,58 @@ struct T1EncoderFast {
     }                                                                   \
   }
 
+  void sig_prop_pass_raw(int bp, RawWriter& rw) {
+    for (int s = 0; s < S; s++) {
+      int jmax = h - 4 * s;
+      if (jmax > 4) jmax = 4;
+      uint32_t* rowp = wp(s, 0);
+      const int32_t* rows[4];
+      rows[0] = vals + (size_t)4 * s * mstride;
+      for (int j = 1; j < 4; j++) rows[j] = rows[j - 1] + mstride;
+      for (int x = 0; x < w; x++) {
+        uint32_t f = rowp[x];
+        if (!(f & SIG_ALL)) continue;
+        for (int j = 0; j < jmax; j++) {
+          uint32_t nb = (f >> (3 * j)) & (j == 3 ? ncm3 : 0x1FFu);
+          if ((nb != 0) & ((nb & 0x10u) == 0)) {
+            uint32_t vv = (uint32_t)rows[j][x];
+            int bit = (int)((vv >> bp) & 1);
+            rw.bit(bit);
+            if (bit) {
+              uint32_t neg = vv >> 31;
+              rw.bit((int)neg);
+              update_sig_f(rowp + x, f, j, neg);
+            }
+            f |= PI_BIT(j);
+          }
+        }
+        rowp[x] = f;
+      }
+    }
+  }
+
+  void mag_ref_pass_raw(int bp, RawWriter& rw) {
+    for (int s = 0; s < S; s++) {
+      int jmax = h - 4 * s;
+      if (jmax > 4) jmax = 4;
+      uint32_t* rowp = wp(s, 0);
+      const int32_t* rows[4];
+      rows[0] = vals + (size_t)4 * s * mstride;
+      for (int j = 1; j < 4; j++) rows[j] = rows[j - 1] + mstride;
+      for (int x = 0; x < w; x++) {
+        uint32_t f = rowp[x];
+        if (!(f & CENTER_ALL)) continue;
+        for (int j = 0; j < jmax; j++) {
+          if ((f & (SIG_SELF(j) | PI_BIT(j))) == SIG_SELF(j)) {
+            rw.bit((int)(((uint32_t)rows[j][x] >> bp) & 1));
+            f |= MU_BIT(j) | PI_BIT(j);
+          }
+        }
+        rowp[x] = f;
+      }
+    }
+  }
+
   void write_segsym() {
     // T.800 D.5: segmentation symbol 1010 on the UNIFORM context
     MqeVars mv = mq.v;
@@ -948,6 +1132,21 @@ extern "C" {
 // h rows of w at row stride `stride` elements. The written region must
 // arrive zero-initialized (magnitude bits are OR-accumulated in place) —
 // both bridges pass np.zeros / fresh band arrays.
+// Pass index p (0 = first cleanup) is a RAW pass under BYPASS when
+// p >= 10 and it is an SPP (p % 3 == 1) or MRP (p % 3 == 2) pass.
+static inline bool pass_is_raw(int style, int p) {
+  return (style & 0x01) && p >= 10 && (p % 3) != 0;
+}
+
+// A termination occurs AFTER pass p (i.e. pass p+1 starts a new codeword
+// segment) under TERMALL always, and under BYPASS at every MQ<->raw
+// switch: after the CLN preceding a raw SPP and after the raw MRP.
+static inline bool terminated_after(int style, int p) {
+  if (style & 0x04) return true;
+  if (!(style & 0x01)) return false;
+  return pass_is_raw(style, p) != pass_is_raw(style, p + 1);
+}
+
 int tic_j2k_t1_decode_strided_style(const uint8_t* data, int len, int w,
                                     int h, int64_t stride, int band,
                                     int num_bps, int num_passes,
@@ -963,32 +1162,79 @@ int tic_j2k_t1_decode_strided_style(const uint8_t* data, int len, int w,
   t.reset(w, h, band, style);
   t.mstride = stride;
   t.mag = out;
-  t.mq.init(data, len);
+  // multi-segment blocks (TERMALL/BYPASS): blob = [i32 nsegs][i32 lens..]
+  // [data]; each segment boundary restarts the MQ (or raw) reader
+  const uint8_t* segp[112];
+  int seglen[112];
+  int nsegs = 1;
+  const uint8_t* d0 = data;
+  int l0 = len;
+  if (style & 0x05) {
+    if (len < 4) return 1;
+    int32_t ns;
+    memcpy(&ns, data, 4);
+    if (ns < 1 || ns > 112 || len < 4 + 4 * ns) return 1;
+    nsegs = ns;
+    const uint8_t* p = data + 4 + 4 * ns;
+    int64_t remain = len - 4 - 4 * ns;
+    for (int i = 0; i < nsegs; i++) {
+      int32_t sl;
+      memcpy(&sl, data + 4 + 4 * i, 4);
+      if (sl < 0 || sl > remain) return 1;
+      segp[i] = p;
+      seglen[i] = sl;
+      p += sl;
+      remain -= sl;
+    }
+    d0 = segp[0];
+    l0 = seglen[0];
+  }
+  int seg = 0;
+  t.mq.init(d0, l0);
+  RawReader raw;
   const bool segsym = (style & 0x20) != 0;
   const bool ctxreset = (style & 0x02) != 0;
   int pass = 0;
+  bool cur_raw = false;
+  auto advance = [&](int p) {
+    // called after pass p completed
+    if (ctxreset) t.mq.reset_ctx();
+    if ((style & 0x05) && terminated_after(style, p) &&
+        pass < num_passes && seg + 1 < nsegs) {
+      seg++;
+      if (pass_is_raw(style, p + 1)) {
+        raw.init(segp[seg], seglen[seg]);
+        cur_raw = true;
+      } else {
+        t.mq.init_keep_ctx(segp[seg], seglen[seg]);
+        cur_raw = false;
+      }
+    }
+  };
   for (int bp = num_bps - 1; bp >= 0 && pass < num_passes; bp--) {
     if (bp == num_bps - 1) {
       t.cleanup_pass(bp);
       if (segsym) t.read_segsym();
-      if (ctxreset) t.mq.reset_ctx();
       pass++;
+      advance(pass - 1);
     } else {
       if (pass < num_passes) {
-        t.sig_prop_pass(bp);
-        if (ctxreset) t.mq.reset_ctx();
+        if (cur_raw) t.sig_prop_pass_raw(bp, raw);
+        else t.sig_prop_pass(bp);
         pass++;
+        advance(pass - 1);
       }
       if (pass < num_passes) {
-        t.mag_ref_pass(bp);
-        if (ctxreset) t.mq.reset_ctx();
+        if (cur_raw) t.mag_ref_pass_raw(bp, raw);
+        else t.mag_ref_pass(bp);
         pass++;
+        advance(pass - 1);
       }
       if (pass < num_passes) {
         t.cleanup_pass(bp);
         if (segsym) t.read_segsym();
-        if (ctxreset) t.mq.reset_ctx();
         pass++;
+        advance(pass - 1);
       }
     }
   }
@@ -1026,9 +1272,10 @@ int tic_j2k_t1_decode(const uint8_t* data, int len, int w, int h, int band,
 // all-zero planes become cheap RL cleanup passes). Decoders that bound the
 // signaled zero-bitplanes by the band's nominal Mb (openjpeg with RGN)
 // need background blocks to keep zbps < Mb.
-int tic_j2k_t1_encode(const int32_t* in, int w, int h, int band,
-                      uint8_t* out_buf, int cap, int* outlen, int* num_bps,
-                      int* num_passes, int min_bps, int style) {
+int tic_j2k_t1_encode_seg(const int32_t* in, int w, int h, int band,
+                          uint8_t* out_buf, int cap, int* outlen,
+                          int* num_bps, int* num_passes, int min_bps,
+                          int style, int* seg_ends, int* nsegs_out) {
   if (w <= 0 || h <= 0 || w > 4096 || h > 4096) return 1;
   static thread_local T1EncoderFast t __attribute__((tls_model("initial-exec")));
   static thread_local std::vector<int32_t> sm;  // sign-magnitude plane
@@ -1058,32 +1305,66 @@ int tic_j2k_t1_encode(const int32_t* in, int w, int h, int band,
   t.mq.out.clear();
   const bool segsym = (style & 0x20) != 0;
   const bool ctxreset = (style & 0x02) != 0;
+  const bool multiseg = (style & 0x05) != 0;
+  int total = (nbps - 1) * 3 + 1;
+  RawWriter rw;
   int pass = 0;
+  int ns = 0;
+  auto endpass = [&](bool was_raw) {
+    if (ctxreset) t.reset_ctx();
+    if (multiseg && pass < total && terminated_after(style, pass - 1)) {
+      if (was_raw) rw.flush();
+      else t.mq.flush();
+      if (seg_ends && ns < 112) seg_ends[ns++] = (int)t.mq.out.size();
+      if (pass_is_raw(style, pass)) rw.start(&t.mq.out);
+      else t.mq.restart_keep_ctx();
+    }
+  };
   for (int bp = nbps - 1; bp >= 0; bp--) {
     if (bp == nbps - 1) {
       t.cleanup_pass(bp);
       if (segsym) t.write_segsym();
-      if (ctxreset) t.reset_ctx();
       pass++;
+      endpass(false);
     } else {
-      t.sig_prop_pass(bp);
-      if (ctxreset) t.reset_ctx();
+      if (pass_is_raw(style, pass)) t.sig_prop_pass_raw(bp, rw);
+      else t.sig_prop_pass(bp);
+      bool wr = pass_is_raw(style, pass);
       pass++;
-      t.mag_ref_pass(bp);
-      if (ctxreset) t.reset_ctx();
+      endpass(wr);
+      if (pass_is_raw(style, pass)) t.mag_ref_pass_raw(bp, rw);
+      else t.mag_ref_pass(bp);
+      wr = pass_is_raw(style, pass);
       pass++;
+      endpass(wr);
       t.cleanup_pass(bp);
       if (segsym) t.write_segsym();
-      if (ctxreset) t.reset_ctx();
       pass++;
+      endpass(false);
     }
   }
-  t.mq.flush();
+  if (multiseg && pass_is_raw(style, pass - 1)) rw.flush();
+  else t.mq.flush();
+  if (multiseg) {
+    if (!pass_is_raw(style, pass - 1)) { /* flushed above */ }
+    if (seg_ends && ns < 112) seg_ends[ns++] = (int)t.mq.out.size();
+    if (nsegs_out) *nsegs_out = ns;
+  } else if (nsegs_out) {
+    *nsegs_out = 1;
+  }
   *num_passes = pass;
   if ((int)t.mq.out.size() > cap) return 2;
   std::memcpy(out_buf, t.mq.out.data(), t.mq.out.size());
   *outlen = (int)t.mq.out.size();
   return 0;
+}
+
+int tic_j2k_t1_encode(const int32_t* in, int w, int h, int band,
+                      uint8_t* out_buf, int cap, int* outlen, int* num_bps,
+                      int* num_passes, int min_bps, int style) {
+  return tic_j2k_t1_encode_seg(in, w, h, band, out_buf, cap, outlen,
+                               num_bps, num_passes, min_bps, style,
+                               nullptr, nullptr);
 }
 
 }  // extern "C"

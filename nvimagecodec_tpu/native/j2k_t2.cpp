@@ -125,6 +125,20 @@ static inline int floor_log2(int n) {
     return r;
 }
 
+// Part-1 selective-bypass raw passes: pass p (0-based, cumulative) is
+// raw-coded when BYPASS (0x01) is on, p >= 10 and p is not a cleanup pass.
+static inline bool t2_pass_is_raw(int style, int p) {
+    return (style & 0x01) && p >= 10 && (p % 3) != 0;
+}
+
+// A codeword-segment termination occurs after pass p under TERMALL (0x04)
+// always, and under BYPASS at every MQ<->raw coder switch (T.800 B.10.7.2).
+static inline bool t2_terminated_after(int style, int p) {
+    if (style & 0x04) return true;
+    if (!(style & 0x01)) return false;
+    return t2_pass_is_raw(style, p) != t2_pass_is_raw(style, p + 1);
+}
+
 }  // namespace
 
 extern "C" {
@@ -212,10 +226,35 @@ int tic_t2_read_packet_split(void* h, const uint8_t* data, int64_t len,
             while (br.bit()) {
                 if (++cb.lblock > 32) return -2;
             }
-            int groups[2];
+            // Segment grouping: HT (0x40) uses the T.814 two-segment
+            // rule; part-1 TERMALL/BYPASS (0x05) starts a new codeword
+            // segment after every termination; plain MQ is one segment.
+            int groups[176];
+            bool cont_flag[176] = {false};
             int ngroups;
-            if (ht_style && cb.num_passes == 0 && npasses > 1) {
+            if ((ht_style & 0x40) && cb.num_passes == 0 && npasses > 1) {
                 groups[0] = 1; groups[1] = npasses - 1; ngroups = 2;
+            } else if (ht_style & 0x05) {
+                // one length field per termination-delimited group of the
+                // NEW passes; a group whose first pass does not follow a
+                // termination continues the segment from a prior layer
+                // (flagged via bit 62 of the cb_id so the consumer
+                // concatenates instead of starting a new segment)
+                ngroups = 0;
+                int cnt = 0;
+                int last = cb.num_passes + npasses - 1;
+                for (int pp = cb.num_passes; pp <= last; pp++) {
+                    cnt++;
+                    if (pp == last || t2_terminated_after(ht_style, pp)) {
+                        if (ngroups >= 176) return -3;
+                        int start = pp - cnt + 1;
+                        bool cont = start > 0 &&
+                            !t2_terminated_after(ht_style, start - 1);
+                        groups[ngroups] = cnt;
+                        cont_flag[ngroups++] = cont;
+                        cnt = 0;
+                    }
+                }
             } else {
                 groups[0] = npasses; ngroups = 1;
             }
@@ -223,7 +262,8 @@ int tic_t2_read_packet_split(void* h, const uint8_t* data, int64_t len,
                 int nbits = cb.lblock + floor_log2(groups[g]);
                 if (nbits > 32) return -3;
                 uint32_t seg_len = br.bits(nbits);
-                body.push_back(pb.cb_base + idx);
+                body.push_back((int64_t)(pb.cb_base + idx) |
+                               (cont_flag[g] ? (int64_t)1 << 62 : 0));
                 body.push_back((int64_t)seg_len);
                 body_n++;
             }

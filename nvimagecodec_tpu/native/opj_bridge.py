@@ -70,6 +70,13 @@ def _declare(L: ctypes.CDLL) -> None:
         ctypes.POINTER(ctypes.c_uint64),
     ]
     L.tic_opj_encode_offsets.restype = ctypes.c_int
+    L.tic_opj_encode_mode.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.POINTER(ctypes.c_uint64),
+    ]
+    L.tic_opj_encode_mode.restype = ctypes.c_int
 
 
 def lib() -> ctypes.CDLL:
@@ -144,6 +151,27 @@ def encode_lossless(pix: np.ndarray, stream_type: str = "j2k") -> bytes:
         raise ValueError(f"openjpeg encode failed rc={rc}")
     data = ctypes.string_at(out, n.value)
     # shim allocates with malloc; free through libc
+    ctypes.CDLL(None).free(out)
+    return data
+
+
+def encode_mode(pix: np.ndarray, mode: int, nlayers: int = 1) -> bytes:
+    """u8 [H,W(,C)] → lossless J2K with the given SPcod code-block style
+    (mode switches) via openjpeg — oracle for TERMALL/BYPASS decode.
+    nlayers > 1 produces rate-allocated quality layers (exercises MQ
+    codeword segments spanning layers under BYPASS)."""
+    L = lib()
+    if pix.ndim == 2:
+        pix = pix[:, :, None]
+    h, w, nc = pix.shape
+    body = np.ascontiguousarray(pix, np.uint8).tobytes()
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    n = ctypes.c_uint64()
+    rc = L.tic_opj_encode_mode(body, w, h, nc, 8, mode, nlayers,
+                               ctypes.byref(out), ctypes.byref(n))
+    if rc != 0:
+        raise ValueError(f"openjpeg mode encode failed rc={rc}")
+    data = ctypes.string_at(out, n.value)
     ctypes.CDLL(None).free(out)
     return data
 

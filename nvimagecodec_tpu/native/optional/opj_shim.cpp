@@ -394,6 +394,137 @@ int tic_opj_encode_planes(const int32_t* const* planes, int w, int h,
   return 0;
 }
 
+// Lossless encode with a part-1 code-block style (T.800 A.6.1 SPcod mode
+// switches: BYPASS/RESET/TERMALL/CAUSAL/SEGSYM) — oracle streams for our
+// TERMALL/BYPASS decoder. No opj header ships with the shim, so the
+// `mode` field of opj_cparameters_t is located EMPIRICALLY: after
+// opj_set_default_encoder_parameters the struct contains the unique
+// int32 run [numresolution=6, cblockw_init=64, cblockh_init=64, mode=0];
+// `mode` is the int following the first such run. The produced stream's
+// COD SPcod style byte is verified to equal the requested mode (return 4
+// on any layout drift).
+int tic_opj_encode_mode(const uint8_t* pix, int w, int h, int ncomp,
+                        int prec, int mode, int nlayers, uint8_t** out,
+                        uint64_t* outlen) {
+  opj_image_cmptparm_t parms[4];
+  memset(parms, 0, sizeof(parms));
+  for (int c = 0; c < ncomp; c++) {
+    parms[c].dx = parms[c].dy = 1;
+    parms[c].w = (uint32_t)w;
+    parms[c].h = (uint32_t)h;
+    parms[c].prec = (uint32_t)prec;
+    parms[c].sgnd = 0;
+  }
+  opj_image_t* image = opj_image_create((uint32_t)ncomp, parms,
+                                        ncomp >= 3 ? 1 : 2);
+  if (!image) return 1;
+  image->x0 = 0;
+  image->y0 = 0;
+  image->x1 = (uint32_t)w;
+  image->y1 = (uint32_t)h;
+  if (prec <= 8) {
+    for (int c = 0; c < ncomp; c++)
+      for (int64_t i = 0; i < (int64_t)w * h; i++)
+        image->comps[c].data[i] = pix[i * ncomp + c];
+  } else {
+    const uint16_t* p16 = (const uint16_t*)pix;
+    for (int c = 0; c < ncomp; c++)
+      for (int64_t i = 0; i < (int64_t)w * h; i++)
+        image->comps[c].data[i] = p16[i * ncomp + c];
+  }
+  void* codec = opj_create_compress(0);
+  void* params = calloc(1, 1 << 16);
+  opj_set_default_encoder_parameters(params);
+  {
+    int32_t* p = (int32_t*)params;
+    int found = -1;
+    for (int i = 12; i < (1 << 14) - 4; i++) {
+      if (p[i] == 6 && p[i + 1] == 64 && p[i + 2] == 64 && p[i + 3] == 0) {
+        found = i + 3;
+        break;
+      }
+    }
+    if (found < 0) {
+      free(params);
+      opj_image_destroy(image);
+      opj_destroy_codec(codec);
+      return 4;
+    }
+    p[found] = mode;
+    {
+      // opj rejects images smaller than the resolution pyramid; clamp
+      // numresolution (int preceding cblockw_init) like opj_compress does
+      int mind = w < h ? w : h;
+      int nres = 1;
+      while (nres < 6 && (1 << nres) <= mind) nres++;
+      p[found - 3] = nres;
+    }
+    if (nlayers > 1) {
+      // layout preceding numresolution (= found-3):
+      // int tcp_numlayers; float tcp_rates[100]; float tcp_distoratio[100]
+      int nres = found - 3;
+      int nlay = nres - 201;
+      if (nlay < 5 || (p[nlay] != 0 && p[nlay] != 1)) {
+        free(params);
+        opj_image_destroy(image);
+        opj_destroy_codec(codec);
+        return 4;
+      }
+      p[nlay] = nlayers;
+      p[5] = 1;  // cp_disto_alloc (rate-driven layer allocation)
+      float* rates = (float*)(p + nlay + 1);
+      for (int l = 0; l < nlayers; l++)
+        rates[l] = (float)(1 << (2 * (nlayers - 1 - l)));  // 16,4,1...
+    }
+  }
+  if (!opj_setup_encoder(codec, params, image)) {
+    free(params);
+    opj_image_destroy(image);
+    opj_destroy_codec(codec);
+    return 2;
+  }
+  free(params);
+  GrowBuf gb{nullptr, 0, 0, 0};
+  void* stream = opj_stream_create(1 << 20, 0);
+  opj_stream_set_write_function(stream, gb_write);
+  opj_stream_set_skip_function(stream, gb_skip);
+  opj_stream_set_seek_function(stream, gb_seek);
+  opj_stream_set_user_data(stream, &gb, nullptr);
+  int rc = 0;
+  if (!opj_start_compress(codec, image, stream) ||
+      !opj_encode(codec, stream) || !opj_end_compress(codec, stream))
+    rc = 3;
+  opj_stream_destroy(stream);
+  opj_destroy_codec(codec);
+  opj_image_destroy(image);
+  if (rc) {
+    free(gb.data);
+    return rc;
+  }
+  // verify the COD SPcod style byte actually carries `mode` and SGcod
+  // the layer count (guards the empirical offset poking above)
+  {
+    bool ok = false;
+    for (uint64_t i = 0; i + 14 <= gb.len; i++) {
+      if (gb.data[i] == 0xFF && gb.data[i + 1] == 0x52) {
+        // COD: Lcod(2) Scod(1) SGcod: prog(1) layers(2 BE) mct(1)
+        //      SPcod: levels cbw cbh STYLE
+        ok = gb.data[i + 4 + 1 + 4 + 3] == (uint8_t)mode;
+        int lay = (gb.data[i + 6] << 8) | gb.data[i + 7];
+        ok = ok && lay == (nlayers > 1 ? nlayers : 1);
+        break;
+      }
+    }
+    if (!ok) {
+      free(gb.data);
+      return 4;
+    }
+  }
+  *out = gb.data;
+  *outlen = gb.len;
+  return 0;
+}
+
 // Lossless encode with explicit reference-grid offsets — oracle for the
 // odd image/tile-origin decode path (T.800 B.3/B.4 arbitrary XOsiz/YOsiz/
 // XTOsiz/YTOsiz). Pixels live on grid [ox, ox+w) x [oy, oy+h); tiles are

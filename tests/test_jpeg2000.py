@@ -654,6 +654,8 @@ def test_ppm_packed_packet_headers_decode():
 @pytest.mark.parametrize("mode,name", [
     (0x02, "reset"), (0x08, "causal"), (0x20, "segsym"),
     (0x2A, "all-three"),
+    (0x01, "bypass"), (0x04, "termall"), (0x05, "bypass+termall"),
+    (0x07, "bypass+termall+reset"), (0x2F, "all-five"),
 ])
 def test_mode_switches_reset_causal_segsym(mode, name):
     """Part-1 T1 mode switches (T.800 A.6.1 SPcod bits): context RESET per
@@ -679,9 +681,41 @@ def test_mode_switches_reset_causal_segsym(mode, name):
     assert np.abs(out - ref).max() <= 1
 
 
-def test_bypass_termall_still_rejected():
-    """BYPASS/TERMALL change the codeword segmentation and stay on the
-    system-openjpeg rung for now: clean rejection, no mis-decode."""
+@pytest.mark.parametrize("mode", [0x01, 0x04, 0x05])
+@pytest.mark.parametrize("nlayers", [1, 2, 4])
+def test_bypass_termall_openjpeg_oracle_streams(mode, nlayers):
+    """TERMALL/BYPASS streams PRODUCED BY OPENJPEG decode bit-exact on our
+    native path — including multi-layer rate allocation, where an MQ
+    codeword segment under BYPASS can span quality layers (the packet
+    reader must concatenate its per-packet length-field groups rather
+    than treat them as terminated segments, T.800 B.10.7.2)."""
+    from nvimagecodec_tpu.codecs.jpeg2000.core import decode_j2k
+    from nvimagecodec_tpu.native import opj_bridge
+
+    img = make_photo(160, 192, seed=77)
+    s = opj_bridge.encode_mode(img, mode, nlayers=nlayers)
+    assert np.array_equal(np.asarray(decode_j2k(s)), img)
+
+
+def test_mode_switch_multilayer_roundtrip_and_cross():
+    """Our multi-layer TERMALL/BYPASS encode: terminated segments are
+    atomic per layer (plan_layers_seg), openjpeg cross-decodes exactly."""
+    from nvimagecodec_tpu.codecs.jpeg2000.core import decode_j2k, encode_j2k
+    from nvimagecodec_tpu.native import opj_bridge
+
+    img = make_photo(160, 192, seed=78)
+    for mode in (0x01, 0x04, 0x05):
+        s = encode_j2k(img, reversible=True, num_layers=3,
+                       mode_switches=mode)
+        assert np.array_equal(np.asarray(decode_j2k(s)), img)
+        arr, _, _ = opj_bridge.decode(s)
+        assert np.array_equal(arr.squeeze().astype(np.uint8), img)
+
+
+def test_erterm_accepted_ht_mix_rejected():
+    """ERTERM (0x10) only constrains the encoder's MQ termination bit
+    pattern — our decoder accepts such streams; HT mixed with MQ blocks
+    (0x40 | part-1 bits) stays rejected (routes to the openjpeg rung)."""
     import struct as _st
 
     from nvimagecodec_tpu.codecs.jpeg2000.core import decode_j2k, encode_j2k
@@ -692,8 +726,10 @@ def test_bypass_termall_still_rejected():
     cod = s.find(b"\xff\x52")
     # SPcod style byte: Lcod(2) Scod(1) SGcod(4) SPcod: levels cbw cbh style
     style_off = cod + 4 + 1 + 4 + 3
-    for bit in (0x01, 0x04):
-        s2 = bytes(s[:style_off]) + bytes([s[style_off] | bit]) + bytes(
-            s[style_off + 1:])
-        with pytest.raises(ValueError):
-            decode_j2k(s2)
+    s2 = bytes(s[:style_off]) + bytes([s[style_off] | 0x10]) + bytes(
+        s[style_off + 1:])
+    assert np.array_equal(decode_j2k(s2), img)
+    s3 = bytes(s[:style_off]) + bytes([s[style_off] | 0x41]) + bytes(
+        s[style_off + 1:])
+    with pytest.raises(ValueError):
+        decode_j2k(s3)
