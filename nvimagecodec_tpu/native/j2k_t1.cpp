@@ -302,11 +302,22 @@ struct MQEncoder {
       if (vv.a < qe) vv.c += qe; else vv.a = qe;
       w = kMqPacked[(w >> 12) & 0xFFF];
     }
-    do {
-      vv.a <<= 1;
-      vv.c <<= 1;
-      if (--vv.ct == 0) byteout(vv);
-    } while (!(vv.a & 0x8000));
+    // multi-bit renorm: shift count from the leading zeros of A (LPS
+    // renorms move up to 15 bits at once instead of one per iteration);
+    // byteout cadence and C growth are identical to the 1-bit loop, so
+    // the byte stream is unchanged
+    int sh = __builtin_clz((uint32_t)vv.a) - 16;
+    while (sh >= vv.ct) {
+      int k = vv.ct;
+      vv.a <<= k;
+      vv.c <<= k;
+      sh -= k;
+      vv.ct = 0;
+      byteout(vv);
+    }
+    vv.a <<= sh;
+    vv.c <<= sh;
+    vv.ct -= sh;
   }
 
   void encode(int cx, int d) { encode_w(v, ctxw[cx], d); }
@@ -824,6 +835,9 @@ struct T1EncoderFast {
   int64_t mstride;
   std::vector<uint32_t> F;   // (S+2) x (w+2) pad ring
   const int32_t* vals = nullptr;  // sign-magnitude input rows
+  // per stripe-column OR of the 4 magnitudes: early bitplanes skip an
+  // insignificant run-length column on ONE load instead of 4 strided ones
+  const uint32_t* mor = nullptr;
   MQEncoder mq;
 
   inline uint32_t* wp(int s, int x) {
@@ -934,16 +948,18 @@ struct T1EncoderFast {
     if (f & MU_BIT(J)) {                                                \
       mq.encode_w(mv, c16, bit);                                        \
     } else {                                                            \
-      int cx = ((f >> (3 * (J))) & ((J) == 3 ? ncm3 : 0x1FFu) & ~0x10u) \
-                   ? 15 : 14;                                           \
-      mq.encode_w(mv, mq.ctxw[cx], bit);                                \
+      mq.encode_w(mv,                                                   \
+                  ((f >> (3 * (J))) & ((J) == 3 ? ncm3 : 0x1FFu)        \
+                   & ~0x10u) ? c15 : c14,                               \
+                  bit);                                                 \
     }                                                                   \
     f |= MU_BIT(J) | PI_BIT(J);                                         \
   }
 
   void mag_ref_pass(int bp) {
     MqeVars mv = mq.v;
-    uint64_t c16 = mq.ctxw[16];
+    // MRP touches exactly three contexts — keep all register-resident
+    uint64_t c14 = mq.ctxw[14], c15 = mq.ctxw[15], c16 = mq.ctxw[16];
     for (int s = 0; s < S; s++) {
       int jmax = h - 4 * s;
       if (jmax > 4) jmax = 4;
@@ -962,6 +978,8 @@ struct T1EncoderFast {
         rowp[x] = f;
       }
     }
+    mq.ctxw[14] = c14;
+    mq.ctxw[15] = c15;
     mq.ctxw[16] = c16;
     mq.v = mv;
   }
@@ -1058,6 +1076,7 @@ struct T1EncoderFast {
       bool full = jmax >= 4;
       if (jmax > 4) jmax = 4;
       uint32_t* rowp = wp(s, 0);
+      const uint32_t* morrow = mor + (size_t)s * w;
       const int32_t* r0 = vals + (size_t)4 * s * mstride;
       const int32_t* r1 = r0 + mstride;
       const int32_t* r2 = r1 + mstride;
@@ -1067,15 +1086,15 @@ struct T1EncoderFast {
         if (full) {
           if (!(f & (clnm | PI_ALL))) {
             // run-length mode: none of the 4 rows has a sig neighbor
-            int first = -1;
-            if (((uint32_t)r0[x] >> bp) & 1) first = 0;
-            else if (((uint32_t)r1[x] >> bp) & 1) first = 1;
-            else if (((uint32_t)r2[x] >> bp) & 1) first = 2;
-            else if (((uint32_t)r3[x] >> bp) & 1) first = 3;
-            if (first < 0) {
+            if (!((morrow[x] >> bp) & 1)) {
               mq.encode_w(mv, crun, 0);
               continue;  // f has no PI/MU bits to clear
             }
+            int first;
+            if (((uint32_t)r0[x] >> bp) & 1) first = 0;
+            else if (((uint32_t)r1[x] >> bp) & 1) first = 1;
+            else if (((uint32_t)r2[x] >> bp) & 1) first = 2;
+            else first = 3;
             mq.encode_w(mv, crun, 1);
             mq.encode_w(mv, cuni, (first >> 1) & 1);
             mq.encode_w(mv, cuni, first & 1);
@@ -1279,16 +1298,29 @@ int tic_j2k_t1_encode_seg(const int32_t* in, int w, int h, int band,
   if (w <= 0 || h <= 0 || w > 4096 || h > 4096) return 1;
   static thread_local T1EncoderFast t __attribute__((tls_model("initial-exec")));
   static thread_local std::vector<int32_t> sm;  // sign-magnitude plane
+  static thread_local std::vector<uint32_t> morv;  // stripe-column |v| OR
   t.reset(w, h, band, style);
   sm.resize((size_t)w * h);
-  int32_t maxmag = 0;
-  for (int i = 0; i < w * h; i++) {
-    int32_t v = in[i];
-    int32_t neg = (int32_t)((uint32_t)v >> 31);
-    int32_t m = (v ^ -neg) + neg;  // |v| branchless
-    sm[i] = m | (neg << 31);
-    if (m > maxmag) maxmag = m;
+  int S = (h + 3) >> 2;
+  morv.assign((size_t)S * w, 0);
+  // OR of magnitudes shares its top bit with the max — the whole setup
+  // loop is branch-free and auto-vectorizes (row-major mor indexing)
+  uint32_t magor = 0;
+  for (int y = 0; y < h; y++) {
+    const int32_t* row = in + (size_t)y * w;
+    int32_t* smrow = sm.data() + (size_t)y * w;
+    uint32_t* mrow = morv.data() + (size_t)(y >> 2) * w;
+    for (int x = 0; x < w; x++) {
+      int32_t v = row[x];
+      int32_t neg = (int32_t)((uint32_t)v >> 31);
+      int32_t m = (v ^ -neg) + neg;  // |v| branchless
+      smrow[x] = m | (neg << 31);
+      mrow[x] |= (uint32_t)m;
+      magor |= (uint32_t)m;
+    }
   }
+  int32_t maxmag = (int32_t)magor;
+  t.mor = morv.data();
   int nbps = 0;
   while ((1 << nbps) <= maxmag) nbps++;
   if (nbps == 0) {
