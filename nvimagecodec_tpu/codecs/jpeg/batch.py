@@ -457,31 +457,30 @@ def _split_indexed(good, frames, raws, dek, R, nsegs, xfer, pool,
     the destuffed bitstream ships as-is (~the compressed size — the whole
     point: the device link budget, not host compute, bounds sustained
     decode). Same pending shape as _split_dri."""
-    from ...ops.pallas_entropy import make_side
     from .device_entropy import (
-        index_scan_image,
-        indexed_words_needed,
-        pack_indexed_image,
+        index_scan_batch,
+        indexed_words_needed_batch,
+        pack_indexed_batch,
     )
 
     import jax
 
-    def _scan_one(i):
-        return i, index_scan_image(frames[i], raws[i], R // max(
-            1, -(-frames[i].width // (8 * frames[i].hmax))), nsegs)
+    nthreads = min(32, os.cpu_count() or 2)
+    # rows_per_seg = R / mcus_x (R was chosen as mcus_x * rows); one native
+    # call scans the whole bucket on internal work-stealing threads
+    f0 = frames[good[0]]
+    rps = R // max(1, -(-f0.width // (8 * f0.hmax)))
+    scans, (arena, offs, dlens, bits, preds, nout) = index_scan_batch(
+        frames, raws, good, rps, nsegs, nthreads)
 
-    # rows_per_seg = R / mcus_x (R was chosen as mcus_x * rows)
-    if pool is not None and len(good) > 1:
-        scans = dict(pool.map(_scan_one, good))
-    else:
-        scans = dict(_scan_one(i) for i in good)
-
+    pos_of = {i: k for k, i in enumerate(good)}
     ok = [i for i in good if scans[i] is not None]
     bad_scan = [i for i in good if scans[i] is None]
     if len(ok) < max(2, _min_batch() // 2):
         return None
 
-    Wneed = max(indexed_words_needed(scans[i][1], scans[i][2]) for i in ok)
+    ks_ok = np.asarray([pos_of[i] for i in ok])
+    Wneed = indexed_words_needed_batch(dlens[ks_ok], bits[ks_ok], nsegs)
     W = max(_W_MEMO.get(dek, 0), -(-Wneed // 128) * 128)
     _W_MEMO[dek] = W
     if -(-nsegs // 128) * 128 * W * 4 > 4 * _VMEM_WORD_BUDGET:
@@ -491,41 +490,29 @@ def _split_indexed(good, frames, raws, dek, R, nsegs, xfer, pool,
     skey = ("side", S)
     subs = [ok[pos:pos + ch] for pos in range(0, len(ok), ch)]
 
+    # geometry is uniform within the bucket: the per-segment MCU counts
+    # and the short last row group are the same for every image
+    mx = -(-f0.width // (8 * f0.hmax))
+    my = -(-f0.height // (8 * f0.vmax))
+    last_mcus = mx * my - (nsegs - 1) * R
+
     pending = []
     for sub in subs:
         words = _POOL.acquire(wkey, (W, S), np.uint32)
         side = _POOL.acquire(skey, (6, S), np.int32)
         side[:] = 0
         start_bits = np.zeros(S, np.int32)
+        ks = np.asarray([pos_of[i] for i in sub])
+        bad = pack_indexed_batch(arena, offs, dlens, bits, ks, nsegs,
+                                 words, W, start_bits, nthreads)
+        nsub = len(sub)
         seg_mcus = np.zeros(S, np.int32)
-        bad = []
-
-        def _pack_one(args):
-            j, i = args
-            dst, dlen, bits, preds = scans[i]
-            col0 = j * nsegs
-            if not pack_indexed_image(dst, dlen, bits, words, col0, W,
-                                      start_bits):
-                return j
-            seg_mcus[col0:col0 + nsegs] = R
-            # short last row group: total - (nsegs-1)*R MCUs
-            f = frames[i]
-            mx = -(-f.width // (8 * f.hmax))
-            my = -(-f.height // (8 * f.vmax))
-            seg_mcus[col0 + nsegs - 1] = mx * my - (nsegs - 1) * R
-            side[2:6, col0:col0 + nsegs] = preds.T
-            return None
-
-        items = list(enumerate(sub))
-        if pool is not None and len(items) > 1:
-            for r in pool.map(_pack_one, items):
-                if r is not None:
-                    bad.append(r)
-        else:
-            for it in items:
-                r = _pack_one(it)
-                if r is not None:
-                    bad.append(r)
+        seg_mcus[:nsub * nsegs] = R
+        seg_mcus[nsegs - 1:nsub * nsegs:nsegs] = last_mcus
+        # [nsub, nsegs, 4] predictor seeds → side rows 2..5, column blocks
+        side[2:6, :nsub * nsegs] = (
+            preds[ks, :nsegs * 4].reshape(nsub, nsegs, 4)
+            .transpose(2, 0, 1).reshape(4, nsub * nsegs))
         for j in bad:
             seg_mcus[j * nsegs:(j + 1) * nsegs] = 0
         side[0] = seg_mcus

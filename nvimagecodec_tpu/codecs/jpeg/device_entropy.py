@@ -157,6 +157,101 @@ def index_scan_image(frame: JpegFrame, raw: bytes, rows_per_seg: int,
     return dst, int(dlen.value), bits[:n], preds[:n * 4].reshape(n, 4)
 
 
+def index_scan_batch(frames, raws, idxs, rows_per_seg: int, nsegs: int,
+                     nthreads: int):
+    """Batched host index scan: every image of a geometry bucket in one
+    native call (native/jpeg_entropy.cpp tic_jpeg_index_scan_batch) with
+    internal work-stealing threads — replaces the per-image ctypes +
+    thread-pool round trip. Returns {i: (destuffed, dlen, bits, preds)}
+    with None entries for images the scanner declined."""
+    from ...native import lib
+
+    L = lib()
+    n = len(idxs)
+    if n == 0:
+        return {}
+    max_segs = nsegs + 1
+    datas = (ctypes.c_char_p * n)(*[raws[i] for i in idxs])
+    lens = np.asarray([len(raws[i]) for i in idxs], np.int64)
+    offs = np.zeros(n + 1, np.int64)
+    for k, i in enumerate(idxs):
+        sc = frames[i].scans[0]
+        offs[k + 1] = offs[k] + int(sc.data_end - sc.data_start) + 8
+    arena = np.empty(int(offs[-1]), np.uint8)
+    dlens = np.zeros(n, np.int64)
+    bits = np.zeros((n, max_segs), np.int64)
+    preds = np.zeros((n, max_segs * 4), np.int32)
+    nout = np.zeros(n, np.int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    L.tic_jpeg_index_scan_batch(
+        n, datas, lens.ctypes.data_as(i64p), rows_per_seg,
+        arena.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        offs.ctypes.data_as(i64p), dlens.ctypes.data_as(i64p),
+        bits.ctypes.data_as(i64p), preds.ctypes.data_as(i32p),
+        max_segs, nout.ctypes.data_as(i32p), nthreads)
+    out = {}
+    for k, i in enumerate(idxs):
+        if nout[k] != nsegs:
+            out[i] = None
+            continue
+        m = int(nout[k])
+        out[i] = (arena[offs[k]:offs[k + 1]], int(dlens[k]),
+                  bits[k, :m], preds[k, :m * 4].reshape(m, 4))
+    return out, (arena, offs, dlens, bits, preds, nout)
+
+
+def pack_indexed_batch(arena, offs, dlens, bits, ks, nsegs: int,
+                       words: np.ndarray, max_words: int,
+                       start_bits: np.ndarray, nthreads: int):
+    """Pack sub-bucket images (rows ks of the scan-batch arrays) into the
+    [W, S] matrix in one native call. Returns the list of sub-local j
+    indices whose segments overflowed max_words."""
+    from ...native import lib
+
+    L = lib()
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i64p_ = ctypes.POINTER(ctypes.c_int64)
+    i32p_ = ctypes.POINTER(ctypes.c_int32)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    # int64 scalar params MUST be declared: the default c_int conversion
+    # leaves the upper register half undefined for int64_t callees
+    L.tic_jpeg_pack_indexed_batch.argtypes = [
+        ctypes.c_int32, u8p, i64p_, i64p_, i64p_, ctypes.c_int32,
+        ctypes.c_int32, u32p, ctypes.c_int64, ctypes.c_int32, i32p_,
+        i32p_, ctypes.c_int32]
+    n = len(ks)
+    max_segs = bits.shape[1]
+    offs_sub = np.ascontiguousarray(offs[ks], np.int64)
+    dlens_sub = np.ascontiguousarray(dlens[ks], np.int64)
+    bits_sub = np.ascontiguousarray(bits[ks])
+    rcs = np.zeros(n, np.int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    L.tic_jpeg_pack_indexed_batch(
+        n, arena.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        offs_sub.ctypes.data_as(i64p), dlens_sub.ctypes.data_as(i64p),
+        bits_sub.ctypes.data_as(i64p), max_segs, nsegs,
+        words.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        words.shape[1], max_words,
+        start_bits.ctypes.data_as(i32p), rcs.ctypes.data_as(i32p),
+        nthreads)
+    return [int(j) for j in np.flatnonzero(rcs)]
+
+
+def indexed_words_needed_batch(dlens: np.ndarray, bits: np.ndarray,
+                               nsegs: int) -> int:
+    """Vectorized max words-per-segment over scan-batch rows (valid rows
+    only — caller pre-selects)."""
+    end_bits = np.empty_like(bits[:, :nsegs])
+    end_bits[:, :-1] = bits[:, 1:nsegs]
+    end_bits[:, -1] = dlens * 8
+    w0 = bits[:, :nsegs] // 32
+    w1 = np.minimum((end_bits + 96 + 31) // 32,
+                    ((dlens + 3) // 4)[:, None])
+    return int(np.maximum(w1 - w0, 1).max()) if len(dlens) else 1
+
+
 def indexed_words_needed(dlen: int, bits: np.ndarray) -> int:
     """Max words any segment of this image needs in the [W, S] matrix."""
     end_bits = np.empty_like(bits)

@@ -16,6 +16,9 @@
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
+#include <thread>
+#include <vector>
+#include <atomic>
 
 namespace {
 
@@ -30,6 +33,10 @@ struct HuffTable {
   // two-level decode: 9-bit lookahead LUT, then canonical slow path
   int16_t lut_sym[512];
   int8_t lut_len[512];
+  // fused skip LUT for the index walk's AC loop: one lookup yields the
+  // total bits to consume (code + value) and the coefficient advance.
+  // bits 0-5 skip, 6-12 advance (r+1, or 16 for ZRL), 14 valid, 15 EOB
+  uint16_t lut_skip[512];
   int32_t maxcode[18];   // largest code of length l (as left-justified compare)
   int32_t valptr[18];    // index into values[] of first code of length l
   int32_t mincode[18];
@@ -61,14 +68,25 @@ struct HuffTable {
     for (int i = 0; i < 512; i++) {
       lut_sym[i] = -1;
       lut_len[i] = 0;
+      lut_skip[i] = 0;
     }
     for (int i = 0; i < k; i++) {
       if (lens[i] <= 9) {
         int base = codes[i] << (9 - lens[i]);
         int span = 1 << (9 - lens[i]);
+        int sym = values[i];
+        int r = sym >> 4, sz = sym & 15;
+        uint16_t e;
+        if (sz > 0)
+          e = (uint16_t)((lens[i] + sz) | ((r + 1) << 6) | 0x4000);
+        else if (r == 15)
+          e = (uint16_t)(lens[i] | (16 << 6) | 0x4000);  // ZRL
+        else
+          e = (uint16_t)(lens[i] | 0x4000 | 0x8000);  // EOB
         for (int j = 0; j < span; j++) {
           lut_sym[base + j] = values[i];
           lut_len[base + j] = (int8_t)lens[i];
+          lut_skip[base + j] = e;
         }
       }
     }
@@ -570,14 +588,16 @@ static inline void idx_block(DBitReader& br, const HuffTable& dct,
   int k = 1;
   while (k < 64) {
     br.ensure31();
-    int ai = br.peek9_nc();
-    int sym, alen = act.lut_len[ai];
-    if (alen) {
-      sym = act.lut_sym[ai];
-      br.nbits -= alen;
+    uint32_t e = act.lut_skip[br.peek9_nc()];
+    if (e & 0x4000u) {
+      // fused fast path: code + value bits consumed in one step
+      br.nbits -= (int)(e & 63u);
+      if (e & 0x8000u) break;  // EOB
+      k += (int)((e >> 6) & 0x7Fu);
+      if (k > 64) { error = 1; return; }
     } else {
       int code = br.peek16_nc();
-      sym = -1;
+      int sym = -1;
       for (int l = 10; l <= 16; l++) {
         int cd = code >> (16 - l);
         if (cd <= act.maxcode[l]) {
@@ -587,16 +607,16 @@ static inline void idx_block(DBitReader& br, const HuffTable& dct,
         }
       }
       if (sym < 0) { error = 1; return; }
+      int r = sym >> 4, sz = sym & 15;
+      if (sz == 0) {
+        if (r == 15) { k += 16; continue; }
+        break;
+      }
+      k += r;
+      if (k > 63) { error = 1; return; }
+      br.nbits -= sz;  // value bits: covered by ensure31
+      k++;
     }
-    int r = sym >> 4, sz = sym & 15;
-    if (sz == 0) {
-      if (r == 15) { k += 16; continue; }
-      break;
-    }
-    k += r;
-    if (k > 63) { error = 1; return; }
-    br.nbits -= sz;  // value bits: covered by ensure31
-    k++;
   }
 }
 
@@ -1034,6 +1054,53 @@ void tic_free(void* p) { free(p); }
 // the running DC predictors (the per-lane seeds for the Pallas kernel).
 // Returns nsegs > 0 on success; -1 malformed stream; -2 capacity;
 // -3 unsupported stream shape (progressive / DRI / multi-scan).
+// Batched index scan: all images of a geometry bucket in ONE call, fanned
+// over internal work-stealing threads (the per-image ctypes + thread-pool
+// future round trip costs ~25% of the scan itself at 2 cores).
+// dsts/dst_offs: one shared destuff arena, image i owns
+// [dst_offs[i], dst_offs[i+1]). bits: [n, max_segs] int64 rows;
+// preds: [n, max_segs*4] int32 rows. nsegs_out[i]: segment count or <0.
+int tic_jpeg_index_scan_batch(int32_t n, const uint8_t* const* datas,
+                              const int64_t* lens, int32_t rows_per_seg,
+                              uint8_t* dsts, const int64_t* dst_offs,
+                              int64_t* dlens, int64_t* bits,
+                              int32_t* preds, int32_t max_segs,
+                              int32_t* nsegs_out, int32_t nthreads) {
+  std::atomic<int32_t> next(0);
+  auto worker = [&]() {
+    for (;;) {
+      int32_t i = next.fetch_add(1, std::memory_order_relaxed);
+      if (i >= n) break;
+      Decoder d;
+      d.base = datas[i];
+      d.len = (size_t)lens[i];
+      d.index_rows = rows_per_seg;
+      d.index_dst = dsts + dst_offs[i];
+      d.index_cap = dst_offs[i + 1] - dst_offs[i];
+      d.index_bits = bits + (int64_t)i * max_segs;
+      d.index_preds = preds + (int64_t)i * max_segs * 4;
+      d.index_max_segs = max_segs;
+      bool ok = d.parse_and_decode();
+      if (!ok || d.index_nsegs <= 0) {
+        nsegs_out[i] = d.error == -3 ? -3 : (d.error == -2 ? -2 : -1);
+        continue;
+      }
+      dlens[i] = d.index_dlen;
+      nsegs_out[i] = d.index_nsegs;
+    }
+  };
+  int nt = nthreads < 1 ? 1 : (nthreads > n ? n : nthreads);
+  if (nt <= 1) {
+    worker();
+  } else {
+    std::vector<std::thread> ts;
+    for (int t = 0; t < nt - 1; t++) ts.emplace_back(worker);
+    worker();
+    for (auto& t : ts) t.join();
+  }
+  return 0;
+}
+
 int tic_jpeg_index_scan(const uint8_t* data, size_t len,
                         int32_t rows_per_seg, uint8_t* dst, int64_t dst_cap,
                         int64_t* out_dlen, int64_t* split_bits,
@@ -1097,6 +1164,44 @@ int tic_jpeg_pack_indexed(const uint8_t* destuffed, int64_t dlen,
     }
     for (; w < max_words; w++) col[w * stride] = 0;
     start_bits_out[i] = (int32_t)(split_bits[i] - w0 * 32);
+  }
+  return 0;
+}
+
+// Batched pack: images j=0..n-1 of a sub-bucket into columns j*nsegs of
+// the [W, S] matrix in one call (internal threads). arena/offs as in
+// tic_jpeg_index_scan_batch. rcs[j] = 0 ok / -1 overflow.
+int tic_jpeg_pack_indexed(const uint8_t* destuffed, int64_t dlen,
+                          const int64_t* split_bits, int32_t nsegs,
+                          uint32_t* words, int64_t stride, int64_t col0,
+                          int32_t max_words, int32_t* start_bits_out);
+
+int tic_jpeg_pack_indexed_batch(int32_t n, const uint8_t* arena,
+                                const int64_t* offs, const int64_t* dlens,
+                                const int64_t* bits, int32_t max_segs,
+                                int32_t nsegs, uint32_t* words,
+                                int64_t stride, int32_t max_words,
+                                int32_t* start_bits, int32_t* rcs,
+                                int32_t nthreads) {
+  std::atomic<int32_t> next(0);
+  auto worker = [&]() {
+    for (;;) {
+      int32_t j = next.fetch_add(1, std::memory_order_relaxed);
+      if (j >= n) break;
+      rcs[j] = tic_jpeg_pack_indexed(
+          arena + offs[j], dlens[j], bits + (int64_t)j * max_segs, nsegs,
+          words, stride, (int64_t)j * nsegs, max_words,
+          start_bits + (int64_t)j * nsegs);
+    }
+  };
+  int nt = nthreads < 1 ? 1 : (nthreads > n ? n : nthreads);
+  if (nt <= 1) {
+    worker();
+  } else {
+    std::vector<std::thread> ts;
+    for (int t = 0; t < nt - 1; t++) ts.emplace_back(worker);
+    worker();
+    for (auto& t : ts) t.join();
   }
   return 0;
 }
