@@ -7,11 +7,18 @@ the same corpus on this host — the strongest locally measurable reference
 decoder (the role OpenCV/libjpeg play as the reference's own CPU fallback).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+After the headline JSON, informational sections run in ISOLATED
+SUBPROCESSES (`bench.py --section NAME`), CPU-only sections first and
+link-touching sections last, each with its own timeout — a wedged device
+tunnel can hang at most the one section that touched it (the r4 capture
+lost three sections to a single shared watchdog).
 """
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -19,7 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
 
 # persistent compile cache: the axon backend pays a large one-time remote
-# warmup; cache what can be cached
+# warmup; cache what can be cached (also shared by the section subprocesses)
 os.environ.setdefault(
     "JAX_COMPILATION_CACHE_DIR",
     os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
@@ -35,12 +42,17 @@ def log(*a):
     print(*a, file=sys.stderr)
 
 
-def main() -> None:
-    import numpy as np
+def _median(xs):
+    ys = sorted(xs)
+    n = len(ys)
+    return ys[n // 2] if n % 2 else 0.5 * (ys[n // 2 - 1] + ys[n // 2])
 
+
+def _build_corpus():
+    """Deterministic corpus (seeded) — section subprocesses rebuild the
+    identical one."""
     from util import make_photo
 
-    # --- corpus ------------------------------------------------------------
     try:
         import oracle
 
@@ -48,47 +60,48 @@ def main() -> None:
         jpgs = [
             oracle.jpeg_encode(base[i % 8], QUALITY, "420") for i in range(N_IMAGES)
         ]
-        have_oracle = True
+        return base, jpgs, True
     except Exception as e:  # no system libjpeg — encode with our own encoder
         log("oracle unavailable:", e)
         from nvimagecodec_tpu.codecs.jpeg.encode import encode_jpeg
 
         base = [make_photo(H, W, seed=s) for s in range(8)]
         jpgs = [encode_jpeg(base[i % 8]) for i in range(N_IMAGES)]
-        have_oracle = False
+        return base, jpgs, False
 
+
+def _force(img):
+    """Force device completion without fetching (outputs stay on device —
+    the consumer is a TPU input pipeline; eager slice+sum ops cost ~40 ms
+    each over the axon tunnel)."""
+    import numpy as np
     import jax
-    import jax.numpy as jnp
 
-    from nvimagecodec_tpu import Decoder
+    a = img.array
+    if isinstance(a, np.ndarray):
+        return int(a[0, 0, 0])
+    jax.block_until_ready(a)
+    return 0
+
+
+def main() -> None:
+    base, jpgs, have_oracle = _build_corpus()
+
+    from nvimagecodec_tpu import Decoder, pipeline
 
     dec = Decoder()
-
-    def force(img):
-        """Force device completion without fetching (outputs stay on device —
-        the consumer is a TPU input pipeline; eager slice+sum ops cost ~40 ms
-        each over the axon tunnel)."""
-        a = img.array
-        if isinstance(a, np.ndarray):
-            return int(a[0, 0, 0])
-        jax.block_until_ready(a)
-        return 0
 
     # --- warmup (jit compile + axon backend warmup) -------------------------
     log("warmup...")
     t0 = time.perf_counter()
     out = dec.decode(jpgs[:BATCH])
     assert all(o is not None for o in out), "warmup decode failed"
-    force(out[-1])
+    _force(out[-1])
     log(f"warmup done in {time.perf_counter() - t0:.1f}s")
 
     # --- timed decode ------------------------------------------------------
     # depth-2 pipeline: host stage of batch N overlaps device compute of
-    # batch N-1 (jax dispatch is async; force is completion-only). Two
-    # passes, best reported: the shared device tunnel adds large run-to-run
-    # interference that is not part of the codec's cost.
-    from nvimagecodec_tpu import pipeline
-
+    # batch N-1 (jax dispatch is async; force is completion-only).
     def one_pass():
         t0 = time.perf_counter()
         decoded = 0
@@ -100,11 +113,6 @@ def main() -> None:
             decoded += len(outs)
         return decoded / (time.perf_counter() - t0)
 
-    def _median(xs):
-        ys = sorted(xs)
-        n = len(ys)
-        return ys[n // 2] if n % 2 else 0.5 * (ys[n // 2 - 1] + ys[n // 2])
-
     # interleaved A/B protocol: ours and the baseline alternate within the
     # same minute so tunnel/host drift hits both sides equally; median +
     # spread reported alongside best (r3 verdict: best-of-3 on a drifting
@@ -112,6 +120,8 @@ def main() -> None:
     from nvimagecodec_tpu.core import trace as _trace
 
     def base_pass():
+        import oracle
+
         t0 = time.perf_counter()
         for j in jpgs[:256]:
             oracle.jpeg_decode(j)
@@ -170,6 +180,8 @@ def main() -> None:
         log(f"jpeg encode: best of 3 -> {encode_ips:.1f} img/s "
             f"(all: {[round(p, 1) for p in enc_passes]})")
         if have_oracle:
+            import oracle
+
             def enc_base_pass():
                 t0 = time.perf_counter()
                 for img in base * 8:
@@ -224,239 +236,292 @@ def main() -> None:
             }
         )
     )
-
-
-    # --- informational sections (stderr only) run AFTER the headline JSON;
-    # a watchdog hard-exits if a wedged device link hangs one of them (the
-    # driver already has the JSON by then)
     sys.stdout.flush()
-    import threading as _th
 
-    _watchdog = _th.Timer(420.0, lambda: (log("watchdog: informational "
-                                              "section hung; exiting"),
-                                          os._exit(0)))
-    _watchdog.daemon = True
-    _watchdog.start()
+    # --- informational sections (stderr only), AFTER the headline JSON.
+    # Each runs in its own subprocess with its own timeout; CPU-only
+    # sections go first so a wedged device link cannot cost their capture.
+    _run_sections()
 
-    # --- informational: on-device entropy decode (stderr only) -------------
-    # restart-interval corpus routes through the Pallas entropy kernel (the
-    # host only splits segments); same pixels, different entropy engine
-    try:
-        from nvimagecodec_tpu.codecs.jpeg.headers import parse_jpeg_structure
 
-        f0 = parse_jpeg_structure(jpgs[0])
-        ri = -(-f0.width // (8 * f0.hmax))
-        dri_jpgs = [
-            oracle.jpeg_encode(base[i % 8], QUALITY, "420", restart_interval=ri)
-            for i in range(N_IMAGES)
-        ] if have_oracle else []
-        if dri_jpgs:
-            out = dec.decode(dri_jpgs[:BATCH])
-            force(out[-1])
+# --------------------------------------------------------------------------
+# informational sections — each runnable standalone via --section NAME
+# --------------------------------------------------------------------------
 
-            def dri_pass():
-                # same depth-2 pipeline as the main corpus: the deferred
-                # DRI error validation of batch N overlaps batch N+1
-                t0 = time.perf_counter()
-                decoded = 0
-                batches = (dri_jpgs[i:i + BATCH]
-                           for i in range(0, N_IMAGES, BATCH))
-                for outs in pipeline.decode_batches(batches, decoder=dec,
-                                                    drop_failed=False):
-                    decoded += len(outs)
-                return decoded / (time.perf_counter() - t0)
+def section_scaling() -> None:
+    """CPU-only: virtual 8-device mesh scaling audit (bench_scaling.py)."""
+    r = subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "bench_scaling.py")],
+        capture_output=True, text=True, timeout=240,
+        env={k: v for k, v in os.environ.items()
+             if k not in ("XLA_FLAGS", "JAX_PLATFORMS")},
+    )
+    for line in (r.stderr + r.stdout).splitlines():
+        log("scaling |", line)
 
-            # 3 passes per route, medians reported (r3 verdict: the single
-            # best-of comparison flapped between x1.1 and x3.7 across
-            # rounds). Device route first as a block: the host route's wide
-            # wire registers much larger host buffers with the transport,
-            # which degrades transfer latency for the REST of the process —
-            # interleaving would bill that degradation to the device route.
-            dri_passes = [dri_pass() for _ in range(3)]
-            os.environ["TIC_NO_DEVICE_ENTROPY"] = "1"
-            try:
-                dec.decode(dri_jpgs[:BATCH])
-                host_passes = [dri_pass() for _ in range(3)]
-            finally:
-                os.environ.pop("TIC_NO_DEVICE_ENTROPY", None)
 
-            def _med(xs):
-                ys = sorted(xs)
-                n = len(ys)
-                return (ys[n // 2] if n % 2
-                        else 0.5 * (ys[n // 2 - 1] + ys[n // 2]))
+def section_j2k_host() -> None:
+    """CPU-only: J2K + HTJ2K decode/encode vs single-thread openjpeg
+    (our native EBCOT/HT T1 over the thread pool vs libopenjp2); the
+    reference gets these codecs from nvjpeg2k."""
+    from util import make_photo
 
-            dri, dri_host = _med(dri_passes), _med(host_passes)
-            log(f"device-entropy decode (DRI corpus): median {dri:.1f} "
-                f"img/s (all: {[round(p, 1) for p in dri_passes]}) vs host "
-                f"route: median {dri_host:.1f} img/s "
-                f"(all: {[round(p, 1) for p in host_passes]}) "
-                f"-> x{dri / max(dri_host, 1e-9):.2f}")
+    from nvimagecodec_tpu.codecs.jpeg2000.core import decode_j2k, encode_j2k
+    from nvimagecodec_tpu.native import opj_bridge
 
-        # coverage: which corpus classes ride the device entropy kernel
-        try:
-            from nvimagecodec_tpu.ops.pallas_entropy import entropy_kernel_spec
+    big = make_photo(1024, 1024, seed=3)
 
-            from nvimagecodec_tpu.ops.pallas_entropy import prog_scan_specs
+    def _rate(fn, budget=1.5):
+        t0 = time.perf_counter()
+        n = 0
+        while time.perf_counter() - t0 < budget:
+            fn()
+            n += 1
+        return n / (time.perf_counter() - t0)
 
-            cover = []
-            for label, ss, prog in [
-                ("420", "420", False), ("422", "422", False),
-                ("444", "444", False), ("440", "440", False),
-                ("411", "411", False), ("410", "410", False),
-                ("gray", "gray", False),
-                ("prog-spectral", "420", "spectral"),
-                ("prog-refine", "420", True),
-            ]:
-                src = base[0][:, :, 0] if ss == "gray" else base[0]
-                if prog == "spectral":
-                    stream = oracle.jpeg_encode_spectral(
-                        src, QUALITY, ss, split=5, restart_interval=8)
-                else:
-                    stream = oracle.jpeg_encode(
-                        src, QUALITY, ss, progressive=bool(prog),
-                        restart_interval=8)
-                f = parse_jpeg_structure(stream)
-                try:
-                    if f.is_progressive:
-                        prog_scan_specs(f)
-                    else:
-                        entropy_kernel_spec(f)
-                    cover.append(label)
-                except ValueError:
-                    pass
-            log(f"device-entropy coverage (restart streams): {cover} "
-                f"(host route: everything else, e.g. progressive)")
-        except Exception as e:
-            log("device-entropy coverage report skipped:", e)
-    except Exception as e:
-        log("device-entropy bench skipped:", e)
-
-    # --- informational: index-scan wire vs full host entropy ----------------
-    # same (non-DRI) corpus decoded twice: with the device-entropy
-    # index-scan route enabled vs forced host entropy — isolates what the
-    # compact indexed wire is worth on this link
-    try:
-        def main_pass():
-            t0 = time.perf_counter()
-            decoded = 0
-            batches = (jpgs[i:i + BATCH] for i in range(0, N_IMAGES, BATCH))
-            for outs in pipeline.decode_batches(batches, decoder=dec,
-                                                drop_failed=False):
-                decoded += len(outs)
-            return decoded / (time.perf_counter() - t0)
-
-        # idx route FIRST: the host route's wide wire registers much larger
-        # host buffers with the transport, which degrades transfer latency
-        # for the rest of the process (ordering penalty measured ~2x)
-        dec.decode(jpgs[:BATCH])
-        idx_ips = max(main_pass() for _ in range(2))
-        os.environ["TIC_NO_DEVICE_ENTROPY"] = "1"
-        try:
-            dec.decode(jpgs[:BATCH])  # warm the host-route jits
-            host_ips = max(main_pass() for _ in range(2))
-        finally:
-            os.environ.pop("TIC_NO_DEVICE_ENTROPY", None)
-        log(f"index-scan route: {idx_ips:.1f} img/s vs full host entropy: "
-            f"{host_ips:.1f} img/s (wire win x{idx_ips / host_ips:.2f})")
-    except Exception as e:
-        log("index-scan isolation skipped:", e)
-
-    # --- informational: JPEG2000 + HTJ2K decode vs single-thread openjpeg --
-    # host-vs-host comparison (our native EBCOT/HT T1 over the thread pool
-    # vs libopenjp2); the reference gets these codecs from nvjpeg2k
-    try:
-        import time as _time
-
-        from nvimagecodec_tpu.codecs.jpeg2000.core import decode_j2k, encode_j2k
-        from nvimagecodec_tpu.native import opj_bridge
-
-        big = make_photo(1024, 1024, seed=3)
-
-        def _rate(fn, budget=1.5):
-            t0 = _time.perf_counter()
-            n = 0
-            while _time.perf_counter() - t0 < budget:
-                fn()
-                n += 1
-            return n / (_time.perf_counter() - t0)
-
-        for label, kw in (("j2k", {}), ("htj2k", {"ht": True})):
-            stream = encode_j2k(big, reversible=True, levels=5,
-                                stream_type="j2k", **kw)
-            decode_j2k(stream)  # warm
-            decode_j2k(stream, num_threads=1)
-            opj_bridge.decode(stream)  # warm + validates it decodes there
-            # interleaved best-of-2 rounds per contender: a load spike on
-            # the shared host hits all three the same way
-            ours1 = ours = opj = 0.0
-            for _r in range(2):
-                ours1 = max(ours1, _rate(
-                    lambda: decode_j2k(stream, num_threads=1)))
-                opj = max(opj, _rate(lambda: opj_bridge.decode(stream)))
-                ours = max(ours, _rate(lambda: decode_j2k(stream)))
-            log(f"{label} decode 1024x1024 rev: ours-1t {ours1:.2f} "
-                f"(x{ours1 / opj:.2f} equal-thread), ours-free {ours:.2f} "
-                f"(x{ours / opj:.2f}) vs openjpeg-1t {opj:.2f} img/s")
-            enc1 = enc = openc = 0.0
-            for _r in range(2):
-                enc1 = max(enc1, _rate(lambda: encode_j2k(
-                    big, reversible=True, levels=5, stream_type="j2k",
-                    num_threads=1, **kw)))
-                openc = max(openc, _rate(
-                    lambda: opj_bridge.encode_lossless(big)))
-                enc = max(enc, _rate(lambda: encode_j2k(
-                    big, reversible=True, levels=5, stream_type="j2k",
-                    **kw)))
-            log(f"{label} encode 1024x1024 rev: ours-1t {enc1:.2f} "
-                f"(x{enc1 / openc:.2f} equal-thread), ours-free {enc:.2f} "
-                f"(x{enc / openc:.2f}) vs openjpeg-1t {openc:.2f} img/s")
-
-        # device pixel stage (auto crossover, verdict r3 #7): same stream,
-        # host IDWT vs TPU IDWT/MCT route; the measured H2D probes drive
-        # the automatic choice (core.device_route_auto)
-        from nvimagecodec_tpu.codecs.jpeg2000.core import (
-            _h2d_lat_ms, _h2d_mb_per_s, device_route_auto)
-
+    for label, kw in (("j2k", {}), ("htj2k", {"ht": True})):
         stream = encode_j2k(big, reversible=True, levels=5,
-                            stream_type="j2k")
-        import jax as _jax
+                            stream_type="j2k", **kw)
+        decode_j2k(stream)  # warm
+        decode_j2k(stream, num_threads=1)
+        opj_bridge.decode(stream)  # warm + validates it decodes there
+        # interleaved best-of-3 rounds per contender: a load spike on
+        # the shared host hits all three the same way
+        ours1 = ours = opj = 0.0
+        for _r in range(3):
+            ours1 = max(ours1, _rate(
+                lambda: decode_j2k(stream, num_threads=1)))
+            opj = max(opj, _rate(lambda: opj_bridge.decode(stream)))
+            ours = max(ours, _rate(lambda: decode_j2k(stream)))
+        log(f"{label} decode 1024x1024 rev: ours-1t {ours1:.2f} "
+            f"(x{ours1 / opj:.2f} equal-thread), ours-free {ours:.2f} "
+            f"(x{ours / opj:.2f}) vs openjpeg-1t {opj:.2f} img/s")
+        enc1 = enc = openc = 0.0
+        for _r in range(3):
+            enc1 = max(enc1, _rate(lambda: encode_j2k(
+                big, reversible=True, levels=5, stream_type="j2k",
+                num_threads=1, **kw)))
+            openc = max(openc, _rate(
+                lambda: opj_bridge.encode_lossless(big)))
+            enc = max(enc, _rate(lambda: encode_j2k(
+                big, reversible=True, levels=5, stream_type="j2k",
+                **kw)))
+        log(f"{label} encode 1024x1024 rev: ours-1t {enc1:.2f} "
+            f"(x{enc1 / openc:.2f} equal-thread), ours-free {enc:.2f} "
+            f"(x{enc / openc:.2f}) vs openjpeg-1t {openc:.2f} img/s")
 
-        def _dev_pass():
-            out = decode_j2k(stream, use_jax=True)
-            _jax.block_until_ready(out)
 
-        decode_j2k(stream, use_jax=True)  # warm/compile
-        dev = host = 0.0
-        for _r in range(2):
-            dev = max(dev, _rate(_dev_pass))
-            host = max(host, _rate(lambda: decode_j2k(stream,
-                                                      use_jax=False)))
-        auto = device_route_auto(1024 * 1024)
-        log(f"j2k device pixel stage: device route {dev:.2f} img/s vs "
-            f"host route {host:.2f} img/s (x{dev / host:.2f}); auto picks "
-            f"{'device' if auto else 'host'} "
-            f"(H2D {_h2d_mb_per_s():.0f} MB/s, {_h2d_lat_ms():.2f} ms/op)")
-    except Exception as e:
-        log("j2k bench skipped:", e)
+def _setup_jpeg_decoder():
+    """Shared setup for the link-touching JPEG sections."""
+    base, jpgs, have_oracle = _build_corpus()
+    from nvimagecodec_tpu import Decoder, pipeline
 
-    # --- scaling audit (virtual 8-device CPU mesh, stderr only) -------------
+    dec = Decoder()
+    out = dec.decode(jpgs[:BATCH])  # warm
+    _force(out[-1])
+    return base, jpgs, have_oracle, dec, pipeline
+
+
+def _corpus_pass(jpgs, dec, pipeline):
+    t0 = time.perf_counter()
+    decoded = 0
+    batches = (jpgs[i:i + BATCH] for i in range(0, N_IMAGES, BATCH))
+    for outs in pipeline.decode_batches(batches, decoder=dec,
+                                        drop_failed=False):
+        decoded += len(outs)
+    return decoded / (time.perf_counter() - t0)
+
+
+def section_dri() -> None:
+    """Link-touching: on-device entropy decode of a restart-interval corpus
+    vs the host entropy route. The ratio is a function of the measured H2D
+    bandwidth (the device route ships the compressed wire up), so the
+    bandwidth is printed WITH the ratio — there is no stable constant."""
+    import oracle
+
+    from nvimagecodec_tpu.codecs.jpeg.headers import parse_jpeg_structure
+
+    base, jpgs, have_oracle, dec, pipeline = _setup_jpeg_decoder()
+    if not have_oracle:
+        log("device-entropy bench skipped: no oracle")
+        return
+
+    f0 = parse_jpeg_structure(jpgs[0])
+    ri = -(-f0.width // (8 * f0.hmax))
+    dri_jpgs = [
+        oracle.jpeg_encode(base[i % 8], QUALITY, "420", restart_interval=ri)
+        for i in range(N_IMAGES)
+    ]
+    out = dec.decode(dri_jpgs[:BATCH])
+    _force(out[-1])
+
+    def dri_pass():
+        return _corpus_pass(dri_jpgs, dec, pipeline)
+
+    # 3 passes per route, medians reported. Device route first as a block:
+    # the host route's wide wire registers much larger host buffers with
+    # the transport, which degrades transfer latency for the REST of the
+    # process — interleaving would bill that degradation to the device
+    # route.
+    dri_passes = [dri_pass() for _ in range(3)]
+    os.environ["TIC_NO_DEVICE_ENTROPY"] = "1"
     try:
-        import subprocess
+        dec.decode(dri_jpgs[:BATCH])
+        host_passes = [dri_pass() for _ in range(3)]
+    finally:
+        os.environ.pop("TIC_NO_DEVICE_ENTROPY", None)
 
-        r = subprocess.run(
-            [sys.executable, os.path.join(os.path.dirname(
-                os.path.abspath(__file__)), "bench_scaling.py")],
-            capture_output=True, text=True, timeout=240,
-            env={k: v for k, v in os.environ.items()
-                 if k not in ("XLA_FLAGS", "JAX_PLATFORMS")},
-        )
-        for line in (r.stderr + r.stdout).splitlines():
-            log("scaling |", line)
+    # measured link state, printed with the ratio (the ratio is
+    # bandwidth-conditioned, not a constant — r4 verdict weak #4)
+    from nvimagecodec_tpu.codecs.jpeg2000.core import (
+        _h2d_lat_ms, _h2d_mb_per_s)
+
+    dri, dri_host = _median(dri_passes), _median(host_passes)
+    log(f"device-entropy decode (DRI corpus): median {dri:.1f} "
+        f"img/s (all: {[round(p, 1) for p in dri_passes]}) vs host "
+        f"route: median {dri_host:.1f} img/s "
+        f"(all: {[round(p, 1) for p in host_passes]}) "
+        f"-> x{dri / max(dri_host, 1e-9):.2f} at H2D "
+        f"{_h2d_mb_per_s():.0f} MB/s, {_h2d_lat_ms():.2f} ms/op")
+
+    # coverage: which corpus classes ride the device entropy kernel
+    try:
+        from nvimagecodec_tpu.ops.pallas_entropy import (
+            entropy_kernel_spec, prog_scan_specs)
+
+        cover = []
+        for label, ss, prog in [
+            ("420", "420", False), ("422", "422", False),
+            ("444", "444", False), ("440", "440", False),
+            ("411", "411", False), ("410", "410", False),
+            ("gray", "gray", False),
+            ("prog-spectral", "420", "spectral"),
+            ("prog", "420", True),
+        ]:
+            src = base[0][:, :, 0] if ss == "gray" else base[0]
+            if prog == "spectral":
+                stream = oracle.jpeg_encode_spectral(
+                    src, QUALITY, ss, split=5, restart_interval=8)
+            else:
+                stream = oracle.jpeg_encode(
+                    src, QUALITY, ss, progressive=bool(prog),
+                    restart_interval=8)
+            f = parse_jpeg_structure(stream)
+            try:
+                if f.is_progressive:
+                    prog_scan_specs(f)
+                else:
+                    entropy_kernel_spec(f)
+                cover.append(label)
+            except ValueError:
+                pass
+        log(f"device-entropy coverage (restart streams): {cover} "
+            f"(host route: everything else)")
     except Exception as e:
-        log("scaling audit skipped:", e)
+        log("device-entropy coverage report skipped:", e)
 
-    _watchdog.cancel()
+
+def section_idx() -> None:
+    """Link-touching: index-scan wire vs full host entropy — same (non-DRI)
+    corpus decoded twice; isolates what the compact indexed wire is worth
+    on this link."""
+    base, jpgs, have_oracle, dec, pipeline = _setup_jpeg_decoder()
+
+    # idx route FIRST: the host route's wide wire registers much larger
+    # host buffers with the transport, which degrades transfer latency
+    # for the rest of the process (ordering penalty measured ~2x)
+    idx_ips = max(_corpus_pass(jpgs, dec, pipeline) for _ in range(2))
+    os.environ["TIC_NO_DEVICE_ENTROPY"] = "1"
+    try:
+        dec.decode(jpgs[:BATCH])  # warm the host-route jits
+        host_ips = max(_corpus_pass(jpgs, dec, pipeline) for _ in range(2))
+    finally:
+        os.environ.pop("TIC_NO_DEVICE_ENTROPY", None)
+    log(f"index-scan route: {idx_ips:.1f} img/s vs full host entropy: "
+        f"{host_ips:.1f} img/s (wire win x{idx_ips / host_ips:.2f})")
+
+
+def section_j2k_device() -> None:
+    """Link-touching: J2K device pixel stage (host IDWT vs TPU IDWT/MCT
+    route); the measured H2D probes drive the automatic choice
+    (core.device_route_auto)."""
+    import jax
+
+    from util import make_photo
+
+    from nvimagecodec_tpu.codecs.jpeg2000.core import (
+        _h2d_lat_ms, _h2d_mb_per_s, decode_j2k, device_route_auto,
+        encode_j2k)
+
+    big = make_photo(1024, 1024, seed=3)
+    stream = encode_j2k(big, reversible=True, levels=5, stream_type="j2k")
+
+    def _rate(fn, budget=1.5):
+        t0 = time.perf_counter()
+        n = 0
+        while time.perf_counter() - t0 < budget:
+            fn()
+            n += 1
+        return n / (time.perf_counter() - t0)
+
+    def _dev_pass():
+        out = decode_j2k(stream, use_jax=True)
+        jax.block_until_ready(out)
+
+    decode_j2k(stream, use_jax=True)  # warm/compile
+    dev = host = 0.0
+    for _r in range(2):
+        dev = max(dev, _rate(_dev_pass))
+        host = max(host, _rate(lambda: decode_j2k(stream, use_jax=False)))
+    auto = device_route_auto(1024 * 1024)
+    log(f"j2k device pixel stage: device route {dev:.2f} img/s vs "
+        f"host route {host:.2f} img/s (x{dev / host:.2f}); auto picks "
+        f"{'device' if auto else 'host'} "
+        f"(H2D {_h2d_mb_per_s():.0f} MB/s, {_h2d_lat_ms():.2f} ms/op)")
+
+
+# (name, timeout_s, touches_device_link) — CPU-only sections first so a
+# wedged link cannot cost their capture; every section is an isolated
+# subprocess so one hang skips exactly one section.
+SECTIONS = [
+    ("scaling", 300, False),
+    ("j2k_host", 420, False),
+    ("dri", 420, True),
+    ("idx", 300, True),
+    ("j2k_device", 300, True),
+]
+
+
+def _run_sections() -> None:
+    me = os.path.abspath(__file__)
+    for name, tmo, _link in SECTIONS:
+        t0 = time.perf_counter()
+        try:
+            r = subprocess.run(
+                [sys.executable, me, "--section", name],
+                capture_output=True, text=True, timeout=tmo,
+            )
+            for line in (r.stderr + r.stdout).splitlines():
+                log(line)
+            if r.returncode != 0:
+                log(f"section {name}: exit code {r.returncode}")
+        except subprocess.TimeoutExpired as e:
+            for line in ((e.stderr or "") + (e.stdout or "")).splitlines():
+                log(line)
+            log(f"section {name}: timed out after {tmo}s; skipped "
+                f"(remaining sections continue)")
+        except Exception as e:
+            log(f"section {name}: failed to run: {e}")
+        log(f"section {name}: done in {time.perf_counter() - t0:.0f}s")
+
 
 if __name__ == "__main__":
+    if len(sys.argv) >= 3 and sys.argv[1] == "--section":
+        fn = globals()[f"section_{sys.argv[2]}"]
+        try:
+            fn()
+        except Exception as e:
+            log(f"section {sys.argv[2]} skipped:", e)
+        sys.exit(0)
     main()
