@@ -853,13 +853,12 @@ def unwrap_jp2(data: bytes) -> bytes:
 
 def jp2_colorspace(data: bytes):
     """EnumCS of the JP2 colr box (16 sRGB / 17 grey / 18 sYCC), or None
-    for raw codestreams / missing box."""
-    if data[:4] == b"\xff\x4f\xff\x51":
+    for raw codestreams / missing box / ICC (method 2) boxes. Real box
+    walk via the parser (no byte-find heuristic — codestream bytes can
+    contain b"colr" by chance)."""
+    from ...parsers.jpeg2k import jp2_color_info
+
+    ci = jp2_color_info(data)
+    if ci is None or ci[0] != 1:
         return None
-    pos = data.find(b"colr")
-    if pos < 0 or pos + 11 > len(data):
-        return None
-    meth = data[pos + 4]
-    if meth != 1:
-        return None
-    return struct.unpack_from(">I", data, pos + 7)[0]
+    return ci[1]

@@ -150,6 +150,7 @@ class SampleFormat(enum.IntEnum):
 class ColorSpec(enum.IntEnum):
     """Color specification (reference: include/nvimgcodec.h:400-411)."""
 
+    UNSUPPORTED = -1
     UNKNOWN = 0
     UNCHANGED = 0
     SRGB = 1

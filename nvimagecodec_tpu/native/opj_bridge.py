@@ -57,7 +57,7 @@ def _declare(L: ctypes.CDLL) -> None:
     L.tic_opj_decode_comp.restype = ctypes.c_int
     L.tic_opj_encode_planes.argtypes = [
         ctypes.POINTER(i32p), ctypes.c_int, ctypes.c_int, ctypes.c_int,
-        i32p, i32p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        i32p, i32p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
         ctypes.POINTER(ctypes.c_uint64),
     ]
@@ -229,12 +229,15 @@ def decode_comp(data: bytes, comp: int):
 
 
 def encode_planes(planes, sub, prec: int = 8, sgnd: int = 0,
-                  stream_type: str = "j2k", size=None) -> bytes:
+                  stream_type: str = "j2k", size=None,
+                  clrspc: int = -1) -> bytes:
     """Lossless-encode planar int32 components with per-component
     subsampling/signedness via openjpeg (oracle generator for
     subsampled/signed conformance streams). planes: list of [h, w] arrays
     (comp c sized ceil(W/dx[c]) x ceil(H/dy[c])); sub: [(dx, dy)] per comp;
-    size: full-grid (H, W), default derived from plane 0."""
+    size: full-grid (H, W), default derived from plane 0; clrspc:
+    OPJ_CLRSPC (1=SRGB, 2=GRAY, 3=SYCC — sets the JP2 colr enumCS), -1
+    for the ncomp default."""
     L = lib()
     nc = len(planes)
     dx = np.array([s[0] for s in sub], np.int32)
@@ -251,7 +254,7 @@ def encode_planes(planes, sub, prec: int = 8, sgnd: int = 0,
     n = ctypes.c_uint64()
     rc = L.tic_opj_encode_planes(
         arr, w, h, nc, dx.ctypes.data_as(i32p), dy.ctypes.data_as(i32p),
-        prec, sgnd, 1 if stream_type == "jp2" else 0,
+        prec, sgnd, 1 if stream_type == "jp2" else 0, clrspc,
         ctypes.byref(out), ctypes.byref(n),
     )
     if rc != 0:

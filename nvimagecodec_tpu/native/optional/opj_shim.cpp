@@ -337,10 +337,12 @@ int tic_opj_decode_comp(const uint8_t* data, uint64_t len, int is_jp2,
 // Lossless-encode PLANAR int32 components with per-component subsampling
 // and signedness (oracle generator for subsampled / signed conformance
 // streams). planes: ncomp pointers, each ceil(w/dx)*ceil(h/dy) samples.
+// clrspc: OPJ_CLRSPC value for the image (1=SRGB, 2=GRAY, 3=SYCC — drives
+// the JP2 colr box enumCS), or -1 for the ncomp-derived default.
 int tic_opj_encode_planes(const int32_t* const* planes, int w, int h,
                           int ncomp, const int32_t* dx, const int32_t* dy,
-                          int prec, int sgnd, int is_jp2, uint8_t** out,
-                          uint64_t* outlen) {
+                          int prec, int sgnd, int is_jp2, int clrspc,
+                          uint8_t** out, uint64_t* outlen) {
   opj_image_cmptparm_t parms[4];
   memset(parms, 0, sizeof(parms));
   for (int c = 0; c < ncomp; c++) {
@@ -351,8 +353,8 @@ int tic_opj_encode_planes(const int32_t* const* planes, int w, int h,
     parms[c].prec = (uint32_t)prec;
     parms[c].sgnd = (uint32_t)sgnd;
   }
-  opj_image_t* image = opj_image_create((uint32_t)ncomp, parms,
-                                        ncomp >= 3 ? 1 : 2);
+  opj_image_t* image = opj_image_create(
+      (uint32_t)ncomp, parms, clrspc > 0 ? clrspc : (ncomp >= 3 ? 1 : 2));
   if (!image) return 1;
   image->x0 = 0;
   image->y0 = 0;

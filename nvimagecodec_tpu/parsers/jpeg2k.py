@@ -54,6 +54,60 @@ def _parse_siz(cs: bytes) -> dict:
     }
 
 
+def jp2_color_info(raw: bytes):
+    """(method, enum_cs) of the first colr box inside the jp2h superbox —
+    enum_cs is meaningful only for method 1 — or None for raw codestreams
+    and JP2 files without one. Real box walk (incl. XLBox extended sizes),
+    matching the reference's jp2h descent
+    (src/parsers/jpeg2k.cpp:216-268)."""
+    if raw[:12] != JP2_SIGNATURE:
+        return None
+    n = len(raw)
+    pos = 0
+    while pos + 8 <= n:
+        (size,) = struct.unpack_from(">I", raw, pos)
+        btype = raw[pos + 4 : pos + 8]
+        hdr = 8
+        if size == 1:  # extended size
+            if pos + 16 > n:
+                return None
+            (size,) = struct.unpack_from(">Q", raw, pos + 8)
+            hdr = 16
+        elif size == 0:
+            size = n - pos
+        if btype == b"jp2h":
+            sp = pos + hdr
+            send = min(pos + size, n)
+            while sp + 8 <= send:
+                (ssize,) = struct.unpack_from(">I", raw, sp)
+                stype = raw[sp + 4 : sp + 8]
+                shdr = 8
+                if ssize == 1:
+                    if sp + 16 > send:
+                        return None
+                    (ssize,) = struct.unpack_from(">Q", raw, sp + 8)
+                    shdr = 16
+                elif ssize == 0:
+                    ssize = send - sp
+                if stype == b"colr" and sp + shdr + 3 <= send:
+                    meth = raw[sp + shdr]
+                    enum_cs = None
+                    if sp + shdr + 7 <= send:
+                        (enum_cs,) = struct.unpack_from(
+                            ">I", raw, sp + shdr + 3)
+                    return (meth, enum_cs)
+                if ssize < 8:
+                    return None
+                sp += ssize
+            return None
+        if btype == b"jp2c":
+            return None  # header boxes precede the codestream
+        if size < 8:
+            return None
+        pos += size
+    return None
+
+
 class Jpeg2kParser(ParserPlugin):
     codec = "jpeg2k"
     priority = Priority.NORMAL
@@ -128,6 +182,22 @@ class Jpeg2kParser(ParserPlugin):
             for c in comps
         )
         gray = ncomp == 1
+        # colr box → color_spec: enumCS 16/17/18 → SRGB/GRAY/SYCC, ICC
+        # (method 2) and unknown enums → UNSUPPORTED
+        # (reference: src/parsers/jpeg2k.cpp:246-268)
+        color = ColorSpec.GRAY if gray else ColorSpec.SRGB
+        if stream_type == "jp2":
+            ci = jp2_color_info(raw)
+            if ci is not None:
+                meth, enum_cs = ci
+                if meth == 1:
+                    color = {
+                        16: ColorSpec.SRGB,
+                        17: ColorSpec.GRAY,
+                        18: ColorSpec.SYCC,
+                    }.get(enum_cs, ColorSpec.UNSUPPORTED)
+                elif meth == 2:
+                    color = ColorSpec.UNSUPPORTED
         return ImageInfo(
             codec=self.codec,
             height=h,
@@ -135,7 +205,7 @@ class Jpeg2kParser(ParserPlugin):
             num_planes=ncomp,
             planes=planes,
             sample_format=SampleFormat.P_Y if gray else SampleFormat.I_RGB,
-            color_spec=ColorSpec.GRAY if gray else ColorSpec.SRGB,
+            color_spec=color,
             chroma_subsampling=css,
             extras={
                 "j2k_stream_type": stream_type,

@@ -733,3 +733,28 @@ def test_erterm_accepted_ht_mix_rejected():
         s[style_off + 1:])
     with pytest.raises(ValueError):
         decode_j2k(s3)
+
+
+def test_opj_sycc_jp2_decodes_to_rgb():
+    """An openjpeg-ENCODED sYCC JP2 (not our own encode) converts back to
+    RGB through the public Decoder — the colr box is now read by a real
+    box walk in the parser (reference: src/parsers/jpeg2k.cpp:246-268)."""
+    import nvimagecodec_tpu as nic
+    from nvimagecodec_tpu.native import opj_bridge
+    from nvimagecodec_tpu.ops.color import rgb_to_ycbcr_i32
+
+    img = make_photo(64, 96, seed=44)
+    y, cb, cr = rgb_to_ycbcr_i32(
+        img[:, :, 0], img[:, :, 1], img[:, :, 2])
+    planes = [y.astype(np.int32),
+              cb.astype(np.int32)[::2, ::2],
+              cr.astype(np.int32)[::2, ::2]]
+    data = opj_bridge.encode_planes(
+        planes, [(1, 1), (2, 2), (2, 2)], stream_type="jp2", clrspc=3,
+        size=(64, 96))
+    info = nic.CodeStream(data).get_image_info()
+    assert int(info.color_spec) == int(nic.ColorSpec.SYCC)
+    out = np.asarray(nic.Decoder().decode(data))
+    assert out.shape == img.shape
+    # 420 chroma + fixed-point YCbCr roundtrip: close to the source RGB
+    assert psnr(img, out) > 30.0

@@ -126,3 +126,58 @@ class TestWebpParser:
         info = info_of(str(corpus / "webp" / "photo_lossless.webp"))
         assert info.extras["webp_lossless"]
         assert (info.width, info.height) == (640, 426)
+
+
+class TestJpeg2kColrBox:
+    """JP2 colr box -> ImageInfo.color_spec (reference:
+    src/parsers/jpeg2k.cpp:246-268). Streams come from openjpeg, not our
+    own encoder, so the box walk is validated against a real producer."""
+
+    @staticmethod
+    def _opj_jp2(nc, clrspc, sub=None):
+        import oracle  # noqa: F401 (ensures tests path wiring)
+        from nvimagecodec_tpu.native import opj_bridge
+
+        rng = np.random.default_rng(7)
+        sub = sub or [(1, 1)] * nc
+        planes = [
+            rng.integers(0, 256, (32 // dy, 48 // dx)).astype(np.int32)
+            for (dx, dy) in sub
+        ]
+        return opj_bridge.encode_planes(
+            planes, sub, stream_type="jp2", clrspc=clrspc, size=(32, 48))
+
+    def test_srgb(self):
+        info = info_of(self._opj_jp2(3, clrspc=1))
+        assert info.color_spec == ColorSpec.SRGB
+
+    def test_gray(self):
+        info = info_of(self._opj_jp2(1, clrspc=2))
+        assert info.color_spec == ColorSpec.GRAY
+
+    def test_sycc(self):
+        info = info_of(
+            self._opj_jp2(3, clrspc=3, sub=[(1, 1), (2, 2), (2, 2)]))
+        assert info.color_spec == ColorSpec.SYCC
+
+    def test_icc_method_unsupported(self):
+        # method-2 (restricted ICC) colr box -> UNSUPPORTED, matching the
+        # reference rather than silently assuming sRGB
+        data = bytearray(self._opj_jp2(3, clrspc=1))
+        i = bytes(data).find(b"colr")
+        assert i > 0
+        data[i + 4] = 2  # METH byte: enumerated -> restricted ICC
+        info = info_of(bytes(data))
+        assert info.color_spec == ColorSpec.UNSUPPORTED
+
+    def test_raw_codestream_has_no_box(self):
+        from nvimagecodec_tpu.parsers.jpeg2k import jp2_color_info
+
+        from nvimagecodec_tpu.codecs.jpeg2000.core import encode_j2k
+
+        s = encode_j2k(make_photo(32, 48, seed=1), reversible=True,
+                       levels=2, stream_type="j2k")
+        assert jp2_color_info(s) is None
+        # and a codestream whose BODY contains the bytes b"colr" must not
+        # fool the walk (the old byte-find heuristic could)
+        assert b"jp2h" not in s[:64]
