@@ -30,6 +30,169 @@ def _load(*names) -> Optional[ctypes.CDLL]:
     return None
 
 
+_SHIM = [None]
+
+
+def _sys_shim() -> ctypes.CDLL:
+    """Lazily build + load the system-codec shim (libjpeg/libpng wrappers;
+    native/optional/sys_codec_shim.cpp). Raises if the toolchain or the
+    libraries are absent — callers degrade by not registering, like the
+    reference's plugin-load-failure path (src/plugin_framework.cpp:314-351)."""
+    if _SHIM[0] is not None:
+        return _SHIM[0]
+    import os
+    import subprocess
+
+    d = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "native", "optional")
+    src = os.path.join(d, "sys_codec_shim.cpp")
+    so = os.path.join(d, "libtic_syscodec.so")
+    if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(src):
+        r = subprocess.run(
+            ["c++", "-O2", "-std=c++17", "-shared", "-fPIC", src, "-o", so,
+             "-ljpeg", "-lpng"],
+            capture_output=True, text=True)
+        if r.returncode != 0:
+            raise ImportError(f"sys codec shim build failed:\n{r.stderr}")
+    L = ctypes.CDLL(so)
+    u8pp = ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8))
+    i32p = ctypes.POINTER(ctypes.c_int)
+    L.tic_sys_jpeg_decode.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t, u8pp, i32p, i32p, i32p]
+    L.tic_sys_jpeg_decode.restype = ctypes.c_int
+    L.tic_sys_png_decode.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t, u8pp, i32p, i32p]
+    L.tic_sys_png_decode.restype = ctypes.c_int
+    L.tic_sys_free.argtypes = [ctypes.c_void_p]
+    _SHIM[0] = L
+    return L
+
+
+class JpegSystemDecoder(DecoderPlugin):
+    """JPEG last-resort fallback via system libjpeg — catches adversarial
+    or out-of-spec streams the native entropy decoders reject but libjpeg
+    tolerates, giving the JPEG ladder the same opencv-backstopped shape as
+    the reference (extensions/opencv/opencv_ext.cpp:38-44, LOW priority)."""
+
+    codec = "jpeg"
+    plugin_id = "system_libjpeg_decoder"
+    backend_kind = BackendKind.CPU_ONLY
+    priority = Priority.LOW
+
+    def __init__(self):
+        self._L = _sys_shim()
+
+    def can_decode(self, data_batch, info_batch, params) -> List[ProcessingStatus]:
+        out = []
+        for data in data_batch:
+            ok = bytes(data[:2]) == b"\xff\xd8"
+            out.append(
+                ProcessingStatus.SUCCESS
+                if ok
+                else ProcessingStatus.FAIL | ProcessingStatus.CODEC_UNSUPPORTED
+            )
+        return out
+
+    def _decode_one(self, data: bytes) -> np.ndarray:
+        L = self._L
+        buf = ctypes.POINTER(ctypes.c_uint8)()
+        w = ctypes.c_int()
+        h = ctypes.c_int()
+        ch = ctypes.c_int()
+        rc = L.tic_sys_jpeg_decode(data, len(data), ctypes.byref(buf),
+                                   ctypes.byref(w), ctypes.byref(h),
+                                   ctypes.byref(ch))
+        if rc != 0:
+            raise ValueError(f"libjpeg decode failed rc={rc}")
+        try:
+            arr = np.ctypeslib.as_array(
+                buf, (h.value * w.value * ch.value,)).copy()
+        finally:
+            L.tic_sys_free(buf)
+        img = arr.reshape(h.value, w.value, ch.value)
+        if ch.value == 1:
+            return img[..., 0]
+        if ch.value == 4:
+            # CMYK with the Adobe inverted-stored convention: R = C*K/255
+            cmyk = img.astype(np.uint16)
+            return ((cmyk[..., :3] * cmyk[..., 3:4]) // 255).astype(np.uint8)
+        return img
+
+    def decode_batch(self, data_batch, info_batch, params) -> List[DecodeResult]:
+        out = []
+        for data in data_batch:
+            try:
+                out.append(DecodeResult(
+                    ProcessingStatus.SUCCESS, self._decode_one(bytes(data))))
+            except Exception as e:
+                out.append(DecodeResult(
+                    ProcessingStatus.FAIL | ProcessingStatus.IMAGE_CORRUPTED,
+                    error=str(e)))
+        return out
+
+
+class PngSystemDecoder(DecoderPlugin):
+    """PNG last-resort fallback via system libpng's simplified read API.
+    Output layout comes from the parsed IHDR (info_batch), never from
+    pixel content."""
+
+    codec = "png"
+    plugin_id = "system_libpng_decoder"
+    backend_kind = BackendKind.CPU_ONLY
+    priority = Priority.LOW
+
+    def __init__(self):
+        self._L = _sys_shim()
+
+    def can_decode(self, data_batch, info_batch, params) -> List[ProcessingStatus]:
+        out = []
+        for data in data_batch:
+            ok = bytes(data[:8]) == b"\x89PNG\r\n\x1a\n"
+            out.append(
+                ProcessingStatus.SUCCESS
+                if ok
+                else ProcessingStatus.FAIL | ProcessingStatus.CODEC_UNSUPPORTED
+            )
+        return out
+
+    def _decode_one(self, data: bytes, info) -> np.ndarray:
+        L = self._L
+        buf = ctypes.POINTER(ctypes.c_uint8)()
+        w = ctypes.c_int()
+        h = ctypes.c_int()
+        rc = L.tic_sys_png_decode(data, len(data), ctypes.byref(buf),
+                                  ctypes.byref(w), ctypes.byref(h))
+        if rc != 0:
+            raise ValueError(f"libpng decode failed rc={rc}")
+        try:
+            arr = np.ctypeslib.as_array(buf, (h.value * w.value * 4,)).copy()
+        finally:
+            L.tic_sys_free(buf)
+        rgba = arr.reshape(h.value, w.value, 4)
+        # channel layout from the parsed IHDR, not from pixel values
+        nch = getattr(info, "num_planes", None) or 4
+        if nch == 1:
+            return np.ascontiguousarray(rgba[..., 0])
+        if nch == 2:  # gray + alpha
+            return np.ascontiguousarray(rgba[..., (0, 3)])
+        if nch == 3:
+            return np.ascontiguousarray(rgba[..., :3])
+        return rgba
+
+    def decode_batch(self, data_batch, info_batch, params) -> List[DecodeResult]:
+        out = []
+        for data, info in zip(data_batch, info_batch):
+            try:
+                out.append(DecodeResult(
+                    ProcessingStatus.SUCCESS,
+                    self._decode_one(bytes(data), info)))
+            except Exception as e:
+                out.append(DecodeResult(
+                    ProcessingStatus.FAIL | ProcessingStatus.IMAGE_CORRUPTED,
+                    error=str(e)))
+        return out
+
+
 class WebpSystemDecoder(DecoderPlugin):
     """WebP decode via system libwebp (VP8 + VP8L + alpha/animation-less).
 
@@ -234,6 +397,17 @@ class TiffSystemDecoder(DecoderPlugin):
                 L.TIFFGetField(tif, 257, ctypes.byref(h))  # ImageLength
                 if not (w.value and h.value):
                     raise ValueError("libtiff: bad dimensions")
+                # output layout from the TAGS, not from decoded pixel
+                # values — a color TIFF with coincidentally gray pixels
+                # must still come back 3-channel
+                spp = ctypes.c_uint16(0)
+                photo = ctypes.c_uint16(0)
+                xs_n = ctypes.c_uint16(0)
+                xs_p = ctypes.POINTER(ctypes.c_uint16)()
+                L.TIFFGetField(tif, 277, ctypes.byref(spp))    # SamplesPerPixel
+                L.TIFFGetField(tif, 262, ctypes.byref(photo))  # Photometric
+                L.TIFFGetField(tif, 338, ctypes.byref(xs_n),   # ExtraSamples
+                               ctypes.byref(xs_p))
                 raster = np.empty(h.value * w.value, np.uint32)
                 rc = L.TIFFReadRGBAImageOriented(
                     tif, w.value, h.value,
@@ -246,13 +420,18 @@ class TiffSystemDecoder(DecoderPlugin):
         finally:
             os.unlink(path)
         rgba = raster.view(np.uint8).reshape(h.value, w.value, 4)
-        if np.all(rgba[..., 3] == 255):
-            rgb = rgba[..., :3]
-            if (np.array_equal(rgb[..., 0], rgb[..., 1])
-                    and np.array_equal(rgb[..., 1], rgb[..., 2])):
-                return np.ascontiguousarray(rgb[..., 0])
-            return np.ascontiguousarray(rgb)
-        return np.ascontiguousarray(rgba)
+        gray = photo.value in (0, 1)  # min-is-white / min-is-black
+        spp_v = spp.value or (1 if gray else 3)
+        alpha = (xs_n.value > 0
+                 or (gray and spp_v == 2)
+                 or (photo.value == 2 and spp_v == 4))
+        if gray and not alpha:
+            return np.ascontiguousarray(rgba[..., 0])
+        if gray and alpha:
+            return np.ascontiguousarray(rgba[..., (0, 3)])
+        if alpha:
+            return np.ascontiguousarray(rgba)
+        return np.ascontiguousarray(rgba[..., :3])
 
     def decode_batch(self, data_batch, info_batch, params) -> List[DecodeResult]:
         out = []
@@ -286,3 +465,11 @@ def register(registry) -> None:
         registry.codec("tiff").register_decoder(TiffSystemDecoder())
     except Exception:
         pass  # libtiff absent
+    try:
+        registry.codec("jpeg").register_decoder(JpegSystemDecoder())
+    except Exception:
+        pass  # libjpeg absent or shim build failed
+    try:
+        registry.codec("png").register_decoder(PngSystemDecoder())
+    except Exception:
+        pass  # libpng absent or shim build failed

@@ -304,3 +304,60 @@ class TestRound4PathRobustness:
         x = np.linspace(0, 1, 48 * 64 * 3).reshape(48, 64, 3).astype(
             np.float32)
         self._hammer(oracle.tiff_encode_float(x, 8, 3), rng)
+
+
+class TestSystemFallbackRungs:
+    """The JPEG/PNG ladders now have a system-library bottom rung (the
+    reference's opencv-backstop shape, extensions/opencv/opencv_ext.cpp:
+    38-44): a corrupted-but-libjpeg-decodable stream falls through the
+    native decoders and still decodes through the public Decoder."""
+
+    def test_corrupt_jpeg_falls_through_to_system_rung(self):
+        oracle = pytest.importorskip("oracle")
+        from nvimagecodec_tpu.codecs.jpeg import JpegHybridTpuDecoder
+        from nvimagecodec_tpu.codecs.system_codecs import JpegSystemDecoder
+        from nvimagecodec_tpu.core.interfaces import DecodeParams
+
+        img = make_photo(64, 80, seed=1)
+        good = bytearray(oracle.jpeg_encode(img, 85, "420"))
+        sos = bytes(good).find(b"\xff\xda")
+        nat = JpegHybridTpuDecoder()
+        try:
+            shim = JpegSystemDecoder()
+        except ImportError:
+            pytest.skip("no system libjpeg")
+        P = DecodeParams()
+        # find a scan-byte mutation our native entropy decoder rejects but
+        # libjpeg tolerates (warning + resync)
+        mutant = None
+        for pos in range(sos + 14, min(len(good) - 2, sos + 360)):
+            for val in (0x7F, 0xC0):
+                if good[pos] in (val, 0xFF):
+                    continue
+                m = bytes(good[:pos]) + bytes([val]) + bytes(good[pos + 1:])
+                if nat.decode_batch([m], [None], P)[0].array is not None:
+                    continue
+                if shim.decode_batch([m], [None], P)[0].array is not None:
+                    mutant = m
+                    break
+            if mutant:
+                break
+        assert mutant is not None, "no native-reject/libjpeg-accept mutation"
+        out = nic.Decoder().decode(mutant)  # ladder fall-through
+        assert out is not None
+        assert np.asarray(out).shape == (64, 80, 3)
+
+    def test_png_system_rung_registered(self):
+        from nvimagecodec_tpu.codecs.system_codecs import PngSystemDecoder
+        from nvimagecodec_tpu.core.interfaces import DecodeParams
+
+        oracle = pytest.importorskip("oracle")
+        try:
+            p = PngSystemDecoder()
+        except ImportError:
+            pytest.skip("no system libpng")
+        img = make_photo(40, 56, seed=3)
+        png = oracle.png_encode(img)
+        info = nic.CodeStream(png).get_image_info()
+        r = p.decode_batch([png], [info], DecodeParams())[0]
+        assert np.array_equal(r.array, oracle.png_decode(png))
