@@ -637,30 +637,7 @@ def parse_main_header(data: bytes, pos: int):
         cp.ppm = b"".join(b for _z, b in sorted(ppm_segs,
                                                 key=lambda t: t[0]))
     if poc_raw is not None:
-        # T.800 A.6.6: component fields are 1 byte below 257 components
-        wide = siz.ncomp >= 257
-        step = 7 + (2 if wide else 0)
-        cp.poc = []
-        off = 0
-        while off + step <= len(poc_raw):
-            if wide:
-                rs = poc_raw[off]
-                (cs,) = struct.unpack_from(">H", poc_raw, off + 1)
-                (lye,) = struct.unpack_from(">H", poc_raw, off + 3)
-                re_ = poc_raw[off + 5]
-                (ce,) = struct.unpack_from(">H", poc_raw, off + 6)
-                ppoc = poc_raw[off + 8]
-            else:
-                rs, cs = poc_raw[off], poc_raw[off + 1]
-                (lye,) = struct.unpack_from(">H", poc_raw, off + 2)
-                re_, ce, ppoc = (poc_raw[off + 4], poc_raw[off + 5],
-                                 poc_raw[off + 6])
-            if ppoc > 4 or re_ <= rs or ce <= cs or lye == 0:
-                raise ValueError("J2K: invalid POC progression change")
-            cp.poc.append((rs, cs, lye, re_, ce, ppoc))
-            off += step
-        if not cp.poc:
-            raise ValueError("J2K: empty POC marker")
+        cp.poc = parse_poc_body(poc_raw, siz.ncomp)
 
     # resolve per-component COC/QCC overrides (T.800 A.6.2 / A.6.5)
     import dataclasses as _dc
@@ -723,18 +700,51 @@ def parse_main_header(data: bytes, pos: int):
     return siz, cp, pos
 
 
+def parse_poc_body(poc_raw: bytes, ncomp: int):
+    """Decode a POC marker body (T.800 A.6.6) into [(RSpoc, CSpoc, LYEpoc,
+    REpoc, CEpoc, Ppoc)]; component fields are 1 byte below 257
+    components."""
+    wide = ncomp >= 257
+    step = 7 + (2 if wide else 0)
+    out = []
+    off = 0
+    while off + step <= len(poc_raw):
+        if wide:
+            rs = poc_raw[off]
+            (cs,) = struct.unpack_from(">H", poc_raw, off + 1)
+            (lye,) = struct.unpack_from(">H", poc_raw, off + 3)
+            re_ = poc_raw[off + 5]
+            (ce,) = struct.unpack_from(">H", poc_raw, off + 6)
+            ppoc = poc_raw[off + 8]
+        else:
+            rs, cs = poc_raw[off], poc_raw[off + 1]
+            (lye,) = struct.unpack_from(">H", poc_raw, off + 2)
+            re_, ce, ppoc = (poc_raw[off + 4], poc_raw[off + 5],
+                             poc_raw[off + 6])
+        if ppoc > 4 or re_ <= rs or ce <= cs or lye == 0:
+            raise ValueError("J2K: invalid POC progression change")
+        out.append((rs, cs, lye, re_, ce, ppoc))
+        off += step
+    if not out:
+        raise ValueError("J2K: empty POC marker")
+    return out
+
+
 def iter_tile_parts(data: bytes, pos: int, ppm: bytes = None):
-    """Yield (tile_index, tile_data, packed_headers) per tile, with
-    MULTI-TILE-PART streams reassembled: a tile's parts carry consecutive
-    slices of its packet sequence (tile-part boundaries fall on packet
-    boundaries, T.800 A.4.2), so concatenating the SOD payloads in TPsot
-    order restores the full sequence. packed_headers is the tile's PPT
-    (A.7.5) or PPM (A.7.4) header stream, or None. Single-part streams
-    stream through without buffering."""
+    """Yield (tile_index, tile_data, packed_headers, poc_bodies) per tile,
+    with MULTI-TILE-PART streams reassembled: a tile's parts carry
+    consecutive slices of its packet sequence (tile-part boundaries fall on
+    packet boundaries, T.800 A.4.2), so concatenating the SOD payloads in
+    TPsot order restores the full sequence. packed_headers is the tile's
+    PPT (A.7.5) or PPM (A.7.4) header stream, or None. poc_bodies is the
+    concatenated POC marker bodies from the tile-part headers (A.6.6 —
+    overrides the main-header POC for this tile; openjpeg writes POC
+    here), or None. Single-part streams stream through without buffering."""
     n = len(data)
     parts: dict = {}
     ppt_segs: dict = {}
     ppm_hdrs: dict = {}
+    poc_bodies: dict = {}
     ppm_pos = 0
     order: list = []
     multi = False
@@ -759,14 +769,14 @@ def iter_tile_parts(data: bytes, pos: int, ppm: bytes = None):
                 raise ValueError(
                     "J2K: per-tile coding/quantization overrides not supported"
                 )
-            if m in (POC, RGN):
-                # tile-level progression/ROI overrides: reject so the
-                # system-openjpeg rung handles them (main-header POC/RGN
-                # decode natively)
-                raise ValueError(
-                    "J2K: POC/RGN tile-part segments not supported"
-                )
+            if m == RGN:
+                # tile-level ROI overrides: reject so the system-openjpeg
+                # rung handles them (main-header RGN decodes natively)
+                raise ValueError("J2K: RGN tile-part segments not supported")
             ln = struct.unpack_from(">H", data, q + 2)[0]
+            if m == POC:
+                poc_bodies.setdefault(isot, []).append(
+                    (tpsot, data[q + 4:q + 2 + ln]))
             if m == 0xFF61:  # PPT: Zppt + packed packet headers
                 zppt = data[q + 4]
                 ppt_segs.setdefault(isot, []).append(
@@ -800,8 +810,12 @@ def iter_tile_parts(data: bytes, pos: int, ppm: bytes = None):
         elif isot in ppm_hdrs:
             segs = sorted(ppm_hdrs[isot], key=lambda t: t[0])
             ppt = b"".join(sp for _, sp in segs)
+        poc = None
+        if isot in poc_bodies:
+            segs = sorted(poc_bodies[isot], key=lambda t: t[0])
+            poc = b"".join(sp for _, sp in segs)
         yield isot, (plist[0][1] if len(plist) == 1
-                     else b"".join(sp for _, sp in plist)), ppt
+                     else b"".join(sp for _, sp in plist)), ppt, poc
 
 
 def wrap_jp2(codestream: bytes, siz: SizInfo,
@@ -820,7 +834,10 @@ def wrap_jp2(codestream: bytes, siz: SizInfo,
     enum_cs = 18 if colorspace == "sycc" else (16 if siz.ncomp == 3 else 17)
     colr = b"\x01\x00\x00" + struct.pack(">I", enum_cs)
     jp2h = box(b"ihdr", ihdr) + box(b"colr", colr)
-    compat = brand if brand != b"jph " else b"jph jp2 "
+    # jph streams are HT-coded and NOT decodable by a baseline part-1
+    # reader, so the ftyp compatibility list must not advertise "jp2 "
+    # (ISO 15444-15 conformance; was an advisor finding)
+    compat = brand
     return (
         JP2_SIG
         + box(b"ftyp", brand + struct.pack(">I", 0) + compat)

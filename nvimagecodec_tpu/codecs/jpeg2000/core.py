@@ -993,7 +993,16 @@ def decode_j2k(
     )
     tile_stacks = {} if uniform_grid else None
 
-    for tidx, tdata, ppt in iter_tile_parts(cs, pos, ppm=cp.ppm):
+    for tidx, tdata, ppt, tpoc in iter_tile_parts(cs, pos, ppm=cp.ppm):
+        tcp = cp
+        if tpoc is not None:
+            # tile-part POC overrides the main-header POC for this tile
+            # (T.800 A.6.6; openjpeg writes POC in the first tile-part)
+            import dataclasses as _dc
+
+            from .codestream import parse_poc_body
+
+            tcp = _dc.replace(cp, poc=parse_poc_body(tpoc, siz.ncomp))
         tx0, ty0, tx1, ty1 = siz.tile_rect(tidx)
         if roi is not None and (
             tx1 <= roi[1] or tx0 >= roi[3] or ty1 <= roi[0] or ty0 >= roi[2]
@@ -1020,7 +1029,7 @@ def decode_j2k(
 
             br = HeaderBitReader(ppt, 0)   # packed packet headers
             body_pos = _ct.c_int64(0)
-            for l, r, c, p in progression_iter(cp, resolutions, C, tx0,
+            for l, r, c, p in progression_iter(tcp, resolutions, C, tx0,
                                                ty0, sub=sub):
                 if br.pos > len(ppt):
                     raise ValueError("J2K: PPT headers exhausted")
@@ -1028,7 +1037,7 @@ def decode_j2k(
                                  body_pos=body_pos)
         else:
             br = HeaderBitReader(tdata, 0)
-            for l, r, c, p in progression_iter(cp, resolutions, C, tx0,
+            for l, r, c, p in progression_iter(tcp, resolutions, C, tx0,
                                                ty0, sub=sub):
                 if br.pos > len(tdata):
                     raise ValueError("J2K: tile data exhausted mid-packet")

@@ -402,6 +402,12 @@ class PacketEncoder:
                 row = [1 if contributes else 0, npasses, 0, 0, 1, 0, 1]
                 if contributes:
                     segments = e.splits.get(layer, [(seg, npasses)])
+                    # the native meta row holds at most 2 segments; plans
+                    # that could split further (TERMALL/BYPASS) never take
+                    # this writer, but guard so a >2 split can never make
+                    # the native side read past the row
+                    assert len(segments) <= 2, (
+                        f"native packet writer got {len(segments)} segments")
                     row[2] = len(segments)
                     for sgi, (sdat, snp) in enumerate(segments[:2]):
                         row[3 + 2 * sgi] = len(sdat)

@@ -13,14 +13,19 @@ from __future__ import annotations
 import contextlib
 import os
 import sys
+import threading
 import time
 
 
 _PRINT = bool(os.environ.get("TPUIMGCODEC_TRACE"))
 
 # optional in-process accumulation (bench attribution): totals[name] = secs
-# for spans, counters[name] = value for add_count (e.g. H2D bytes)
+# for spans, counters[name] = value for add_count (e.g. H2D bytes).
+# Updated from decode worker/transfer threads concurrently, so all
+# mutations hold _COLLECT_LOCK (lost increments would skew the bench
+# attribution numbers).
 _COLLECT = None
+_COLLECT_LOCK = threading.Lock()
 
 
 def start_collect() -> None:
@@ -40,8 +45,10 @@ def stop_collect() -> dict:
 def add_count(name: str, value) -> None:
     """Accumulate a counter (no-op unless collection is active)."""
     if _COLLECT is not None:
-        c = _COLLECT["counters"]
-        c[name] = c.get(name, 0) + value
+        with _COLLECT_LOCK:
+            if _COLLECT is not None:
+                c = _COLLECT["counters"]
+                c[name] = c.get(name, 0) + value
 
 
 @contextlib.contextmanager
@@ -64,8 +71,11 @@ def span(name: str):
             except Exception:
                 pass
         if _COLLECT is not None and t0:
-            sp = _COLLECT["spans"]
-            sp[name] = sp.get(name, 0.0) + (time.perf_counter() - t0)
+            with _COLLECT_LOCK:
+                if _COLLECT is not None:
+                    sp = _COLLECT["spans"]
+                    sp[name] = sp.get(name, 0.0) + (
+                        time.perf_counter() - t0)
         if _PRINT:
             print(
                 f"[trace] {name}: {(time.perf_counter() - t0) * 1000:.2f} ms",

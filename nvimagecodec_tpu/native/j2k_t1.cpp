@@ -8,8 +8,10 @@
 // reference code used.
 //
 // Coefficients are sign-magnitude int32: bit 31 = sign, bits 30..0 = mag.
-// Default code-block style only (no bypass/reset/termall/causal/segsym);
-// Tier-2 rejects other styles before calling in.
+// All part-1 code-block styles are handled: BYPASS (raw SPP/MRP passes),
+// RESET (per-pass context reset), TERMALL (per-pass termination),
+// CAUSAL (stripe-causal context windows), SEGSYM (D.5 segmentation
+// symbol), ERTERM — see the cblk_style plumbing below and t1_bridge.py.
 
 #include <cstdint>
 #include <cstdlib>

@@ -77,6 +77,13 @@ def _declare(L: ctypes.CDLL) -> None:
         ctypes.POINTER(ctypes.c_uint64),
     ]
     L.tic_opj_encode_mode.restype = ctypes.c_int
+    L.tic_opj_encode_poc.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, i32p, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.POINTER(ctypes.c_uint64),
+    ]
+    L.tic_opj_encode_poc.restype = ctypes.c_int
 
 
 def lib() -> ctypes.CDLL:
@@ -171,6 +178,29 @@ def encode_mode(pix: np.ndarray, mode: int, nlayers: int = 1) -> bytes:
                                ctypes.byref(out), ctypes.byref(n))
     if rc != 0:
         raise ValueError(f"openjpeg mode encode failed rc={rc}")
+    data = ctypes.string_at(out, n.value)
+    ctypes.CDLL(None).free(out)
+    return data
+
+
+def encode_poc(pix: np.ndarray, poc_list, nlayers: int = 2,
+               levels: int = 2) -> bytes:
+    """Lossless-encode with progression-order changes via openjpeg —
+    oracle for our POC packet-order iterator. poc_list: [(RSpoc, CSpoc,
+    LYEpoc, REpoc, CEpoc, Ppoc)] exactly as in the POC marker segment."""
+    L = lib()
+    pix = np.ascontiguousarray(pix, np.uint8)
+    h, w = pix.shape[:2]
+    nc = 1 if pix.ndim == 2 else pix.shape[2]
+    flat = np.array([v for e in poc_list for v in e], np.int32)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    n = ctypes.c_uint64()
+    rc = L.tic_opj_encode_poc(
+        pix.tobytes(), w, h, nc, nlayers, flat.ctypes.data_as(i32p),
+        len(poc_list), levels, ctypes.byref(out), ctypes.byref(n))
+    if rc != 0:
+        raise ValueError(f"openjpeg POC encode failed rc={rc}")
     data = ctypes.string_at(out, n.value)
     ctypes.CDLL(None).free(out)
     return data

@@ -527,6 +527,127 @@ int tic_opj_encode_mode(const uint8_t* pix, int w, int h, int ncomp,
   return 0;
 }
 
+// Lossless encode with progression-order changes (T.800 A.6.6 POC) —
+// oracle for our POC packet-order iterator. Field offsets inside
+// opj_cparameters_t are derived from the same empirically-located
+// [numresolution=6, cblockw_init=64, cblockh_init=64, mode=0] anchor as
+// tic_opj_encode_mode: tcp_numlayers = numresolution - 201 ints back,
+// numpocs immediately precedes it, and POC[32] spans ints [14, numpocs)
+// (stride self-computed and sanity-checked; return 4 on layout drift).
+// Each poc entry: {resno0, compno0, layno1, resno1, compno1, prg}.
+int tic_opj_encode_poc(const uint8_t* pix, int w, int h, int ncomp,
+                       int nlayers, const int32_t* pocs, int npocs,
+                       int levels, uint8_t** out, uint64_t* outlen) {
+  opj_image_cmptparm_t parms[4];
+  memset(parms, 0, sizeof(parms));
+  for (int c = 0; c < ncomp; c++) {
+    parms[c].dx = parms[c].dy = 1;
+    parms[c].w = (uint32_t)w;
+    parms[c].h = (uint32_t)h;
+    parms[c].prec = 8;
+    parms[c].sgnd = 0;
+  }
+  opj_image_t* image = opj_image_create((uint32_t)ncomp, parms,
+                                        ncomp >= 3 ? 1 : 2);
+  if (!image) return 1;
+  image->x0 = 0;
+  image->y0 = 0;
+  image->x1 = (uint32_t)w;
+  image->y1 = (uint32_t)h;
+  for (int c = 0; c < ncomp; c++)
+    for (int64_t i = 0; i < (int64_t)w * h; i++)
+      image->comps[c].data[i] = pix[i * ncomp + c];
+  void* codec = opj_create_compress(0);
+  void* params = calloc(1, 1 << 16);
+  opj_set_default_encoder_parameters(params);
+  {
+    int32_t* p = (int32_t*)params;
+    int found = -1;
+    for (int i = 12; i < (1 << 14) - 4; i++) {
+      if (p[i] == 6 && p[i + 1] == 64 && p[i + 2] == 64 && p[i + 3] == 0) {
+        found = i + 3;
+        break;
+      }
+    }
+    if (found < 0) goto layout_fail;
+    {
+      int nres_idx = found - 3;
+      int nlay_idx = nres_idx - 201;
+      int npocs_idx = nlay_idx - 1;
+      int stride = (npocs_idx - 14) / 32;
+      if (nlay_idx < 16 || (npocs_idx - 14) % 32 != 0 || stride < 30 ||
+          stride > 48 || p[npocs_idx] != 0 ||
+          (p[nlay_idx] != 0 && p[nlay_idx] != 1))
+        goto layout_fail;
+      p[nres_idx] = levels + 1;
+      p[nlay_idx] = nlayers;
+      if (nlayers > 1) {
+        p[5] = 1;  // cp_disto_alloc
+        float* rates = (float*)(p + nlay_idx + 1);
+        for (int l = 0; l < nlayers; l++)
+          rates[l] = (float)(1 << (2 * (nlayers - 1 - l)));
+      }
+      p[npocs_idx] = npocs;
+      for (int k = 0; k < npocs && k < 32; k++) {
+        int32_t* e = p + 14 + k * stride;
+        e[0] = pocs[k * 6 + 0];   // resno0
+        e[1] = pocs[k * 6 + 1];   // compno0
+        e[2] = pocs[k * 6 + 2];   // layno1
+        e[3] = pocs[k * 6 + 3];   // resno1
+        e[4] = pocs[k * 6 + 4];   // compno1
+        e[8] = pocs[k * 6 + 5];   // prg1
+        e[9] = pocs[k * 6 + 5];   // prg (the one the encoder pi uses)
+        e[12] = 1;                // tile, 1-based (0 = entry ignored)
+      }
+    }
+  }
+  if (!opj_setup_encoder(codec, params, image)) {
+    free(params);
+    opj_image_destroy(image);
+    opj_destroy_codec(codec);
+    return 2;
+  }
+  free(params);
+  {
+    GrowBuf gb{nullptr, 0, 0, 0};
+    void* stream = opj_stream_create(1 << 20, 0);
+    opj_stream_set_write_function(stream, gb_write);
+    opj_stream_set_skip_function(stream, gb_skip);
+    opj_stream_set_seek_function(stream, gb_seek);
+    opj_stream_set_user_data(stream, &gb, nullptr);
+    int rc = 0;
+    if (!opj_start_compress(codec, image, stream) ||
+        !opj_encode(codec, stream) || !opj_end_compress(codec, stream))
+      rc = 3;
+    opj_stream_destroy(stream);
+    opj_destroy_codec(codec);
+    opj_image_destroy(image);
+    if (rc) {
+      free(gb.data);
+      return rc;
+    }
+    // guard: the stream must actually carry a POC marker segment
+    bool has_poc = false;
+    for (uint64_t i = 0; i + 2 <= gb.len; i++)
+      if (gb.data[i] == 0xFF && gb.data[i + 1] == 0x5F) {
+        has_poc = true;
+        break;
+      }
+    if (!has_poc) {
+      free(gb.data);
+      return 4;
+    }
+    *out = gb.data;
+    *outlen = gb.len;
+    return 0;
+  }
+layout_fail:
+  free(params);
+  opj_image_destroy(image);
+  opj_destroy_codec(codec);
+  return 4;
+}
+
 // Lossless encode with explicit reference-grid offsets — oracle for the
 // odd image/tile-origin decode path (T.800 B.3/B.4 arbitrary XOsiz/YOsiz/
 // XTOsiz/YTOsiz). Pixels live on grid [ox, ox+w) x [oy, oy+h); tiles are

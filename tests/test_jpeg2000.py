@@ -758,3 +758,126 @@ def test_opj_sycc_jp2_decodes_to_rgb():
     assert out.shape == img.shape
     # 420 chroma + fixed-point YCbCr roundtrip: close to the source RGB
     assert psnr(img, out) > 30.0
+
+
+@pytest.mark.parametrize("poc_list", [
+    # layer 0 of all resolutions in RLCP, then everything in CPRL
+    [(0, 0, 1, 3, 3, 1), (0, 0, 2, 3, 3, 4)],
+    # resolution-incremental: r0 LRCP, then r1.. RPCL (overlapping layers)
+    [(0, 0, 2, 1, 3, 0), (1, 0, 2, 3, 3, 2)],
+    # component-split volumes: comp 0 then comps 1.. (PCRL tail)
+    [(0, 0, 2, 3, 1, 0), (0, 1, 2, 3, 3, 3)],
+    # layer-incremental overlapping volumes (same res/comp span twice)
+    [(0, 0, 1, 3, 3, 0), (0, 0, 2, 3, 3, 2)],
+])
+def test_poc_order_cross_validated_by_openjpeg(poc_list):
+    """progression_iter_poc vs an INDEPENDENT reader: a stream whose
+    packets are ordered by OUR iterator must decode bit-exact in openjpeg,
+    whose pi machinery implements T.800 B.11 separately. Wrong
+    dedup/resumption semantics would land packets in wrong slots and
+    corrupt openjpeg's pixels (advisor finding: the native POC test was
+    validated only against itself). The POC segment goes in the TILE-PART
+    header — where openjpeg itself writes it; its main-header POC decode
+    path applies different (buggy) layer bounds and mis-reads even streams
+    whose tile-part twin it decodes exactly."""
+    import struct as _st
+
+    from nvimagecodec_tpu.codecs.jpeg2000 import t2 as t2m
+    from nvimagecodec_tpu.codecs.jpeg2000.codestream import (
+        build_resolutions,
+        parse_main_header,
+        progression_iter_poc,
+        unwrap_jp2,
+    )
+    from nvimagecodec_tpu.codecs.jpeg2000.core import decode_j2k, encode_j2k
+    from nvimagecodec_tpu.native import opj_bridge
+
+    try:
+        opj_bridge.lib()
+    except Exception:
+        pytest.skip("no system libopenjp2")
+
+    recs = []
+    orig = t2m.PacketEncoder.write_packet
+
+    def rec(self, c, r, p, layer):
+        b = orig(self, c, r, p, layer)
+        recs.append(((layer, r, c, p), len(b)))
+        return b
+
+    t2m.PacketEncoder.write_packet = rec
+    try:
+        img = make_photo(96, 80, seed=6)
+        s = encode_j2k(img, reversible=True, levels=2, stream_type="j2k",
+                       num_layers=2)
+    finally:
+        t2m.PacketEncoder.write_packet = orig
+
+    i = s.find(b"\xff\x90")
+    psot = _st.unpack_from(">I", s, i + 6)[0]
+    sod = s.find(b"\xff\x93", i) + 2
+    tdata = s[sod:i + psot]
+    spans = {}
+    off = 0
+    for key, ln in recs:
+        spans[key] = tdata[off:off + ln]
+        off += ln
+    assert off == len(tdata)
+
+    raw = unwrap_jp2(s)
+    siz, cp, _ = parse_main_header(raw, 0)
+    cp.poc = list(poc_list)
+    resolutions = {c: build_resolutions(0, 0, siz.width, siz.height,
+                                        cp.levels)
+                   for c in range(siz.ncomp)}
+    order = list(progression_iter_poc(cp, resolutions, siz.ncomp, 0, 0))
+    assert sorted(order) == sorted(spans), "iterator dropped/dup packets"
+    new_tdata = b"".join(spans[k] for k in order)
+
+    poc_body = b"".join(
+        bytes([rs, cs]) + _st.pack(">H", lye) + bytes([re_, ce, ppoc])
+        for rs, cs, lye, re_, ce, ppoc in poc_list)
+    poc_seg = b"\xff\x5f" + _st.pack(">H", 2 + len(poc_body)) + poc_body
+    j = raw.find(b"\xff\x90")
+    header = raw[:j]
+    new_psot = 14 + len(poc_seg) + len(new_tdata)
+    isot = _st.unpack_from(">H", raw, j + 4)[0]
+    stream2 = (header
+               + _st.pack(">HHHIBB", 0xFF90, 10, isot, new_psot, 0, 1)
+               + poc_seg + b"\xff\x93" + new_tdata + b"\xff\xd9")
+    # openjpeg is the oracle for the packet ORDER; our own decoder (which
+    # now reads tile-part POC segments too) must agree
+    opix, _prec, _sg = opj_bridge.decode(stream2)
+    assert np.array_equal(opix.astype(np.uint8).squeeze(), img), \
+        "openjpeg mis-decoded our packet order"
+    assert np.array_equal(np.asarray(decode_j2k(stream2)), img)
+
+
+@pytest.mark.parametrize("poc_list", [
+    [(0, 0, 2, 1, 3, 0), (1, 0, 2, 3, 3, 2)],
+    [(0, 0, 2, 3, 1, 0), (0, 1, 2, 3, 3, 3)],
+    [(0, 0, 2, 3, 3, 4)],
+    [(1, 0, 2, 3, 3, 3), (0, 0, 2, 3, 3, 0)],
+])
+def test_openjpeg_encoded_poc_streams_decode(poc_list):
+    """The reverse direction: openjpeg-ENCODED POC streams (POC in the
+    tile-part header, its native placement) decode bit-exact in our
+    decoder. Volumes chosen to fully cover the packet space — openjpeg's
+    encoder drops remainder packets for partial volumes (its own
+    roundtrip fails there), so those can't serve as oracles."""
+    from nvimagecodec_tpu.codecs.jpeg2000.core import decode_j2k
+    from nvimagecodec_tpu.native import opj_bridge
+
+    try:
+        opj_bridge.lib()
+    except Exception:
+        pytest.skip("no system libopenjp2")
+    img = make_photo(96, 80, seed=6)
+    try:
+        s = opj_bridge.encode_poc(img, poc_list, nlayers=2, levels=2)
+    except ValueError:
+        pytest.skip("openjpeg POC oracle unavailable (cparameters layout)")
+    # sanity: openjpeg round-trips its own stream
+    opix, _, _ = opj_bridge.decode(s)
+    assert np.array_equal(opix.astype(np.uint8).squeeze(), img)
+    assert np.array_equal(np.asarray(decode_j2k(s)), img)
