@@ -631,6 +631,21 @@ def encode_j2k(
 _H2D_RATE = [None]
 _H2D_LAT = [None]
 
+_PLANE_POOL = [None]
+_PLANE_POOL_LOCK = __import__("threading").Lock()
+
+
+def _plane_pool() -> ThreadPoolExecutor:
+    """Persistent executor for per-component IDWT fan-out (daemon threads;
+    lives for the process — the tile loop runs at image rate, so per-call
+    executor creation/joins were a measurable fixed cost)."""
+    with _PLANE_POOL_LOCK:
+        if _PLANE_POOL[0] is None:
+            _PLANE_POOL[0] = ThreadPoolExecutor(
+                max_workers=min(4, os.cpu_count() or 1),
+                thread_name_prefix="j2k-plane")
+        return _PLANE_POOL[0]
+
 
 def _h2d_lat_ms() -> float:
     """One-time probe of per-transfer latency (64 KiB device_put). A
@@ -1211,11 +1226,11 @@ def decode_j2k(
             return dwt_ops.idwt2d(LL, bands_f, tdims[c], False,
                                   origin=corigin)
 
-        if all_rev and C > 1:
+        if all_rev and C > 1 and num_threads != 1:
             # the native IDWT releases the GIL: run components in parallel
-            with ThreadPoolExecutor(max_workers=min(C, os.cpu_count() or 1)
-                                    ) as _pool:
-                planes = list(_pool.map(_one_plane, range(C)))
+            # on a PERSISTENT pool (a fresh executor per tile cost ~1-2 ms
+            # in thread start/join churn — measurable at 14 img/s)
+            planes = list(_plane_pool().map(_one_plane, range(C)))
         else:
             planes = [_one_plane(c) for c in range(C)]
 

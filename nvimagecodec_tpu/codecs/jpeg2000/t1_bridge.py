@@ -168,22 +168,27 @@ class BlockBatch:
             # address array is bit-compatible with the int32_t*const* the
             # native side takes (one ctypes cast total, not one per block —
             # the per-block ctypes.cast loop was ~9 ms/image on 777 blocks)
-            seen: dict = {}
+            # dests arrive band-by-band: consecutive entries share the same
+            # array, so an identity check on the previous entry replaces
+            # the id() dict (and list->np.array beats per-element numpy
+            # scalar stores at ~800 blocks/image)
             bases, bstrides = [], []
-            bidx = np.empty(n, np.int64)
-            rows = np.empty(n, np.int64)
-            cols = np.empty(n, np.int64)
-            for i, (arr, r, c) in enumerate(dlist):
-                j = seen.get(id(arr))
-                if j is None:
+            bidx_l, rows_l, cols_l = [], [], []
+            last_arr = None
+            j = -1
+            for (arr, r, c) in dlist:
+                if arr is not last_arr:
                     assert arr.dtype == np.int32 and arr.flags.c_contiguous
                     j = len(bases)
-                    seen[id(arr)] = j
                     bases.append(arr.ctypes.data)
                     bstrides.append(arr.shape[1])
-                bidx[i] = j
-                rows[i] = r
-                cols[i] = c
+                    last_arr = arr
+                bidx_l.append(j)
+                rows_l.append(r)
+                cols_l.append(c)
+            bidx = np.asarray(bidx_l, np.int64)
+            rows = np.asarray(rows_l, np.int64)
+            cols = np.asarray(cols_l, np.int64)
             basea = np.asarray(bases, np.uint64)[bidx]
             strides = np.asarray(bstrides, np.int64)[bidx]
             addrs = basea + ((rows * strides + cols) * 4).astype(np.uint64)

@@ -200,12 +200,18 @@ class PacketDecoder:
                                 zbps.ctypes.data_as(i32p),
                                 npasses.ctypes.data_as(i32p))
             base = self._cb_base[bid]
+            # bulk-convert once: per-element numpy scalar indexing costs
+            # ~10x a list walk at 777 blocks/image
+            incl_l = incl.tolist()
+            zbps_l = zbps.tolist()
+            np_l = npasses.tolist()
+            segs = self._segs
             for i, b in enumerate(blocks):
                 cb = CblkState(*b)
-                cb.included = bool(incl[i])
-                cb.zero_bps = int(zbps[i])
-                cb.num_passes = int(npasses[i])
-                cb.segments = self._segs.get(base + i, [])
+                cb.included = bool(incl_l[i])
+                cb.zero_bps = zbps_l[i]
+                cb.num_passes = np_l[i]
+                cb.segments = segs.get(base + i, [])
                 out.append(cb)
         return out
 

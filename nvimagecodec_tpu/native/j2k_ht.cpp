@@ -22,6 +22,7 @@
 
 #include <cstdint>
 #include <cstring>
+#include <type_traits>
 #include <vector>
 
 namespace {
@@ -492,19 +493,62 @@ namespace {
 #define HT_SEC(i, t0) (void)(t0)
 #endif
 
+// Branch-free UVLC LUTs: the 3-bit prefix chains collapse into one table
+// load (single u: prefix+suffix from the low 8 peeked bits; a quad PAIR's
+// two prefixes from the low 6 bits).
+struct UvlcLut {
+    uint16_t single[256];  // (consumed_len << 8) | u
+    uint16_t pair[64];     // pl | v0<<3 | s0<<6 | v1<<9 | s1<<12
+    uint8_t pfx[8];        // (l << 6) | (v << 3) | s  for one prefix
+};
+
+const UvlcLut& uvlc_lut() {
+    static const UvlcLut L = [] {
+        UvlcLut t{};
+        auto pfx1 = [](uint32_t w, int& l, int& v, int& s) {
+            if (w & 1) { l = 1; v = 1; s = 0; }
+            else if (w & 2) { l = 2; v = 2; s = 0; }
+            else if (w & 4) { l = 3; v = 3; s = 1; }
+            else { l = 3; v = 5; s = 5; }
+        };
+        for (uint32_t b = 0; b < 256; ++b) {
+            int l, v, s;
+            pfx1(b, l, v, s);
+            int u = v + int((b >> l) & ((1u << s) - 1));
+            t.single[b] = uint16_t(((l + s) << 8) | u);
+        }
+        for (uint32_t b = 0; b < 64; ++b) {
+            int l0, v0, s0, l1, v1, s1;
+            pfx1(b, l0, v0, s0);
+            pfx1(b >> l0, l1, v1, s1);
+            t.pair[b] = uint16_t((l0 + l1) | (v0 << 3) | (s0 << 6) |
+                                 (v1 << 9) | (s1 << 12));
+        }
+        for (uint32_t b = 0; b < 8; ++b) {
+            int l, v, s;
+            pfx1(b, l, v, s);
+            t.pfx[b] = uint8_t((l << 6) | (v << 3) | s);
+        }
+        return t;
+    }();
+    return L;
+}
+
 // Cleanup-only decode specialized for the dominant case (lossless HT
 // streams carry a single cleanup pass per block): final signed
 // reconstruction values are written straight into the caller's (zeroed,
 // strided) destination at MagSgn time — no mu/sg/sig planes, no separate
 // reconstruction sweep, no per-block heap traffic (line state lives in
 // thread-local buffers), and the West quad context comes from the previous
-// quad's rho instead of a significance plane.
-int ht_cleanup_decode_fast(const uint8_t* cup, int lcup, int w, int h,
-                           int B, int Ucap, int32_t* out, int64_t stride) {
-    int scup = (int(cup[lcup - 1]) << 4) | (cup[lcup - 2] & 0xF);
-    if (scup < 2 || scup > lcup || scup > 4079) return -4;
-
+// quad's rho instead of a significance plane. The quad-row loop is
+// specialized on INIT (initial row vs context rows: drops the per-quad tbl
+// branches) and SB ("small B": Ucap+B <= 29, reconstruction fits int32 —
+// the common 8/12-bit case drops all 64-bit value math).
+template <bool SB>
+int ht_cleanup_fast_t(const uint8_t* cup, int lcup, int scup, int w, int h,
+                      int B, int Ucap, int32_t* out, int64_t stride) {
     const VlcTables& T = vlc_tables();
+    const UvlcLut& UL = uvlc_lut();
     MelDec mel(cup + lcup - scup, scup);
     RevDec vlc(cup + lcup - scup, scup);
     FwdDec<0xFF> mag(cup, lcup - scup);
@@ -512,6 +556,7 @@ int ht_cleanup_decode_fast(const uint8_t* cup, int lcup, int w, int h,
     const int QW = (w + 1) >> 1, QH = (h + 1) >> 1;
     const int p = B - 1;
     const int64_t half = p > 0 ? int64_t(1) << (p - 1) : 0;
+    const uint32_t half32 = uint32_t(half);
 
     static thread_local std::vector<uint8_t> lines;
     lines.assign(2 * (size_t(w) + 8), 0);
@@ -520,22 +565,26 @@ int ht_cleanup_decode_fast(const uint8_t* cup, int lcup, int w, int h,
     // significance of a bottom-row sample ⟺ its Eline entry is nonzero
     // (exp_of_w(wv) >= 1 whenever written), so there is no separate sig line
 
-    for (int qy = 0; qy < QH; ++qy) {
-        const int tbl = qy == 0 ? 0 : 1;
+    int rc = 0;
+    auto run_row = [&](auto init_tag, int qy) -> int {
+        constexpr bool INIT = decltype(init_tag)::value;
+        constexpr int tbl = INIT ? 0 : 1;
         const int y0 = 2 * qy;
         int c_q = 0;
         int prevrho = 0;  // rho of the quad to the West (this quad row)
         std::memset(nEline, 0, size_t(w) + 8);
+        int32_t* const orow0 = out + int64_t(y0) * stride;
+        int32_t* const orow1 = orow0 + stride;
+        const int vbase = 1 | ((y0 + 1 < h) ? 2 : 0);
         for (int qx0 = 0; qx0 < QW; qx0 += 2) {
             unsigned long long t_vlc = HT_TSC();
             int rho[2] = {0, 0}, uoff[2] = {0, 0}, e1[2] = {0, 0},
                 ek[2] = {0, 0}, kap[2] = {1, 1};
-            int npair = (qx0 + 1 < QW) ? 2 : 1;
+            const int npair = (qx0 + 1 < QW) ? 2 : 1;
             for (int j = 0; j < npair; ++j) {
-                int qx = qx0 + j;
-                int x0 = 2 * qx;
+                const int x0 = 2 * (qx0 + j);
                 uint32_t ew = 0;
-                if (tbl == 1) {
+                if (!INIT) {
                     std::memcpy(&ew, Eline + x0, 4);  // NW,N0,N1,NE exps
                     int sW = ((prevrho & 0xC) != 0) ? 1 : 0;
                     c_q = ((ew & 0xFFFFu) ? 1 : 0) | (sW << 1) |
@@ -553,7 +602,7 @@ int ht_cleanup_decode_fast(const uint8_t* cup, int lcup, int w, int h,
                     e1[j] = e.e1;
                     ek[j] = e.ek;
                 }
-                if (tbl == 1) {
+                if (!INIT) {
                     int emax = int(ew & 0xFF);
                     int e1b = int((ew >> 8) & 0xFF);
                     int e2b = int((ew >> 16) & 0xFF);
@@ -567,33 +616,31 @@ int ht_cleanup_decode_fast(const uint8_t* cup, int lcup, int w, int h,
                 }
                 // reject rho bits addressing outside the block (partial
                 // right/bottom quads)
-                int vmask = 1 | ((y0 + 1 < h) ? 2 : 0) |
-                            ((x0 + 1 < w) ? 4 : 0) |
-                            ((x0 + 1 < w && y0 + 1 < h) ? 8 : 0);
+                int vmask = vbase | ((x0 + 1 < w) ? (4 | (vbase & 2) << 2)
+                                                  : 0);
                 if (rho[j] & ~vmask) return -6;
                 prevrho = rho[j];
-                if (tbl == 0) {  // eqn 1: next quad's context, initial row
-                    c_q = ((rho[j] & 3) ? 1 : 0) | (((rho[j] >> 2) & 1) << 1) |
-                          (((rho[j] >> 3) & 1) << 2);
+                if (INIT) {  // eqn 1: next quad's context, initial row
+                    c_q = ((rho[j] & 3) ? 1 : 0) | (((rho[j] >> 2) & 1) << 1)
+                          | (((rho[j] >> 3) & 1) << 2);
                 }
             }
             HT_SEC(0, t_vlc);
             unsigned long long t_uvlc = HT_TSC();
-            // ---- UVLC (same rules as the general path, fused readers)
+            // ---- UVLC (same rules as the general path, LUT readers)
             int U[2] = {kap[0], kap[1]};
             int mode = uoff[0] | (uoff[1] << 1);
-            if (tbl == 0) {
+            if (INIT) {
                 if (mode == 3) mode += mel.event();
                 if (mode == 1 || mode == 2) {
-                    U[mode - 1] = 1 + uvlc_read_u(vlc);
+                    uint16_t sg = UL.single[vlc.peek() & 0xFF];
+                    vlc.advance(sg >> 8);
+                    U[mode - 1] = 1 + int(sg & 0xFF);
                 } else if (mode == 3) {
                     // special initial-row order: prefix0, u1 bit, suffix0
                     uint32_t w0 = vlc.peek();
-                    int l0, v0, s0;
-                    if (w0 & 1) { l0 = 1; v0 = 1; s0 = 0; }
-                    else if (w0 & 2) { l0 = 2; v0 = 2; s0 = 0; }
-                    else if (w0 & 4) { l0 = 3; v0 = 3; s0 = 1; }
-                    else { l0 = 3; v0 = 5; s0 = 5; }
+                    uint8_t pe = UL.pfx[w0 & 7];
+                    int l0 = pe >> 6, v0 = (pe >> 3) & 7, s0 = pe & 7;
                     if (v0 >= 3) {
                         int u1 = int((w0 >> l0) & 1) + 1;
                         U[0] = 1 + v0 +
@@ -602,23 +649,34 @@ int ht_cleanup_decode_fast(const uint8_t* cup, int lcup, int w, int h,
                         vlc.advance(l0 + 1 + s0);
                     } else {
                         U[0] = 1 + v0;
-                        vlc.advance(l0);
-                        U[1] = 1 + uvlc_read_u(vlc);
+                        uint16_t sg = UL.single[(vlc.peek() >> l0) & 0xFF];
+                        vlc.advance(l0 + (sg >> 8));
+                        U[1] = 1 + int(sg & 0xFF);
                     }
                 } else if (mode == 4) {
-                    int u0, u1;
-                    uvlc_read_pair(vlc, u0, u1);
-                    U[0] = 1 + 2 + u0;
-                    U[1] = 1 + 2 + u1;
+                    uint32_t w0 = vlc.peek();
+                    uint16_t pe = UL.pair[w0 & 63];
+                    int pl = pe & 7, v0 = (pe >> 3) & 7, s0 = (pe >> 6) & 7;
+                    int v1 = (pe >> 9) & 7, s1 = (pe >> 12) & 7;
+                    uint32_t sfx = w0 >> pl;
+                    U[0] = 3 + v0 + int(sfx & ((1u << s0) - 1));
+                    U[1] = 3 + v1 + int((sfx >> s0) & ((1u << s1) - 1));
+                    vlc.advance(pl + s0 + s1);
                 }
             } else {
                 if (mode == 1 || mode == 2) {
-                    U[mode - 1] = kap[mode - 1] + uvlc_read_u(vlc);
+                    uint16_t sg = UL.single[vlc.peek() & 0xFF];
+                    vlc.advance(sg >> 8);
+                    U[mode - 1] = kap[mode - 1] + int(sg & 0xFF);
                 } else if (mode == 3) {
-                    int u0, u1;
-                    uvlc_read_pair(vlc, u0, u1);
-                    U[0] = kap[0] + u0;
-                    U[1] = kap[1] + u1;
+                    uint32_t w0 = vlc.peek();
+                    uint16_t pe = UL.pair[w0 & 63];
+                    int pl = pe & 7, v0 = (pe >> 3) & 7, s0 = (pe >> 6) & 7;
+                    int v1 = (pe >> 9) & 7, s1 = (pe >> 12) & 7;
+                    uint32_t sfx = w0 >> pl;
+                    U[0] = kap[0] + v0 + int(sfx & ((1u << s0) - 1));
+                    U[1] = kap[1] + v1 + int((sfx >> s0) & ((1u << s1) - 1));
+                    vlc.advance(pl + s0 + s1);
                 }
             }
             if (U[0] > Ucap || U[1] > Ucap) return -7;
@@ -628,21 +686,19 @@ int ht_cleanup_decode_fast(const uint8_t* cup, int lcup, int w, int h,
             // 64-bit window (one fill + four shift/mask extracts) instead of
             // four guarded bit-reader calls; final values go straight to the
             // destination rows
-            int32_t* orow0 = out + int64_t(y0) * stride;
-            int32_t* orow1 = orow0 + stride;
             for (int j = 0; j < npair; ++j) {
-                int r = rho[j];
+                const int r = rho[j];
                 if (!r) continue;
-                int x0 = 2 * (qx0 + j);
+                const int x0 = 2 * (qx0 + j);
                 const int Uj = U[j], ekj = ek[j], e1j = e1[j];
-                int k0 = ekj & 1, k1 = (ekj >> 1) & 1, k2 = (ekj >> 2) & 1,
-                    k3 = (ekj >> 3) & 1;
-                int m0 = (r & 1) ? Uj - k0 : 0;
-                int m1 = (r & 2) ? Uj - k1 : 0;
-                int m2 = (r & 4) ? Uj - k2 : 0;
-                int m3 = (r & 8) ? Uj - k3 : 0;
-                int p1 = m0, p2 = m0 + m1, p3 = m0 + m1 + m2;
-                int total = p3 + m3;
+                const int k0 = ekj & 1, k1 = (ekj >> 1) & 1,
+                          k2 = (ekj >> 2) & 1, k3 = (ekj >> 3) & 1;
+                const int m0 = (r & 1) ? Uj - k0 : 0;
+                const int m1 = (r & 2) ? Uj - k1 : 0;
+                const int m2 = (r & 4) ? Uj - k2 : 0;
+                const int m3 = (r & 8) ? Uj - k3 : 0;
+                const int p1 = m0, p2 = m0 + m1, p3 = m0 + m1 + m2;
+                const int total = p3 + m3;
                 uint32_t w0, w1, w2, w3;
                 if (total <= 56) {
                     if (mag.bits < total) mag.fill();
@@ -661,37 +717,74 @@ int ht_cleanup_decode_fast(const uint8_t* cup, int lcup, int w, int h,
                     w2 = m2 ? mag.get(m2) : 0;
                     w3 = m3 ? mag.get(m3) : 0;
                 }
-                if (r & 1) {
-                    uint32_t wv = w0 | ((k0 & (e1j & 1)) ? 1u << m0 : 0u);
+                auto val = [&](uint32_t wv) -> int32_t {
+                    if (SB) {
+                        uint32_t v = (((wv >> 1) + 1) << p) + half32;
+                        return (wv & 1) ? -int32_t(v) : int32_t(v);
+                    }
                     int64_t v = ((int64_t(wv >> 1) + 1) << p) + half;
-                    orow0[x0] = (wv & 1) ? int32_t(-v) : int32_t(v);
+                    return (wv & 1) ? int32_t(-v) : int32_t(v);
+                };
+                if (r == 15) {  // all-significant quad (the busy-image
+                                // common case): straight-line, no per-bit
+                                // branches
+                    uint32_t v0 = w0 | ((k0 & (e1j & 1)) ? 1u << m0 : 0u);
+                    uint32_t v1 = w1 | ((k1 & ((e1j >> 1) & 1)) ? 1u << m1
+                                                               : 0u);
+                    uint32_t v2 = w2 | ((k2 & ((e1j >> 2) & 1)) ? 1u << m2
+                                                               : 0u);
+                    uint32_t v3 = w3 | ((k3 & ((e1j >> 3) & 1)) ? 1u << m3
+                                                               : 0u);
+                    orow0[x0] = val(v0);
+                    orow0[x0 + 1] = val(v2);
+                    orow1[x0] = val(v1);
+                    orow1[x0 + 1] = val(v3);
+                    nEline[x0 + 1] = uint8_t(exp_of_w(v1));
+                    nEline[x0 + 2] = uint8_t(exp_of_w(v3));
+                    continue;
                 }
+                if (r & 1)
+                    orow0[x0] = val(w0 | ((k0 & (e1j & 1)) ? 1u << m0 : 0u));
                 if (r & 2) {
                     uint32_t wv = w1 | ((k1 & ((e1j >> 1) & 1)) ? 1u << m1
                                                                : 0u);
-                    int64_t v = ((int64_t(wv >> 1) + 1) << p) + half;
-                    orow1[x0] = (wv & 1) ? int32_t(-v) : int32_t(v);
+                    orow1[x0] = val(wv);
                     nEline[x0 + 1] = uint8_t(exp_of_w(wv));
                 }
-                if (r & 4) {
-                    uint32_t wv = w2 | ((k2 & ((e1j >> 2) & 1)) ? 1u << m2
-                                                               : 0u);
-                    int64_t v = ((int64_t(wv >> 1) + 1) << p) + half;
-                    orow0[x0 + 1] = (wv & 1) ? int32_t(-v) : int32_t(v);
-                }
+                if (r & 4)
+                    orow0[x0 + 1] =
+                        val(w2 | ((k2 & ((e1j >> 2) & 1)) ? 1u << m2 : 0u));
                 if (r & 8) {
                     uint32_t wv = w3 | ((k3 & ((e1j >> 3) & 1)) ? 1u << m3
                                                                : 0u);
-                    int64_t v = ((int64_t(wv >> 1) + 1) << p) + half;
-                    orow1[x0 + 1] = (wv & 1) ? int32_t(-v) : int32_t(v);
+                    orow1[x0 + 1] = val(wv);
                     nEline[x0 + 2] = uint8_t(exp_of_w(wv));
                 }
             }
             HT_SEC(2, t_ms);
         }
+        return 0;
+    };
+
+    for (int qy = 0; qy < QH; ++qy) {
+        rc = qy == 0
+                 ? run_row(std::integral_constant<bool, true>{}, qy)
+                 : run_row(std::integral_constant<bool, false>{}, qy);
+        if (rc) return rc;
         std::swap(Eline, nEline);
     }
     return 0;
+}
+
+int ht_cleanup_decode_fast(const uint8_t* cup, int lcup, int w, int h,
+                           int B, int Ucap, int32_t* out, int64_t stride) {
+    int scup = (int(cup[lcup - 1]) << 4) | (cup[lcup - 2] & 0xF);
+    if (scup < 2 || scup > lcup || scup > 4079) return -4;
+    if (Ucap + B <= 29)
+        return ht_cleanup_fast_t<true>(cup, lcup, scup, w, h, B, Ucap, out,
+                                       stride);
+    return ht_cleanup_fast_t<false>(cup, lcup, scup, w, h, B, Ucap, out,
+                                    stride);
 }
 
 }  // namespace

@@ -21,92 +21,63 @@ namespace {
 static inline int nlow(int n, int p) { return p ? n / 2 : (n + 1) / 2; }
 
 // 1D inverse 5/3 on one row: L[nl], H[nh] -> out[n], segment start parity p.
+// Interior loops are contiguous and branch-free (boundary clamps peeled)
+// so the compiler vectorizes them; the interleaved final store is a
+// stride-2 pattern gcc emits shuffled vector stores for.
 static void inv53_row(const int32_t* L, const int32_t* H, int32_t* out,
                       int n, int p) {
     if (n <= 0) return;  // odd-origin length-1 parents have empty children
     int nl = nlow(n, p), nh = n - nl;
     if (nh == 0) { out[0] = L[0]; return; }
     if (nl == 0) { out[0] = H[0] >> 1; return; }
-    // low (abs-even) samples first, into their interleaved slots
+    static thread_local std::vector<int32_t> scratch;
+    if (int(scratch.size()) < n + 2) scratch.resize(n + 2);
+    int32_t* e = scratch.data();       // low-band lifted values
+    int32_t* o = e + nl + 1;           // high-band lifted values
     if (!p) {
         // even[k] = L[k] - ((H[k-1] + H[k] + 2) >> 2), clamp both ends
-        for (int k = 0; k < nl; k++) {
-            int32_t hl = H[k > 0 ? k - 1 : 0];
-            int32_t hc = H[k < nh ? k : nh - 1];
-            out[2 * k] = L[k] - ((hl + hc + 2) >> 2);
-        }
+        e[0] = L[0] - ((2 * H[0] + 2) >> 2);
+        const int ke = nl < nh ? nl : nh;  // ks.t. k-1 and k in range
+        for (int k = 1; k < ke; k++)
+            e[k] = L[k] - ((H[k - 1] + H[k] + 2) >> 2);
+        for (int k = ke > 1 ? ke : 1; k < nl; k++)  // nh < k < nl tail
+            e[k] = L[k] - ((2 * H[nh - 1] + 2) >> 2);
         // odd[k] = H[k] + ((even[k] + even[k+1]) >> 1)
-        for (int k = 0; k < nh; k++) {
-            int32_t el = out[2 * k];
-            int32_t er = out[2 * k + 2 <= 2 * (nl - 1) ? 2 * k + 2
-                                                       : 2 * (nl - 1)];
-            out[2 * k + 1] = H[k] + ((el + er) >> 1);
+        for (int k = 0; k < nh - 1; k++)
+            o[k] = H[k] + ((e[k] + e[k + 1]) >> 1);
+        {
+            int k = nh - 1;
+            int32_t er = e[k + 1 < nl ? k + 1 : nl - 1];
+            o[k] = H[k] + ((e[k] + er) >> 1);
         }
+        const int np_ = nl < nh ? nl : nh;
+        for (int k = 0; k < np_; k++) {
+            out[2 * k] = e[k];
+            out[2 * k + 1] = o[k];
+        }
+        if (nl > nh) out[2 * nl - 2] = e[nl - 1];
     } else {
         // low at local odd slots: low[k] = L[k] - ((H[k] + H[k+1] + 2) >> 2)
-        for (int k = 0; k < nl; k++) {
-            int32_t hc = H[k];
-            int32_t hr = H[k + 1 < nh ? k + 1 : nh - 1];
-            out[2 * k + 1] = L[k] - ((hc + hr + 2) >> 2);
-        }
+        const int ke = nl < nh - 1 ? nl : nh - 1;
+        for (int k = 0; k < ke; k++)
+            e[k] = L[k] - ((H[k] + H[k + 1] + 2) >> 2);
+        for (int k = ke > 0 ? ke : 0; k < nl; k++)
+            e[k] = L[k] - ((2 * H[nh - 1] + 2) >> 2);
         // high at local even: high[k] = H[k] + ((low[k-1] + low[k]) >> 1)
-        for (int k = 0; k < nh; k++) {
-            int32_t ll = out[k > 0 ? 2 * k - 1 : 1];
-            int32_t lc = out[2 * k + 1 <= 2 * (nl - 1) + 1 ? 2 * k + 1
-                                                           : 2 * nl - 1];
-            out[2 * k] = H[k] + ((ll + lc) >> 1);
+        o[0] = H[0] + ((e[0] + e[0]) >> 1);
+        const int kh = nh < nl + 1 ? nh : nl + 1;
+        for (int k = 1; k < kh; k++) {
+            int32_t lc = e[k < nl ? k : nl - 1];
+            o[k] = H[k] + ((e[k - 1] + lc) >> 1);
         }
-    }
-}
-
-// vertical inverse 5/3 across rows, vectorized along the row (width w):
-// Ly [hl x w], Hy [hh x w] -> out [n x w], start parity p.
-static void inv53_cols(const int32_t* Ly, const int32_t* Hy, int32_t* out,
-                       int n, int w, int p) {
-    if (n <= 0 || w <= 0) return;
-    int nl = nlow(n, p), nh = n - nl;
-    if (nh == 0) { memcpy(out, Ly, sizeof(int32_t) * w); return; }
-    if (nl == 0) {
-        for (int x = 0; x < w; x++) out[x] = Hy[x] >> 1;
-        return;
-    }
-    auto orow = [&](int r) { return out + size_t(r) * w; };
-    auto lrow = [&](int k) { return Ly + size_t(k) * w; };
-    auto hrow = [&](int k) { return Hy + size_t(k) * w; };
-    if (!p) {
-        for (int k = 0; k < nl; k++) {
-            const int32_t* hl = hrow(k > 0 ? k - 1 : 0);
-            const int32_t* hc = hrow(k < nh ? k : nh - 1);
-            const int32_t* l = lrow(k);
-            int32_t* o = orow(2 * k);
-            for (int x = 0; x < w; x++)
-                o[x] = l[x] - ((hl[x] + hc[x] + 2) >> 2);
+        for (int k = kh; k < nh; k++)
+            o[k] = H[k] + ((e[nl - 1] + e[nl - 1]) >> 1);
+        const int np_ = nl < nh ? nl : nh;
+        for (int k = 0; k < np_; k++) {
+            out[2 * k] = o[k];
+            out[2 * k + 1] = e[k];
         }
-        for (int k = 0; k < nh; k++) {
-            const int32_t* el = orow(2 * k);
-            const int32_t* er = orow(k + 1 < nl ? 2 * k + 2 : 2 * (nl - 1));
-            const int32_t* h = hrow(k);
-            int32_t* o = orow(2 * k + 1);
-            for (int x = 0; x < w; x++)
-                o[x] = h[x] + ((el[x] + er[x]) >> 1);
-        }
-    } else {
-        for (int k = 0; k < nl; k++) {
-            const int32_t* hc = hrow(k);
-            const int32_t* hr = hrow(k + 1 < nh ? k + 1 : nh - 1);
-            const int32_t* l = lrow(k);
-            int32_t* o = orow(2 * k + 1);
-            for (int x = 0; x < w; x++)
-                o[x] = l[x] - ((hc[x] + hr[x] + 2) >> 2);
-        }
-        for (int k = 0; k < nh; k++) {
-            const int32_t* ll = orow(k > 0 ? 2 * k - 1 : 1);
-            const int32_t* lc = orow(k < nl ? 2 * k + 1 : 2 * nl - 1);
-            const int32_t* h = hrow(k);
-            int32_t* o = orow(2 * k);
-            for (int x = 0; x < w; x++)
-                o[x] = h[x] + ((ll[x] + lc[x]) >> 1);
-        }
+        if (nh > nl) out[2 * nh - 2] = o[nh - 1];
     }
 }
 
@@ -139,25 +110,17 @@ int tic_idwt53(const int32_t* LL, const int32_t* const* bands, int levels,
         px[s] = xx0 & 1;
     }
     std::vector<int32_t> cur(LL, LL + size_t(hs[levels]) * ws[levels]);
-    std::vector<int32_t> Ly, Hy, nxt, rowbuf;
+    std::vector<int32_t> nxt, ring;
     for (int lev = levels - 1; lev >= 0; lev--) {
         int h = hs[lev], w = ws[lev];
         int hl = nlow(h, py[lev]);
         int hh = h - hl;
         int wl = nlow(w, px[lev]);
         int wh = w - wl;
+        const int px_ = px[lev];
         const int32_t* HL = bands[3 * lev + 0];
         const int32_t* LH = bands[3 * lev + 1];
         const int32_t* HH = bands[3 * lev + 2];
-        Ly.resize(size_t(hl) * w);
-        Hy.resize(size_t(hh) * w);
-        // horizontal synth row-by-row
-        for (int r = 0; r < hl; r++)
-            inv53_row(cur.data() + size_t(r) * wl, HL + size_t(r) * wh,
-                      Ly.data() + size_t(r) * w, w, px[lev]);
-        for (int r = 0; r < hh; r++)
-            inv53_row(LH + size_t(r) * wl, HH + size_t(r) * wh,
-                      Hy.data() + size_t(r) * w, w, px[lev]);
         int32_t* dst;
         if (lev == 0) {
             dst = out;
@@ -165,7 +128,83 @@ int tic_idwt53(const int32_t* LL, const int32_t* const* bands, int levels,
             nxt.resize(size_t(h) * w);
             dst = nxt.data();
         }
-        inv53_cols(Ly.data(), Hy.data(), dst, h, w, py[lev]);
+        // STREAMING vertical synthesis fused with on-demand horizontal
+        // rows: the full-plane Ly/Hy intermediates (2 extra sweeps of
+        // main-memory traffic per level) are replaced by a 3-row ring —
+        // each horizontal row is produced right before the vertical
+        // lifting consumes it, and even (E) rows are read back from dst
+        // while still cache-hot. Bit-identical operation order.
+        ring.resize(3 * size_t(w));
+        int32_t* rowL = ring.data();
+        int32_t* Hp = rowL + w;   // H row k (prev/current)
+        int32_t* Hn = Hp + w;     // H row k+1 (lookahead, p==1 only)
+        auto synthL = [&](int k, int32_t* o) {
+            inv53_row(cur.data() + size_t(k) * wl, HL + size_t(k) * wh, o,
+                      w, px_);
+        };
+        auto synthH = [&](int k, int32_t* o) {
+            inv53_row(LH + size_t(k) * wl, HH + size_t(k) * wh, o, w, px_);
+        };
+        if (hh == 0) {            // single L row (h == 1, even parity)
+            for (int k = 0; k < hl; k++) synthL(k, dst + size_t(k) * w);
+        } else if (hl == 0) {     // single H row (h == 1, odd parity)
+            synthH(0, Hp);
+            for (int x = 0; x < w; x++) dst[x] = Hp[x] >> 1;
+        } else if (!py[lev]) {
+            synthH(0, Hp);
+            synthL(0, rowL);
+            int32_t* Eprev = dst;  // E_0 at dst row 0
+            for (int x = 0; x < w; x++)
+                Eprev[x] = rowL[x] - ((2 * Hp[x] + 2) >> 2);
+            for (int k = 1; k < hl; k++) {
+                int32_t* Hk = Hp;
+                if (k < hh) {
+                    synthH(k, Hn);
+                    Hk = Hn;
+                }  // else clamp: H_k := H_{hh-1} (== Hp)
+                synthL(k, rowL);
+                int32_t* Ek = dst + size_t(2 * k) * w;
+                for (int x = 0; x < w; x++)
+                    Ek[x] = rowL[x] - ((Hp[x] + Hk[x] + 2) >> 2);
+                int32_t* O = dst + size_t(2 * k - 1) * w;  // O_{k-1}
+                for (int x = 0; x < w; x++)
+                    O[x] = Hp[x] + ((Eprev[x] + Ek[x]) >> 1);
+                if (k < hh) std::swap(Hp, Hn);
+                Eprev = Ek;
+            }
+            if (hh == hl) {  // O_{hh-1}: er clamps to E_{hl-1}
+                int32_t* O = dst + size_t(2 * hh - 1) * w;
+                for (int x = 0; x < w; x++)
+                    O[x] = Hp[x] + ((Eprev[x] + Eprev[x]) >> 1);
+            }
+        } else {
+            // odd start parity: low rows at local odd slots, E_k needs a
+            // one-row H lookahead
+            synthH(0, Hp);
+            int32_t* Eprev = nullptr;
+            for (int k = 0; k < hl; k++) {
+                int32_t* Hnx = Hp;
+                if (k + 1 < hh) {
+                    synthH(k + 1, Hn);
+                    Hnx = Hn;
+                }  // else clamp: H_{k+1} := H_{hh-1}
+                synthL(k, rowL);
+                int32_t* Ek = dst + size_t(2 * k + 1) * w;
+                for (int x = 0; x < w; x++)
+                    Ek[x] = rowL[x] - ((Hp[x] + Hnx[x] + 2) >> 2);
+                int32_t* O = dst + size_t(2 * k) * w;  // O_k (ll: E_{k-1})
+                const int32_t* ll = Eprev ? Eprev : Ek;
+                for (int x = 0; x < w; x++)
+                    O[x] = Hp[x] + ((ll[x] + Ek[x]) >> 1);
+                if (k + 1 < hh) std::swap(Hp, Hn);
+                Eprev = Ek;
+            }
+            if (hh > hl) {  // trailing high row O_{hl}: both clamps E_{hl-1}
+                int32_t* O = dst + size_t(2 * hl) * w;
+                for (int x = 0; x < w; x++)
+                    O[x] = Hp[x] + ((Eprev[x] + Eprev[x]) >> 1);
+            }
+        }
         if (lev != 0) cur.swap(nxt);
     }
     return 0;
