@@ -437,9 +437,12 @@ def encode_j2k(
                         np.int32
                     )
                 else:
-                    arr = arr.astype(np.int32)
+                    # fdwt53 already yields int32 — avoid a full-band copy
+                    arr = np.asarray(arr, np.int32)
                 arrays[(c, r, bi)] = arr
-                m = int(np.abs(arr).max()) if arr.size else 0
+                # max |v| without materializing a |band| temp
+                m = (max(int(arr.max()), -int(arr.min()))
+                     if arr.size else 0)
                 max_nbps[(r, bi)] = max(max_nbps[(r, bi)], m.bit_length())
         tile_banddata.append((res_by_c, arrays))
 

@@ -257,8 +257,9 @@ class EncodeBatch:
         self.ht = ht
         self.ht_passes = ht_passes
         self._seg = False  # any block coded with TERMALL/BYPASS (0x05)
-        self._coef_chunks: list = []
-        self._coef_elems = 0
+        self._refs: list = []     # keeps block views (and bases) alive
+        self._addrs: list = []
+        self._strides: list = []  # row stride in ELEMENTS per block
         self._meta: list = []
         self._outs: list = []
         self._out_bytes = 0
@@ -270,20 +271,24 @@ class EncodeBatch:
         if self.ht and not blk.any():
             self._results.append((key, -1, 0, 0))
             return
-        blk = np.ascontiguousarray(blk, np.int32)
-        off = self._coef_elems
-        self._coef_chunks.append(blk.ravel())
-        self._coef_elems += w * h
+        # address-based: the native batch reads the strided block straight
+        # out of the band array (rows memcpy'd in C), so no per-block
+        # numpy copy/ravel/concatenate happens here
+        if blk.dtype != np.int32 or blk.strides[1] != 4:
+            blk = np.ascontiguousarray(blk, np.int32)
+        self._refs.append(blk)
+        self._addrs.append(blk.ctypes.data)
+        self._strides.append(blk.strides[0] // 4)
         cap = w * h * 8 + 4096 if self.ht else w * h * 6 + 1024
         oo = self._out_bytes
         self._out_bytes += cap
         if self.ht:
-            self._meta += [off, w, h, self.ht_passes]
+            self._meta += [w, h, self.ht_passes, 0]
         else:
             if style & 0x05:
                 self._seg = True
-            self._meta += [off, w, h,
-                           band_btype | (min_bps << 8) | (style << 16)]
+            self._meta += [w, h,
+                           band_btype | (min_bps << 8) | (style << 16), 0]
         idx = len(self._outs) // 2
         self._outs += [oo, cap]
         self._results.append((key, idx, oo, cap))
@@ -300,34 +305,31 @@ class EncodeBatch:
         segres = (np.zeros(113 * n, np.int32)
                   if (self._seg and not self.ht and n) else None)
         if n:
-            coefs = np.concatenate(self._coef_chunks)
+            srcs = np.asarray(self._addrs, np.uint64)
+            sstrides = np.asarray(self._strides, np.int64)
             meta = np.asarray(self._meta, np.int64)
             outs = np.asarray(self._outs, np.int64)
             i32p = ctypes.POINTER(ctypes.c_int32)
+            i64p = ctypes.POINTER(ctypes.c_int64)
+            srcp = srcs.ctypes.data_as(ctypes.POINTER(i32p))
             with _ThreadBudget() as fair:
                 nt = nthreads if nthreads > 0 else fair
                 if self.ht:
-                    rc = L.tic_ht_encode_batch(
-                        n, coefs.ctypes.data_as(i32p),
-                        meta.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                    rc = L.tic_ht_encode_batch_addr(
+                        n, srcp, sstrides.ctypes.data_as(i64p),
+                        meta.ctypes.data_as(i64p),
                         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-                        outs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                        outs.ctypes.data_as(i64p),
                         res.ctypes.data_as(i32p), nt)
-                elif segres is not None:
-                    rc = L.tic_t1_encode_batch_seg(
-                        n, coefs.ctypes.data_as(i32p),
-                        meta.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-                        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-                        outs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-                        res.ctypes.data_as(i32p),
-                        segres.ctypes.data_as(i32p), nt)
                 else:
-                    rc = L.tic_t1_encode_batch(
-                        n, coefs.ctypes.data_as(i32p),
-                        meta.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                    rc = L.tic_t1_encode_batch_addr(
+                        n, srcp, sstrides.ctypes.data_as(i64p),
+                        meta.ctypes.data_as(i64p),
                         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-                        outs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-                        res.ctypes.data_as(i32p), nt)
+                        outs.ctypes.data_as(i64p),
+                        res.ctypes.data_as(i32p),
+                        segres.ctypes.data_as(i32p) if segres is not None
+                        else None, nt)
             if rc != 0:
                 raise ValueError(f"J2K block encode failed rc={rc}")
         for (key, idx, oo, cap) in self._results:

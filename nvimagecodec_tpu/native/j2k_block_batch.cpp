@@ -309,4 +309,98 @@ int tic_ht_encode_batch(int32_t n, const int32_t* coefs,
     return bad.load();
 }
 
+// Address-based batch encode: blocks are read DIRECTLY from the band
+// arrays (srcs[i] + per-row sstrides[i]) into a thread-local contiguous
+// scratch at memcpy speed — no Python-side slicing/copy/concatenate per
+// block (~8 ms/image at 777 blocks). meta: 4 int64 per block:
+//   T1: [w, h, band|min_bps<<8|style<<16, unused]
+//   HT: [w, h, num_passes, unused]
+int tic_t1_encode_batch_addr(int32_t n, const int32_t* const* srcs,
+                             const int64_t* sstrides, const int64_t* meta,
+                             uint8_t* out, const int64_t* outs,
+                             int32_t* res, int32_t* segres,
+                             int32_t nthreads) {
+    std::atomic<int32_t> next(0);
+    std::atomic<int32_t> bad(0);
+    auto worker = [&]() {
+        static thread_local std::vector<int32_t> buf;
+        for (;;) {
+            int32_t i = next.fetch_add(1, std::memory_order_relaxed);
+            if (i >= n) break;
+            const int64_t* m = meta + 4 * i;
+            int w = (int)m[0], h = (int)m[1];
+            buf.resize((size_t)w * h);
+            const int32_t* src = srcs[i];
+            const int64_t st = sstrides[i];
+            for (int y = 0; y < h; y++)
+                std::memcpy(buf.data() + (size_t)y * w, src + (int64_t)y * st,
+                            sizeof(int32_t) * w);
+            int outlen = 0, nbps = 0, npasses = 0, nsegs = 0;
+            int rc = tic_j2k_t1_encode_seg(
+                buf.data(), w, h, (int)(m[2] & 0xFF), out + outs[2 * i],
+                (int)outs[2 * i + 1], &outlen, &nbps, &npasses,
+                (int)((m[2] >> 8) & 0xFF), (int)(m[2] >> 16),
+                segres ? segres + 113 * i + 1 : nullptr,
+                segres ? segres + 113 * i : &nsegs);
+            res[3 * i] = rc ? -1 : outlen;
+            res[3 * i + 1] = nbps;
+            res[3 * i + 2] = npasses;
+            if (rc) bad.store(rc, std::memory_order_relaxed);
+        }
+    };
+    int nt = nthreads < 1 ? 1 : (nthreads > n ? n : nthreads);
+    if (nt <= 1) {
+        worker();
+    } else {
+        std::vector<std::thread> ts;
+        for (int t = 0; t < nt - 1; t++) ts.emplace_back(worker);
+        worker();
+        for (auto& t : ts) t.join();
+    }
+    return bad.load();
+}
+
+int tic_ht_encode_batch_addr(int32_t n, const int32_t* const* srcs,
+                             const int64_t* sstrides, const int64_t* meta,
+                             uint8_t* out, const int64_t* outs,
+                             int32_t* res, int32_t nthreads) {
+    std::atomic<int32_t> next(0);
+    std::atomic<int32_t> bad(0);
+    auto worker = [&]() {
+        static thread_local std::vector<int32_t> buf;
+        for (;;) {
+            int32_t i = next.fetch_add(1, std::memory_order_relaxed);
+            if (i >= n) break;
+            const int64_t* m = meta + 4 * i;
+            int w = (int)m[0], h = (int)m[1];
+            buf.resize((size_t)w * h);
+            const int32_t* src = srcs[i];
+            const int64_t st = sstrides[i];
+            for (int y = 0; y < h; y++)
+                std::memcpy(buf.data() + (size_t)y * w, src + (int64_t)y * st,
+                            sizeof(int32_t) * w);
+            int32_t lcup = 0, lref = 0, B = 0, umax = 0;
+            int rc = tic_ht_encode_block(buf.data(), w, h, (int32_t)m[2],
+                                         out + outs[2 * i],
+                                         (int32_t)outs[2 * i + 1], &lcup,
+                                         &lref, &B, &umax);
+            res[4 * i] = rc ? -1 : lcup;
+            res[4 * i + 1] = lref;
+            res[4 * i + 2] = B;
+            res[4 * i + 3] = umax;
+            if (rc) bad.store(rc, std::memory_order_relaxed);
+        }
+    };
+    int nt = nthreads < 1 ? 1 : (nthreads > n ? n : nthreads);
+    if (nt <= 1) {
+        worker();
+    } else {
+        std::vector<std::thread> ts;
+        for (int t = 0; t < nt - 1; t++) ts.emplace_back(worker);
+        worker();
+        for (auto& t : ts) t.join();
+    }
+    return bad.load();
+}
+
 }  // extern "C"

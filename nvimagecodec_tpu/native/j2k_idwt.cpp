@@ -217,6 +217,8 @@ namespace {
 
 // 1D forward 5/3 on one row: in[n] -> L[nl], H[nh], start parity p.
 // Mirrors ops/dwt._fwd_lift_53 exactly (including its boundary clamps).
+// Deinterleaves into contiguous scratch first so the lifting loops are
+// branch-free and contiguous (vectorizable); boundary clamps peeled.
 static void fwd53_row(const int32_t* in, int32_t* L, int32_t* H, int n,
                       int p) {
     if (n <= 0) return;
@@ -226,80 +228,43 @@ static void fwd53_row(const int32_t* in, int32_t* L, int32_t* H, int n,
         else L[0] = in[0];
         return;
     }
+    static thread_local std::vector<int32_t> scratch;
+    if (int(scratch.size()) < n + 2) scratch.resize(n + 2);
+    int32_t* a = scratch.data();       // even-index samples in[2k]
+    int32_t* b = a + (n + 1) / 2 + 1;  // odd-index samples in[2k+1]
+    const int na = (n + 1) / 2, nb = n / 2;
+    for (int k = 0; k < nb; k++) {
+        a[k] = in[2 * k];
+        b[k] = in[2 * k + 1];
+    }
+    if (na > nb) a[na - 1] = in[2 * (na - 1)];
     if (!p) {
         // H[k] = x[2k+1] - ((x[2k] + x[2k+2]) >> 1), right clamp
-        for (int k = 0; k < nh; k++) {
-            int32_t lc = in[2 * k];
-            int32_t lr = in[k + 1 < nl ? 2 * (k + 1) : 2 * (nl - 1)];
-            H[k] = in[2 * k + 1] - ((lc + lr) >> 1);
+        for (int k = 0; k < nh - 1; k++)
+            H[k] = b[k] - ((a[k] + a[k + 1]) >> 1);
+        {
+            int k = nh - 1;
+            int32_t lr = a[k + 1 < nl ? k + 1 : nl - 1];
+            H[k] = b[k] - ((a[k] + lr) >> 1);
         }
-        for (int k = 0; k < nl; k++) {
-            int32_t hl = H[k > 0 ? k - 1 : 0];
-            int32_t hc = H[k < nh ? k : nh - 1];
-            L[k] = in[2 * k] + ((hl + hc + 2) >> 2);
-        }
+        L[0] = a[0] + ((2 * H[0] + 2) >> 2);
+        const int ke = nl < nh ? nl : nh;
+        for (int k = 1; k < ke; k++)
+            L[k] = a[k] + ((H[k - 1] + H[k] + 2) >> 2);
+        for (int k = ke > 1 ? ke : 1; k < nl; k++)
+            L[k] = a[k] + ((2 * H[nh - 1] + 2) >> 2);
     } else {
-        // low at local odd slots, high at local even
-        for (int k = 0; k < nh; k++) {
-            int32_t ll = in[k > 0 ? 2 * (k - 1) + 1 : 1];
-            int32_t lc = in[k < nl ? 2 * k + 1 : 2 * (nl - 1) + 1];
-            H[k] = in[2 * k] - ((ll + lc) >> 1);
-        }
-        for (int k = 0; k < nl; k++) {
-            int32_t hc = H[k];
-            int32_t hr = H[k + 1 < nh ? k + 1 : nh - 1];
-            L[k] = in[2 * k + 1] + ((hc + hr + 2) >> 2);
-        }
-    }
-}
-
-// vertical forward across rows, vectorized along width
-static void fwd53_cols(const int32_t* in, int32_t* Ly, int32_t* Hy, int n,
-                       int w, int p) {
-    if (n <= 0 || w <= 0) return;
-    int nl = nlow(n, p), nh = n - nl;
-    auto irow = [&](int r) { return in + size_t(r) * w; };
-    auto lrow = [&](int k) { return Ly + size_t(k) * w; };
-    auto hrow = [&](int k) { return Hy + size_t(k) * w; };
-    if (n == 1) {
-        if (p) for (int x = 0; x < w; x++) Hy[x] = in[x] * 2;
-        else memcpy(Ly, in, sizeof(int32_t) * w);
-        return;
-    }
-    if (!p) {
-        for (int k = 0; k < nh; k++) {
-            const int32_t* lc = irow(2 * k);
-            const int32_t* lr = irow(k + 1 < nl ? 2 * (k + 1) : 2 * (nl - 1));
-            const int32_t* xc = irow(2 * k + 1);
-            int32_t* o = hrow(k);
-            for (int x = 0; x < w; x++)
-                o[x] = xc[x] - ((lc[x] + lr[x]) >> 1);
-        }
-        for (int k = 0; k < nl; k++) {
-            const int32_t* hl = hrow(k > 0 ? k - 1 : 0);
-            const int32_t* hc = hrow(k < nh ? k : nh - 1);
-            const int32_t* xc = irow(2 * k);
-            int32_t* o = lrow(k);
-            for (int x = 0; x < w; x++)
-                o[x] = xc[x] + ((hl[x] + hc[x] + 2) >> 2);
-        }
-    } else {
-        for (int k = 0; k < nh; k++) {
-            const int32_t* ll = irow(k > 0 ? 2 * (k - 1) + 1 : 1);
-            const int32_t* lc = irow(k < nl ? 2 * k + 1 : 2 * (nl - 1) + 1);
-            const int32_t* xc = irow(2 * k);
-            int32_t* o = hrow(k);
-            for (int x = 0; x < w; x++)
-                o[x] = xc[x] - ((ll[x] + lc[x]) >> 1);
-        }
-        for (int k = 0; k < nl; k++) {
-            const int32_t* hc = hrow(k);
-            const int32_t* hr = hrow(k + 1 < nh ? k + 1 : nh - 1);
-            const int32_t* xc = irow(2 * k + 1);
-            int32_t* o = lrow(k);
-            for (int x = 0; x < w; x++)
-                o[x] = xc[x] + ((hc[x] + hr[x] + 2) >> 2);
-        }
+        // low at local odd slots, high at local even (a = high positions)
+        H[0] = a[0] - ((b[0] + b[0]) >> 1);
+        for (int k = 1; k < nl; k++)
+            H[k] = a[k] - ((b[k - 1] + b[k]) >> 1);
+        for (int k = nl > 1 ? nl : 1; k < nh; k++)
+            H[k] = a[k] - ((2 * b[nl - 1]) >> 1);
+        const int ke = nl < nh - 1 ? nl : nh - 1;
+        for (int k = 0; k < ke; k++)
+            L[k] = b[k] + ((H[k] + H[k + 1] + 2) >> 2);
+        for (int k = ke > 0 ? ke : 0; k < nl; k++)
+            L[k] = b[k] + ((2 * H[nh - 1] + 2) >> 2);
     }
 }
 
@@ -330,28 +295,86 @@ int tic_fdwt53(const int32_t* in, int levels, int th, int tw, int oy,
         px[s] = xx0 & 1;
     }
     std::vector<int32_t> cur(in, in + size_t(th) * tw);
-    std::vector<int32_t> Ly, Hy, rl, rh;
+    std::vector<int32_t> nxt, ring;
     for (int s = 0; s < levels; s++) {
         int h = hs[s], w = ws[s];
         int nly = nlow(h, py[s]), nhy = h - nly;
         int nlx = nlow(w, px[s]), nhx = w - nlx;
-        Ly.assign(size_t(nly) * w, 0);
-        Hy.assign(size_t(nhy) * w, 0);
-        fwd53_cols(cur.data(), Ly.data(), Hy.data(), h, w, py[s]);
-        // rows of Ly -> (next LL | HL); rows of Hy -> (LH | HH)
         int32_t* HL = (int32_t*)bands[3 * s + 0];
         int32_t* LH = (int32_t*)bands[3 * s + 1];
         int32_t* HH = (int32_t*)bands[3 * s + 2];
-        std::vector<int32_t> nxt(size_t(nly) * nlx);
-        rl.assign(size_t(nlx ? nlx : 1), 0);
-        rh.assign(size_t(nhx ? nhx : 1), 0);
-        for (int r = 0; r < nly; r++) {
-            fwd53_row(Ly.data() + size_t(r) * w, nxt.data() + size_t(r) * nlx,
-                      HL + size_t(r) * nhx, w, px[s]);
-        }
-        for (int r = 0; r < nhy; r++) {
-            fwd53_row(Hy.data() + size_t(r) * w, LH + size_t(r) * nlx,
-                      HH + size_t(r) * nhx, w, px[s]);
+        nxt.resize(size_t(nly) * nlx);
+        // STREAMING: vertical H/L rows are produced one at a time and
+        // row-transformed immediately (mirror of the fused inverse above;
+        // no full-plane Ly/Hy intermediates). Bit-identical op order.
+        ring.resize(3 * size_t(w));
+        int32_t* Hp = ring.data();       // vertical H row k-1 (or k)
+        int32_t* Hc = Hp + w;            // vertical H row k (or k+1)
+        int32_t* rowT = Hc + w;          // vertical L row scratch
+        const int32_t* src = cur.data();
+        auto inrow = [&](int r) { return src + size_t(r) * w; };
+        auto emitL = [&](int k, const int32_t* row) {
+            fwd53_row(row, nxt.data() + size_t(k) * nlx,
+                      HL + size_t(k) * nhx, w, px[s]);
+        };
+        auto emitH = [&](int k, const int32_t* row) {
+            fwd53_row(row, LH + size_t(k) * nlx, HH + size_t(k) * nhx, w,
+                      px[s]);
+        };
+        if (h == 1) {
+            if (py[s]) {
+                for (int x = 0; x < w; x++) Hc[x] = src[x] * 2;
+                emitH(0, Hc);
+            } else {
+                emitL(0, inrow(0));
+            }
+        } else if (!py[s]) {
+            // H_k = x[2k+1] - ((x[2k] + x[2k+2 clamp]) >> 1);
+            // L_k = x[2k] + ((H_{k-1} + H_{min(k, nhy-1)} + 2) >> 2)
+            for (int k = 0; k < nly; k++) {
+                if (k < nhy) {
+                    const int32_t* lc = inrow(2 * k);
+                    const int32_t* lr =
+                        inrow(k + 1 < nly ? 2 * (k + 1) : 2 * (nly - 1));
+                    const int32_t* xc = inrow(2 * k + 1);
+                    for (int x = 0; x < w; x++)
+                        Hc[x] = xc[x] - ((lc[x] + lr[x]) >> 1);
+                    emitH(k, Hc);
+                }
+                const int32_t* hl = k > 0 ? Hp : Hc;
+                const int32_t* hcr = k < nhy ? Hc : Hp;
+                const int32_t* xc = inrow(2 * k);
+                for (int x = 0; x < w; x++)
+                    rowT[x] = xc[x] + ((hl[x] + hcr[x] + 2) >> 2);
+                emitL(k, rowT);
+                if (k < nhy) std::swap(Hp, Hc);
+            }
+        } else {
+            // odd parity: H_k = x[2k] - ((x[2k-1 clamp] + x[2k+1 clamp])
+            // >> 1); L_k = x[2k+1] + ((H_k + H_{min(k+1, nhy-1)} + 2) >> 2)
+            auto calcH = [&](int k, int32_t* o) {
+                const int32_t* ll = inrow(k > 0 ? 2 * (k - 1) + 1 : 1);
+                const int32_t* lc =
+                    inrow(k < nly ? 2 * k + 1 : 2 * (nly - 1) + 1);
+                const int32_t* xc = inrow(2 * k);
+                for (int x = 0; x < w; x++)
+                    o[x] = xc[x] - ((ll[x] + lc[x]) >> 1);
+            };
+            calcH(0, Hp);
+            emitH(0, Hp);
+            for (int k = 0; k < nly; k++) {
+                const int32_t* hr = Hp;
+                if (k + 1 < nhy) {
+                    calcH(k + 1, Hc);
+                    emitH(k + 1, Hc);
+                    hr = Hc;
+                }
+                const int32_t* xc = inrow(2 * k + 1);
+                for (int x = 0; x < w; x++)
+                    rowT[x] = xc[x] + ((Hp[x] + hr[x] + 2) >> 2);
+                emitL(k, rowT);
+                if (k + 1 < nhy) std::swap(Hp, Hc);
+            }
         }
         cur.swap(nxt);
     }
