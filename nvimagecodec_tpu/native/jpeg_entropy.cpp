@@ -13,12 +13,14 @@
 // From-scratch implementation of ITU-T T.81 §F (sequential) and §G
 // (progressive) entropy decoding. No reference code used.
 
+#include <atomic>
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
+#include <memory>
+#include <mutex>
 #include <thread>
 #include <vector>
-#include <atomic>
 
 namespace {
 
@@ -42,11 +44,27 @@ struct HuffTable {
   int32_t mincode[18];
   uint8_t values[256];
   bool valid = false;
+  uint64_t def_key = 0;  // FNV-1a of the DHT definition (pair-LUT cache key)
+  // fused MULTI-unit LUT over a 16-bit window (index walk hot loop): as
+  // many whole (code+value) units as fit in 16 bits consumed per lookup.
+  // Entry: 0x8000 valid | 0x4000 EOB-terminal | kadv<<5 | total_bits.
+  // Shared via a process-global cache keyed by def_key — the (usually
+  // libjpeg-standard) tables build once per process, not per image.
+  const uint16_t* pair = nullptr;
+  std::shared_ptr<std::vector<uint16_t>> pair_hold;
 
   bool build(const uint8_t bits[16], const uint8_t* vals, int nvals) {
     valid = false;
     if (nvals > 256) return false;
     memcpy(values, vals, nvals);
+    {
+      uint64_t h = 1469598103934665603ull;
+      for (int i = 0; i < 16; i++) h = (h ^ bits[i]) * 1099511628211ull;
+      for (int i = 0; i < nvals; i++) h = (h ^ vals[i]) * 1099511628211ull;
+      def_key = h;
+      pair = nullptr;
+      pair_hold.reset();
+    }
     int code = 0, k = 0;
     int codes[256], lens[256];
     for (int l = 1; l <= 16; l++) {
@@ -94,6 +112,73 @@ struct HuffTable {
     return true;
   }
 };
+
+// Process-global cache of pair LUTs (see HuffTable.pair). A handful of
+// distinct AC tables exist across any realistic corpus; the 128 KiB build
+// happens once per distinct table instead of once per image.
+struct PairLutCache {
+  std::mutex mu;
+  std::vector<std::pair<uint64_t, std::shared_ptr<std::vector<uint16_t>>>>
+      ents;
+};
+static PairLutCache g_pair_cache;
+
+static std::shared_ptr<std::vector<uint16_t>> build_pair_lut(
+    const HuffTable& t) {
+  auto lut = std::make_shared<std::vector<uint16_t>>(65536, 0);
+  uint16_t* e = lut->data();
+  for (uint32_t w = 0; w < 65536; w++) {
+    int consumed = 0, kadv = 0, units = 0;
+    bool terminal = false;
+    for (;;) {
+      int rem = 16 - consumed;
+      if (rem < 9) break;  // code length unknown beyond the window
+      int c9 = (int)((w >> (rem - 9)) & 0x1FF);
+      int len = t.lut_len[c9];
+      if (!len || len > rem) break;
+      int sym = t.lut_sym[c9];
+      int r = sym >> 4, sz = sym & 15;
+      if (sz == 0) {
+        if (r == 15) {  // ZRL
+          consumed += len;
+          kadv += 16;
+          units++;
+          if (kadv > 64) break;
+          continue;
+        }
+        consumed += len;  // EOB: block ends, next bits are another table's
+        units++;
+        terminal = true;
+        break;
+      }
+      if (len + sz > rem) break;
+      consumed += len + sz;
+      kadv += r + 1;
+      units++;
+      if (kadv > 64) break;
+    }
+    if (units)
+      e[w] = (uint16_t)(0x8000u | (terminal ? 0x4000u : 0) |
+                        ((uint32_t)kadv << 5) | (uint32_t)consumed);
+  }
+  return lut;
+}
+
+static void attach_pair_lut(HuffTable& t) {
+  if (t.pair || !t.valid) return;
+  std::lock_guard<std::mutex> g(g_pair_cache.mu);
+  for (auto& kv : g_pair_cache.ents)
+    if (kv.first == t.def_key) {
+      t.pair_hold = kv.second;
+      t.pair = kv.second->data();
+      return;
+    }
+  auto lut = build_pair_lut(t);
+  if (g_pair_cache.ents.size() > 16) g_pair_cache.ents.clear();
+  g_pair_cache.ents.emplace_back(t.def_key, lut);
+  t.pair_hold = lut;
+  t.pair = lut->data();
+}
 
 struct BitReader {
   const uint8_t* p;
@@ -586,8 +671,23 @@ static inline void idx_block(DBitReader& br, const HuffTable& dct,
   if (t < 0 || t > 15) { error = 1; return; }
   pred += extend(br.take_nc(t), t);
   int k = 1;
+  const uint16_t* pl = act.pair;
   while (k < 64) {
     br.ensure31();
+    if (pl) {
+      // multi-unit fused path: every whole (code+value) unit inside the
+      // 16-bit window consumed in ONE lookup (typically 2-3 units at
+      // photographic qualities); falls through near the block end or on
+      // long codes, where the unit-wise paths keep exact error checks
+      uint32_t e2 = pl[br.peek16_nc()];
+      int ka = (int)((e2 >> 5) & 0x7F);
+      if ((e2 & 0x8000u) && k + ka <= 64) {
+        br.nbits -= (int)(e2 & 31u);
+        k += ka;
+        if (e2 & 0x4000u) break;  // ended on EOB
+        continue;
+      }
+    }
     uint32_t e = act.lut_skip[br.peek9_nc()];
     if (e & 0x4000u) {
       // fused fast path: code + value bits consumed in one step
@@ -686,6 +786,7 @@ void Decoder::index_scan(Scan& s) {
     error = -3;  // multi-scan / progressive / DRI (DRI has its own split)
     return;
   }
+  for (int j = 0; j < s.ncomp; j++) attach_pair_lut(s.ac[j]);
   IdxCursor cur;
   if (!cur.prepare(*this, s)) return;
   idx_walk_solo(*this, s);
