@@ -421,6 +421,36 @@ def section_dri() -> None:
     except Exception as e:
         log("device-entropy coverage report skipped:", e)
 
+    # full-progressive (Ah>0 successive approximation) device decode vs
+    # host entropy on a libjpeg-default-scan-script stream
+    try:
+        from nvimagecodec_tpu.codecs.jpeg import _entropy_decode
+        from nvimagecodec_tpu.codecs.jpeg.device_entropy import (
+            decode_progressive_device)
+
+        pdata = oracle.jpeg_encode(base[0], QUALITY, "420",
+                                   progressive=True, restart_interval=16)
+        pframe = parse_jpeg_structure(pdata)
+        nref = sum(1 for s in pframe.scans if s.ah != 0)
+        decode_progressive_device(pframe, pdata)  # warm/compile all scans
+        _entropy_decode(pframe, pdata)
+
+        def _rate2(fn, budget=2.0):
+            t0 = time.perf_counter()
+            n = 0
+            while time.perf_counter() - t0 < budget:
+                fn()
+                n += 1
+            return n / (time.perf_counter() - t0)
+
+        dv = _rate2(lambda: decode_progressive_device(pframe, pdata))
+        hv = _rate2(lambda: _entropy_decode(pframe, pdata))
+        log(f"progressive device decode ({len(pframe.scans)} scans, "
+            f"{nref} refinement): {dv:.1f} img/s vs host entropy "
+            f"{hv:.1f} img/s (x{dv / hv:.2f})")
+    except Exception as e:
+        log("progressive device bench skipped:", e)
+
 
 def section_idx() -> None:
     """Link-touching: index-scan wire vs full host entropy — same (non-DRI)

@@ -314,12 +314,13 @@ def reassemble_components(xp, out, frame: JpegFrame, B: int, nsegs: int,
 
 def decode_progressive_device(frame: JpegFrame, raw: bytes,
                               interpret: bool = False):
-    """PROTOTYPE: decode a spectral-selection-only progressive stream
-    (every scan Ah == 0, restart markers in every scan) entirely with the
-    device entropy kernels — the DC scan and each AC band scan are
-    restart-parallel (ops/pallas_entropy._build_prog_kernel). Returns
-    per-component ZIGZAG-order [bh, bw, 64] int16 planes (padded MCU
-    grid). Refinement-scan streams raise ValueError (host route)."""
+    """Decode a progressive stream (restart markers in every scan)
+    entirely with the device entropy kernels — the DC scan, each AC band
+    scan AND the successive-approximation refinement scans (Ah>0) are
+    restart-parallel (ops/pallas_entropy._build_prog_kernel; the
+    reference decodes full progressive on GPU,
+    extensions/nvjpeg/cuda_decoder.cpp:75-76). Returns per-component
+    ZIGZAG-order [bh, bw, 64] int16 planes (padded MCU grid)."""
     from ...native import lib
     from ...ops.pallas_entropy import (
         decode_prog_scan_device,
@@ -369,18 +370,28 @@ def decode_progressive_device(frame: JpegFrame, raw: bytes,
         seg_units = np.zeros(S, np.int32)
         seg_units[:nsegs] = R
         seg_units[nsegs - 1] = units_total - (nsegs - 1) * R
+        lanes = np.arange(nsegs)
+        band_in = None
+        if scan.ss != 0 and scan.ah != 0:
+            # AC refinement: ship the CURRENT band state up with the scan
+            band_in = np.zeros((R, 64, S), np.int16)
+            for m in range(R):
+                g = lanes * R + m
+                valid = g < units_total
+                gv = g[valid]
+                band_in[m, :, np.nonzero(valid)[0]] = (
+                    coefs[ci][gv // cbw, gv % cbw, :])
         out, err = decode_prog_scan_device(frame, scan, words, seg_units,
-                                           interpret)
+                                           interpret, band_in=band_in)
         if int(np.asarray(err)[:nsegs].sum()) != 0:
             raise ValueError("prog device entropy: kernel flagged error")
         out = np.asarray(out)  # [R*bpm, K, S]
 
-        lanes = np.arange(nsegs)
         if scan.ss == 0:
             # scatter DC values: per (block-in-mcu), all lanes/mcus at once
             arr = out[:, 0, :nsegs]  # [R*bpm, nsegs]
             off = 0
-            for ci, c in enumerate(frame.components):
+            for ci2, c in enumerate(frame.components):
                 for by in range(c.v):
                     for bx in range(c.h):
                         b = off + by * c.h + bx
@@ -390,8 +401,13 @@ def decode_progressive_device(frame: JpegFrame, raw: bytes,
                             gv = g[valid]
                             rows = (gv // mcus_x) * c.v + by
                             cols = (gv % mcus_x) * c.h + bx
-                            coefs[ci][rows, cols, 0] = (
-                                arr[m * bpm + b, valid])
+                            if scan.ah == 0:
+                                coefs[ci2][rows, cols, 0] = (
+                                    arr[m * bpm + b, valid])
+                            else:
+                                # refinement: OR bit<<al (T.81 G.1.2.1)
+                                coefs[ci2][rows, cols, 0] |= (
+                                    arr[m * bpm + b, valid])
                 off += c.h * c.v
         else:
             arr = out[:, :, :nsegs]  # [R, 64, nsegs]

@@ -457,11 +457,12 @@ def decode_segments_device(frame, words: np.ndarray, seg_mcus: np.ndarray,
 
 
 # ===================================================================
-# Progressive-scan device kernels (prototype): spectral-selection-only
-# streams (Ah == 0) with restart markers decode scan-by-scan on device —
-# the DC scan and each AC band scan are restart-parallel exactly like the
-# baseline kernel's segments. Refinement scans (Ah > 0) stay on the host.
-# The conveyor/Huffman machinery mirrors the baseline kernel above.
+# Progressive-scan device kernels: streams with restart markers decode
+# scan-by-scan on device — the DC scan, each AC band scan and the
+# successive-approximation refinement scans (Ah > 0) are restart-parallel
+# exactly like the baseline kernel's segments (the reference decodes full
+# progressive on GPU, extensions/nvjpeg/cuda_decoder.cpp:75-76). The
+# conveyor/Huffman machinery mirrors the baseline kernel above.
 
 def prog_scan_specs(frame):
     """Validate a progressive frame for the device path; returns per-scan
@@ -471,9 +472,6 @@ def prog_scan_specs(frame):
         raise ValueError("prog device entropy: 8-bit progressive only")
     specs = []
     for s in frame.scans:
-        if s.ah != 0:
-            raise ValueError("prog device entropy: refinement scans (Ah>0)"
-                             " take the host route")
         if s.restart_interval <= 0:
             raise ValueError("prog device entropy: needs restart markers")
         if s.ss == 0:
@@ -497,7 +495,13 @@ def _build_prog_kernel(kind: str, R: int, bpm: int, comp_map: tuple,
                        W: int, S: int, interpret: bool):
     """kind 'dc': interleaved DC scan (bpm blocks/MCU, per-comp DC tables;
     out [R*bpm, 1, S]). kind 'ac': single-component band scan (R blocks
-    per segment, one AC table; out [R, 64, S] with rows ss..se filled)."""
+    per segment, one AC table; out [R, 64, S] with rows ss..se filled).
+    kind 'dcref': DC successive-approximation refinement (one raw bit per
+    block; out [R*bpm, 1, S] of bit<<al, caller ORs into the DC row).
+    kind 'acref': AC refinement (T.81 G.1.2.3) — takes the CURRENT block
+    coefficients [R, 64, S] as an extra input and returns the refined
+    ones (correction bits on nonzero history, newly-significant
+    insertions, EOB runs that still consume correction bits)."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -505,8 +509,8 @@ def _build_prog_kernel(kind: str, R: int, bpm: int, comp_map: tuple,
 
     tables = tables_key
     ncomp = len(tables)
-    NBLK = R * bpm if kind == "dc" else R
-    OUTK = 1 if kind == "dc" else 64
+    NBLK = R * bpm if kind in ("dc", "dcref") else R
+    OUTK = 1 if kind in ("dc", "dcref") else 64
 
     def _vals_mat():
         nv = max(len(t[2]) for t in tables)
@@ -518,9 +522,14 @@ def _build_prog_kernel(kind: str, R: int, bpm: int, comp_map: tuple,
 
     vals_np = _vals_mat()
 
-    def kernel(words_ref, side_ref, v_ref, out_ref, err_ref,
-               cur_ref, nxt_ref, p_ref, wfill_ref, fifo_ref, fcnt_ref,
-               pred_ref, errs_ref, eob_ref):
+    def kernel(words_ref, side_ref, v_ref, *rest):
+        if kind == "acref":
+            (in_ref, out_ref, err_ref, cur_ref, nxt_ref, p_ref, wfill_ref,
+             fifo_ref, fcnt_ref, pred_ref, errs_ref, eob_ref) = rest
+        else:
+            in_ref = None
+            (out_ref, err_ref, cur_ref, nxt_ref, p_ref, wfill_ref,
+             fifo_ref, fcnt_ref, pred_ref, errs_ref, eob_ref) = rest
         j = pl.program_id(0)
         u32 = jnp.uint32
         i32 = jnp.int32
@@ -537,8 +546,8 @@ def _build_prog_kernel(kind: str, R: int, bpm: int, comp_map: tuple,
             errs_ref[:] = jnp.zeros((1, S), i32)
             eob_ref[:] = jnp.zeros((1, S), i32)
 
-        unit = j // bpm if kind == "dc" else j
-        b_in_mcu = j % bpm if kind == "dc" else 0
+        unit = j // bpm if kind in ("dc", "dcref") else j
+        b_in_mcu = j % bpm if kind in ("dc", "dcref") else 0
         active0 = (side_ref[0, :][None, :] > unit)
 
         def _bcast(cond, rows):
@@ -674,6 +683,109 @@ def _build_prog_kernel(kind: str, R: int, bpm: int, comp_map: tuple,
                 dc_cond, dc_body,
                 (state, regs, errs, pred0, active0.astype(i32)))
             pred_ref[:] = pred0
+        elif kind == "dcref":
+            # one raw bit per block: DC refinement at plane al (caller ORs
+            # bit<<al into the DC coefficient — two's complement OR is the
+            # T.81 G.1.2.1 reconstruction)
+            def dr_cond(carry):
+                _, _, _, pend_i = carry
+                return jnp.any(pend_i != 0)
+
+            def dr_body(carry):
+                state, regs, errs, pend_i = carry
+                pend = pend_i != 0
+                state = conveyor_step(state)
+                go = pend & ready(state)
+                bits, state = get_bits(state, jnp.where(go, 1, 0), go)
+                regs = jnp.where(go, bits << al, regs)
+                pend = pend & ~go
+                return state, regs, errs, pend.astype(i32)
+
+            state, regs, errs, _ = jax.lax.while_loop(
+                dr_cond, dr_body, (state, regs, errs, active0.astype(i32)))
+        elif kind == "acref":
+            # T.81 G.1.2.3 AC refinement: per-position stepping (one
+            # position or one symbol decode per iteration per lane) over
+            # the CURRENT coefficients, mirroring entropy_py._ac_refine
+            p1 = 1 << al
+            regs = in_ref[0].astype(i32)   # [64, S] zigzag coefficients
+            eob0 = eob_ref[:]
+            ineob0 = active0 & (eob0 > 0)
+            k0 = jnp.where(active0, ss, 65)
+            z1 = jnp.zeros((1, S), i32)
+
+            def ar_cond(carry):
+                return jnp.any(carry[-1] != 0)
+
+            def ar_body(carry):
+                (state, regs, errs, k, rrem, sval, ineob_i, eob,
+                 pend_i) = carry
+                pend = pend_i != 0
+                ineob = ineob_i != 0
+                state = conveyor_step(state)
+                go = pend & ready(state)
+                # --- symbol decode lanes (no run, no pending value)
+                need = go & ~ineob & (rrem == 0) & (sval == 0)
+                ln, idx, found = decode_code(state, comp_sel)
+                sym = lookup_values(idx, comp_sel)
+                bad = need & ~found
+                okn = need & ~bad
+                state = consume(state, jnp.where(okn, ln, 0), okn)
+                run = sym >> 4
+                ssz = sym & 15
+                is_eobn = okn & (ssz == 0) & (run != 15)
+                is_zrl = okn & (ssz == 0) & (run == 15)
+                is_coded = okn & (ssz != 0)
+                ebits, state = get_bits(
+                    state, jnp.where(is_eobn, run, 0), is_eobn)
+                neweob = (jnp.left_shift(jnp.ones((1, S), i32), run)
+                          + ebits)
+                eob = jnp.where(is_eobn, neweob, eob)
+                ineob = ineob | is_eobn
+                sbit, state = get_bits(
+                    state, jnp.where(is_coded, 1, 0), is_coded)
+                sval = jnp.where(is_coded,
+                                 jnp.where(sbit != 0, p1, -p1), sval)
+                rrem = jnp.where(is_coded, run,
+                                 jnp.where(is_zrl, 16, rrem))
+                errs = errs + bad.astype(i32)
+                # --- position step for all other ready lanes
+                step = go & ~need & (k <= se)
+                kw = jnp.clip(k, 0, 63)
+                rowsel = (jax.lax.broadcasted_iota(i32, (64, S), 0)
+                          == jnp.broadcast_to(kw, (64, S)))
+                curc = jnp.sum(jnp.where(rowsel, regs, 0), axis=0,
+                               keepdims=True)
+                nonzero = curc != 0
+                corr = step & nonzero
+                cbit, state = get_bits(state, jnp.where(corr, 1, 0), corr)
+                do_corr = corr & (cbit != 0) & ((curc & p1) == 0)
+                delta = jnp.where(curc >= 0, p1, -p1)
+                newc = curc + jnp.where(do_corr, delta, 0)
+                zstep = step & ~nonzero
+                dec_run = zstep & ~ineob & (rrem > 0)
+                place = zstep & ~ineob & (rrem == 0) & (sval != 0)
+                rrem = rrem - dec_run.astype(i32)
+                newc = jnp.where(place, sval, newc)
+                regs = jnp.where(rowsel & _bcast(step, 64),
+                                 jnp.broadcast_to(newc, (64, S)), regs)
+                sval = jnp.where(place, 0, sval)
+                k = k + step.astype(i32)
+                # a pending value with no zero-history slot left: error
+                over = (k > se) & (sval != 0) & step
+                errs = errs + over.astype(i32)
+                sval = jnp.where(over, 0, sval)
+                pend = pend & ~bad & ~(k > se)
+                return (state, regs, errs, k, rrem, sval,
+                        ineob.astype(i32), eob, pend.astype(i32))
+
+            (state, regs, errs, _k, _r, _sv, ineobf, eobf, _p) = (
+                jax.lax.while_loop(
+                    ar_cond, ar_body,
+                    (state, regs, errs, k0, z1, z1,
+                     ineob0.astype(i32), eob0, active0.astype(i32))))
+            # every block inside an EOB run consumes one unit of it
+            eob_ref[:] = jnp.where(active0 & (ineobf != 0), eobf - 1, eobf)
         else:
             eob = eob_ref[:]
             skip = active0 & (eob > 0)
@@ -745,17 +857,21 @@ def _build_prog_kernel(kind: str, R: int, bpm: int, comp_map: tuple,
 
     import jax
 
+    in_specs = [
+        pl.BlockSpec((W, S), lambda j: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((6, S), lambda j: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(vals_np.shape, lambda j: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if kind == "acref":
+        in_specs.append(pl.BlockSpec((1, 64, S), lambda j: (j, 0, 0),
+                                     memory_space=pltpu.VMEM))
     call = pl.pallas_call(
         kernel,
         grid=(NBLK,),
-        in_specs=[
-            pl.BlockSpec((W, S), lambda j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((6, S), lambda j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(vals_np.shape, lambda j: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, OUTK, S), lambda j: (j, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -780,18 +896,26 @@ def _build_prog_kernel(kind: str, R: int, bpm: int, comp_map: tuple,
         interpret=interpret,
     )
 
-    def fn(words, side):
-        return call(words, side, vals_np)
+    if kind == "acref":
+        def fn(words, side, band_in):
+            return call(words, side, vals_np, band_in)
+    else:
+        def fn(words, side):
+            return call(words, side, vals_np)
 
     return fn
 
 
 def decode_prog_scan_device(frame, scan, words: np.ndarray,
-                            seg_units: np.ndarray, interpret: bool = False):
+                            seg_units: np.ndarray, interpret: bool = False,
+                            band_in=None):
     """Decode one progressive scan's restart segments on device.
     DC scan: returns ([R*bpm, 1, S] int16 DC values, err). AC scan:
     returns ([R, 64, S] int16 band coefficients (zigzag rows ss..se), err).
-    seg_units: MCUs (DC) or blocks (AC) per lane."""
+    DC refinement (Ah>0): [R*bpm, 1, S] of bit<<al, caller ORs into DC.
+    AC refinement: band_in = CURRENT [R, 64, S] int16 zigzag coefficients;
+    returns the refined ones. seg_units: MCUs (DC) or blocks (AC) per
+    lane."""
     W, S = words.shape
     R = scan.restart_interval
 
@@ -816,13 +940,28 @@ def decode_prog_scan_device(frame, scan, words: np.ndarray,
         comp_map = []
         for ci, c in enumerate(frame.components):
             comp_map.extend([ci] * (c.h * c.v))
-        tables = tuple(_one(scan.dc_huff[scan.dc_tables[ci]])
-                       for ci in range(len(frame.components)))
-        fn = _build_prog_kernel("dc", R, len(comp_map), tuple(comp_map),
-                                tables, 0, 0, scan.al, W, S, interpret)
-    else:
-        tables = (_one(scan.ac_huff[scan.ac_tables[0]]),)
+        if scan.ah == 0:
+            tables = tuple(_one(scan.dc_huff[scan.dc_tables[ci]])
+                           for ci in range(len(frame.components)))
+            fn = _build_prog_kernel("dc", R, len(comp_map),
+                                    tuple(comp_map), tables, 0, 0,
+                                    scan.al, W, S, interpret)
+        else:
+            # DC refinement reads no Huffman tables; pass a placeholder
+            tables = ((tuple([-1] * 17), tuple([0] * 17), (0,)),)
+            fn = _build_prog_kernel("dcref", R, len(comp_map),
+                                    tuple(comp_map), tables, 0, 0,
+                                    scan.al, W, S, interpret)
+        out, err = fn(words, make_side(seg_units))
+        return out, err[0]
+    tables = (_one(scan.ac_huff[scan.ac_tables[0]]),)
+    if scan.ah == 0:
         fn = _build_prog_kernel("ac", R, 1, (0,), tables, scan.ss, scan.se,
                                 scan.al, W, S, interpret)
-    out, err = fn(words, make_side(seg_units))
+        out, err = fn(words, make_side(seg_units))
+    else:
+        fn = _build_prog_kernel("acref", R, 1, (0,), tables, scan.ss,
+                                scan.se, scan.al, W, S, interpret)
+        out, err = fn(words, make_side(seg_units),
+                      np.ascontiguousarray(band_in, np.int16))
     return out, err[0]

@@ -188,15 +188,23 @@ def test_progressive_gray(photo):
     _check_prog(data)
 
 
-def test_progressive_refinement_rejected(photo):
-    """Successive-approximation streams (Ah>0 scans) must raise: they take
-    the host route."""
-    from nvimagecodec_tpu.codecs.jpeg.device_entropy import (
-        decode_progressive_device,
-    )
-
-    data = oracle.jpeg_encode(photo, 88, "420", progressive=True,
-                              restart_interval=6)
+@pytest.mark.parametrize("q,ss,ri", [
+    (88, "420", 6), (75, "444", 4), (92, "422", 9),
+])
+def test_progressive_refinement_scans(photo, q, ss, ri):
+    """FULL progressive scripts (libjpeg default: successive-approximation
+    DC and AC refinement scans, Ah>0) decode scan-by-scan on the device
+    kernels, bit-exact vs the host entropy decoder (VERDICT r4 item 4;
+    reference decodes full progressive on GPU,
+    extensions/nvjpeg/cuda_decoder.cpp:75-76)."""
+    data = oracle.jpeg_encode(photo, q, ss, progressive=True,
+                              restart_interval=ri)
     frame = parse_jpeg_structure(data)
-    with pytest.raises(ValueError):
-        decode_progressive_device(frame, data, interpret=True)
+    assert any(s.ah != 0 for s in frame.scans), "corpus has no Ah>0 scan"
+    _check_prog(data)
+
+
+def test_progressive_refinement_gray(photo):
+    data = oracle.jpeg_encode(photo[:, :, 0], 85, "gray", progressive=True,
+                              restart_interval=5)
+    _check_prog(data)
