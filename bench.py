@@ -421,35 +421,42 @@ def section_dri() -> None:
     except Exception as e:
         log("device-entropy coverage report skipped:", e)
 
-    # full-progressive (Ah>0 successive approximation) device decode vs
-    # host entropy on a libjpeg-default-scan-script stream
-    try:
-        from nvimagecodec_tpu.codecs.jpeg import _entropy_decode
-        from nvimagecodec_tpu.codecs.jpeg.device_entropy import (
-            decode_progressive_device)
+def section_prog() -> None:
+    """Link-touching: full-progressive (Ah>0 successive approximation)
+    device decode vs host entropy on a libjpeg-default-scan-script
+    stream. Isolated in its own section: warming compiles ~10 scan
+    kernels, which is slow over a tunneled link."""
+    import oracle
 
-        pdata = oracle.jpeg_encode(base[0], QUALITY, "420",
-                                   progressive=True, restart_interval=16)
-        pframe = parse_jpeg_structure(pdata)
-        nref = sum(1 for s in pframe.scans if s.ah != 0)
-        decode_progressive_device(pframe, pdata)  # warm/compile all scans
-        _entropy_decode(pframe, pdata)
+    from util import make_photo
 
-        def _rate2(fn, budget=2.0):
-            t0 = time.perf_counter()
-            n = 0
-            while time.perf_counter() - t0 < budget:
-                fn()
-                n += 1
-            return n / (time.perf_counter() - t0)
+    from nvimagecodec_tpu.codecs.jpeg import _entropy_decode
+    from nvimagecodec_tpu.codecs.jpeg.device_entropy import (
+        decode_progressive_device)
+    from nvimagecodec_tpu.codecs.jpeg.headers import parse_jpeg_structure
 
-        dv = _rate2(lambda: decode_progressive_device(pframe, pdata))
-        hv = _rate2(lambda: _entropy_decode(pframe, pdata))
-        log(f"progressive device decode ({len(pframe.scans)} scans, "
-            f"{nref} refinement): {dv:.1f} img/s vs host entropy "
-            f"{hv:.1f} img/s (x{dv / hv:.2f})")
-    except Exception as e:
-        log("progressive device bench skipped:", e)
+    pdata = oracle.jpeg_encode(make_photo(H, W, seed=0), QUALITY, "420",
+                               progressive=True, restart_interval=16)
+    pframe = parse_jpeg_structure(pdata)
+    nref = sum(1 for s in pframe.scans if s.ah != 0)
+    decode_progressive_device(pframe, pdata)  # warm/compile all scans
+    _entropy_decode(pframe, pdata)
+
+    def _rate2(fn, budget=2.0):
+        t0 = time.perf_counter()
+        n = 0
+        while time.perf_counter() - t0 < budget:
+            fn()
+            n += 1
+        return n / (time.perf_counter() - t0)
+
+    dv = _rate2(lambda: decode_progressive_device(pframe, pdata))
+    hv = _rate2(lambda: _entropy_decode(pframe, pdata))
+    log(f"progressive device decode ({len(pframe.scans)} scans, "
+        f"{nref} refinement): {dv:.1f} img/s vs host entropy "
+        f"{hv:.1f} img/s (x{dv / hv:.3f}; device coverage claim is "
+        f"capability + bit-exactness — on a high-latency link the "
+        f"multi-roundtrip driver loses and the router keeps prog on host)")
 
 
 def section_idx() -> None:
@@ -520,7 +527,16 @@ SECTIONS = [
     ("dri", 420, True),
     ("idx", 300, True),
     ("j2k_device", 300, True),
+    ("prog", 420, True),
 ]
+
+
+def _txt(v) -> str:
+    if v is None:
+        return ""
+    if isinstance(v, bytes):
+        return v.decode("utf-8", "replace")
+    return v
 
 
 def _run_sections() -> None:
@@ -532,12 +548,13 @@ def _run_sections() -> None:
                 [sys.executable, me, "--section", name],
                 capture_output=True, text=True, timeout=tmo,
             )
-            for line in (r.stderr + r.stdout).splitlines():
+            for line in (_txt(r.stderr) + _txt(r.stdout)).splitlines():
                 log(line)
             if r.returncode != 0:
                 log(f"section {name}: exit code {r.returncode}")
         except subprocess.TimeoutExpired as e:
-            for line in ((e.stderr or "") + (e.stdout or "")).splitlines():
+            # TimeoutExpired carries bytes even under text=True
+            for line in (_txt(e.stderr) + _txt(e.stdout)).splitlines():
                 log(line)
             log(f"section {name}: timed out after {tmo}s; skipped "
                 f"(remaining sections continue)")
