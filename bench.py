@@ -272,7 +272,7 @@ def section_j2k_host() -> None:
 
     big = make_photo(1024, 1024, seed=3)
 
-    def _rate(fn, budget=1.5):
+    def _rate(fn, budget=2.0):
         t0 = time.perf_counter()
         n = 0
         while time.perf_counter() - t0 < budget:
@@ -286,30 +286,35 @@ def section_j2k_host() -> None:
         decode_j2k(stream)  # warm
         decode_j2k(stream, num_threads=1)
         opj_bridge.decode(stream)  # warm + validates it decodes there
-        # interleaved best-of-3 rounds per contender: a load spike on
-        # the shared host hits all three the same way
-        ours1 = ours = opj = 0.0
-        for _r in range(3):
-            ours1 = max(ours1, _rate(
-                lambda: decode_j2k(stream, num_threads=1)))
-            opj = max(opj, _rate(lambda: opj_bridge.decode(stream)))
-            ours = max(ours, _rate(lambda: decode_j2k(stream)))
-        log(f"{label} decode 1024x1024 rev: ours-1t {ours1:.2f} "
-            f"(x{ours1 / opj:.2f} equal-thread), ours-free {ours:.2f} "
-            f"(x{ours / opj:.2f}) vs openjpeg-1t {opj:.2f} img/s")
-        enc1 = enc = openc = 0.0
-        for _r in range(3):
-            enc1 = max(enc1, _rate(lambda: encode_j2k(
+        # interleaved rounds, PAIRED-RATIO MEDIANS: each round's ours/opj
+        # ratio cancels host-load drift within the round (same estimator
+        # as the headline; a single best-of ratio carries ±10% noise —
+        # r4 verdict weak #5)
+        r1s, rfs, opjs = [], [], []
+        for _r in range(4):
+            r1s.append(_rate(lambda: decode_j2k(stream, num_threads=1)))
+            opjs.append(_rate(lambda: opj_bridge.decode(stream)))
+            rfs.append(_rate(lambda: decode_j2k(stream)))
+        x1 = _median([a / b for a, b in zip(r1s, opjs)])
+        xf = _median([a / b for a, b in zip(rfs, opjs)])
+        log(f"{label} decode 1024x1024 rev: ours-1t {max(r1s):.2f} "
+            f"(x{x1:.2f} equal-thread paired-median), ours-free "
+            f"{max(rfs):.2f} (x{xf:.2f}) vs openjpeg-1t {max(opjs):.2f} "
+            f"img/s (ratios: {[round(a / b, 2) for a, b in zip(r1s, opjs)]})")
+        e1s, efs, oes = [], [], []
+        for _r in range(4):
+            e1s.append(_rate(lambda: encode_j2k(
                 big, reversible=True, levels=5, stream_type="j2k",
                 num_threads=1, **kw)))
-            openc = max(openc, _rate(
-                lambda: opj_bridge.encode_lossless(big)))
-            enc = max(enc, _rate(lambda: encode_j2k(
-                big, reversible=True, levels=5, stream_type="j2k",
-                **kw)))
-        log(f"{label} encode 1024x1024 rev: ours-1t {enc1:.2f} "
-            f"(x{enc1 / openc:.2f} equal-thread), ours-free {enc:.2f} "
-            f"(x{enc / openc:.2f}) vs openjpeg-1t {openc:.2f} img/s")
+            oes.append(_rate(lambda: opj_bridge.encode_lossless(big)))
+            efs.append(_rate(lambda: encode_j2k(
+                big, reversible=True, levels=5, stream_type="j2k", **kw)))
+        x1 = _median([a / b for a, b in zip(e1s, oes)])
+        xf = _median([a / b for a, b in zip(efs, oes)])
+        log(f"{label} encode 1024x1024 rev: ours-1t {max(e1s):.2f} "
+            f"(x{x1:.2f} equal-thread paired-median), ours-free "
+            f"{max(efs):.2f} (x{xf:.2f}) vs openjpeg-1t {max(oes):.2f} "
+            f"img/s (ratios: {[round(a / b, 2) for a, b in zip(e1s, oes)]})")
 
 
 def _setup_jpeg_decoder():
@@ -494,7 +499,7 @@ def section_j2k_device() -> None:
     big = make_photo(1024, 1024, seed=3)
     stream = encode_j2k(big, reversible=True, levels=5, stream_type="j2k")
 
-    def _rate(fn, budget=1.5):
+    def _rate(fn, budget=2.0):
         t0 = time.perf_counter()
         n = 0
         while time.perf_counter() - t0 < budget:

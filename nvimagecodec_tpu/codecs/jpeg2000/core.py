@@ -631,6 +631,12 @@ def encode_j2k(
 
 
 # ------------------------------------------------------------------ decode
+def _seg_bytes(tdata: bytes, s):
+    """Materialize one codeword segment: (off, len) ranges reference the
+    tile data (the zero-copy representation read_packet produces)."""
+    return tdata[s[0]:s[0] + s[1]] if type(s) is tuple else s
+
+
 _H2D_RATE = [None]
 _H2D_LAT = [None]
 
@@ -1063,7 +1069,7 @@ def decode_j2k(
 
         # T1 decode all codeblocks in parallel, then dequant + IDWT
         planes = []
-        batch = BlockBatch()
+        batch = BlockBatch(base=tdata)
         borders = [_band_order(ccs[c]) for c in range(C)]
         kepts = [[(r, bi) for (r, bi) in borders[c]
                   if r <= ccs[c].levels - discard_levels]
@@ -1101,8 +1107,17 @@ def decode_j2k(
                     ):
                         continue  # outside the region's DWT support
                     if cc.cblk_style & 0x40:  # HT (T.814) block coder
-                        cup = cb.segments[0] if cb.segments else b""
-                        ref = b"".join(cb.segments[1:])
+                        # segments are (off, len) ranges into tdata
+                        # (zero-copy) or bytes; pass ranges through
+                        segs_ = cb.segments
+                        cup = segs_[0] if segs_ else b""
+                        if len(segs_) <= 1:
+                            ref = b""
+                        elif len(segs_) == 2:
+                            ref = segs_[1]
+                        else:
+                            ref = b"".join(_seg_bytes(tdata, x)
+                                           for x in segs_[1:])
                         batch.add_ht((c, r, bi, cb), cup, ref,
                                      cb.num_passes, cb.x1 - cb.x0,
                                      cb.y1 - cb.y0, mb - cb.zero_bps,
@@ -1114,13 +1129,17 @@ def decode_j2k(
                             # parses: [i32 nsegs][i32 lens...][data]
                             import struct as _st
 
-                            segs = cb.segments or [b""]
+                            segs = [_seg_bytes(tdata, x)
+                                    for x in cb.segments] or [b""]
                             seg = (_st.pack(
                                 f"<{1 + len(segs)}i", len(segs),
                                 *[len(x) for x in segs])
                                 + b"".join(segs))
+                        elif len(cb.segments) == 1:
+                            seg = cb.segments[0]
                         else:
-                            seg = b"".join(cb.segments)
+                            seg = b"".join(_seg_bytes(tdata, x)
+                                           for x in cb.segments)
                         nbps = max(0, mb - cb.zero_bps)
                         batch.add_t1((c, r, bi, cb), seg,
                                      cb.x1 - cb.x0, cb.y1 - cb.y0,

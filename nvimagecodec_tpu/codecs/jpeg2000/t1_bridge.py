@@ -104,20 +104,26 @@ class BlockBatch:
     nvjpeg2k's whole-tile batching, extensions/nvjpeg2k/
     cuda_decoder.cpp:601-640)."""
 
-    def __init__(self):
-        self._blob = bytearray()
+    def __init__(self, base: bytes = b""):
+        # segments are usually (off, len) ranges into `base` (the tile
+        # data) — zero-copy; synthesized byte segments land in an overflow
+        # area appended after it
+        self._base = base
+        self._extra = bytearray()
         self._ht_meta: list = []
         self._t1_meta: list = []
         self._results: list = []  # (key, w, h, kind, out_off)
         self._kinds: list = []    # "ht"/"t1" per add, in add order
         self._out_elems = 0
 
-    def _put(self, seg: bytes) -> Tuple[int, int]:
-        off = len(self._blob)
-        self._blob += seg
+    def _put(self, seg) -> Tuple[int, int]:
+        if type(seg) is tuple:
+            return seg  # range into base
+        off = len(self._base) + len(self._extra)
+        self._extra += seg
         return off, len(seg)
 
-    def add_ht(self, key, cup: bytes, ref: bytes, num_passes: int, w: int,
+    def add_ht(self, key, cup, ref, num_passes: int, w: int,
                h: int, B: int, ucap: int) -> None:
         co, cl = self._put(cup)
         ro, rl = self._put(ref or b"")
@@ -127,7 +133,7 @@ class BlockBatch:
         self._kinds.append("ht")
         self._results.append((key, w, h))
 
-    def add_t1(self, key, seg: bytes, w: int, h: int, band: int,
+    def add_t1(self, key, seg, w: int, h: int, band: int,
                num_bps: int, num_passes: int, style: int = 0) -> None:
         so, sl = self._put(seg)
         oo = self._out_elems
@@ -136,6 +142,11 @@ class BlockBatch:
                           num_passes, oo]
         self._kinds.append("t1")
         self._results.append((key, w, h))
+
+    def _blob_bytes(self) -> bytes:
+        if not self._extra:
+            return self._base  # zero-copy common case
+        return bytes(self._base) + bytes(self._extra)
 
     def run_into(self, dests, nthreads: int = 0) -> None:
         """Direct-to-band decode: dests[i] = (band_array int32 [H, W],
@@ -147,7 +158,7 @@ class BlockBatch:
 
     def _run_into(self, dests, nthreads: int) -> None:
         L = lib()
-        blob = bytes(self._blob)
+        blob = self._blob_bytes()
         n_ht = len(self._ht_meta) // 10
         n_t1 = len(self._t1_meta) // 8
         assert len(dests) == n_ht + n_t1
@@ -212,7 +223,7 @@ class BlockBatch:
         L = lib()
         out = np.zeros(self._out_elems, np.int32)
         outp = out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
-        blob = bytes(self._blob)
+        blob = self._blob_bytes()
         n_ht = len(self._ht_meta) // 10
         n_t1 = len(self._t1_meta) // 8
         with _ThreadBudget() as fair:

@@ -149,6 +149,7 @@ class PacketDecoder:
         self._L.tic_t2_dump.argtypes = [
             ctypes.c_void_p, ctypes.c_int, i32p, i32p, i32p]
         self._ctx = ctypes.c_void_p(self._L.tic_t2_create())
+        self._outbuf = None  # reused native length-group buffer
         self.nprec: Dict[Tuple[int, int], int] = {}
         # (c, r, p, bi) -> (band_id, [block geometry])
         self._bands: Dict[Tuple[int, int, int, int], Tuple[int, list]] = {}
@@ -191,9 +192,10 @@ class PacketDecoder:
             n = len(blocks)
             if n == 0:
                 continue
-            incl = _np.zeros(n, _np.int32)
-            zbps = _np.zeros(n, _np.int32)
-            npasses = _np.zeros(n, _np.int32)
+            # fully overwritten by tic_t2_dump: no zeroing needed
+            incl = _np.empty(n, _np.int32)
+            zbps = _np.empty(n, _np.int32)
+            npasses = _np.empty(n, _np.int32)
             i32p = ctypes.POINTER(ctypes.c_int32)
             self._L.tic_t2_dump(self._ctx, bid,
                                 incl.ctypes.data_as(i32p),
@@ -239,7 +241,9 @@ class PacketDecoder:
         # 2 for HT, one per pass (<= 109 for part-1) under TERMALL/BYPASS
         per_cb = 110 if (ht & 0x05) else 2
         cap = 8 + per_cb * sum(len(e[1]) for e in entries)
-        out = (ctypes.c_int64 * (3 * cap))()
+        out = self._outbuf
+        if out is None or len(out) < 3 * cap:
+            out = self._outbuf = (ctypes.c_int64 * (3 * cap))()
         pos = ctypes.c_int64(br.pos)
         flags = ((1 if self.cp.sop else 0) | (2 if self.cp.eph else 0))
         if body is None:
@@ -265,10 +269,22 @@ class PacketDecoder:
             cb_id &= (1 << 62) - 1
             off = out[3 * i + 1]
             ln = out[3 * i + 2]
-            if cont and segs.get(cb_id):
-                segs[cb_id][-1] += data[off:off + ln]
+            # segments are stored as (off, len) RANGES into the tile data
+            # (zero-copy: the block batch reads them in place); adjacent
+            # continuations merge, non-adjacent ones materialize to bytes
+            lst = segs.get(cb_id)
+            if cont and lst:
+                prev = lst[-1]
+                if type(prev) is tuple and prev[0] + prev[1] == off:
+                    lst[-1] = (prev[0], prev[1] + ln)
+                else:
+                    pb = (data[prev[0]:prev[0] + prev[1]]
+                          if type(prev) is tuple else prev)
+                    lst[-1] = pb + data[off:off + ln]
+            elif lst is not None:
+                lst.append((off, ln))
             else:
-                segs.setdefault(cb_id, []).append(data[off:off + ln])
+                segs[cb_id] = [(off, ln)]
         br.pos = pos.value
 
 
