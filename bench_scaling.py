@@ -128,33 +128,46 @@ def main() -> None:
     coefs_b = [np.asarray(c) for c in encode_pixels(imgs_b, frame)]
     log("DP throughput (fixed total work, virtual 8-device mesh):")
     log(f"  {'dp':>3} {'img/s':>10} {'efficiency':>11}")
-    base_ips = None
-    thr_eff = 1.0
-    for dp in (1, 2, 4, 8):
+    dps = (1, 2, 4, 8)
+    fns = {}
+    devs = {}
+    for dp in dps:
         mesh = make_mesh(dp=dp, sp=1)
         shard = NamedSharding(mesh, P("dp"))
-        fn = jax.jit(
+        fns[dp] = jax.jit(
             lambda y, cb, cr: decode_pixels(frame, [y, cb, cr], use_jax=True),
             in_shardings=(shard,) * 3,
             out_shardings=shard,
         )
-        dev = [jax.device_put(c, shard) for c in coefs_b]
-        jax.block_until_ready(fn(*dev))  # compile + warm
-        best = 0.0
-        for _round in range(5):  # best-of: the 2-vCPU host is noisy
-            t0 = time.perf_counter()
+        devs[dp] = [jax.device_put(c, shard) for c in coefs_b]
+        jax.block_until_ready(fns[dp](*devs[dp]))  # compile + warm
+
+    def _median(xs):
+        ys = sorted(xs)
+        n = len(ys)
+        return ys[n // 2] if n % 2 else 0.5 * (ys[n // 2 - 1] + ys[n // 2])
+
+    # INTERLEAVED rounds + per-round paired efficiency: measuring dp=1 and
+    # dp=8 minutes apart billed host-load drift to the sharding overhead
+    # (r5: single-sample efficiencies ranged 0.68-1.0 on the shared host)
+    round_effs = []
+    best = {dp: 0.0 for dp in dps}
+    for _round in range(6):
+        rates = {}
+        for dp in dps:
             reps = 6
+            t0 = time.perf_counter()
             for _ in range(reps):
-                out = fn(*dev)
+                out = fns[dp](*devs[dp])
             jax.block_until_ready(out)
-            best = max(best, B * reps / (time.perf_counter() - t0))
-        ips = best
-        if base_ips is None:
-            base_ips = ips
-        eff = ips / base_ips
-        if dp > 1:
-            thr_eff = min(thr_eff, eff)
-        log(f"  {dp:>3} {ips:>10.1f} {eff:>11.2f}")
+            rates[dp] = B * reps / (time.perf_counter() - t0)
+            best[dp] = max(best[dp], rates[dp])
+        round_effs.append(min(rates[dp] / rates[1] for dp in dps[1:]))
+    thr_eff = _median(round_effs)
+    for dp in dps:
+        log(f"  {dp:>3} {best[dp]:>10.1f} {best[dp] / best[1]:>11.2f}")
+    log(f"  per-round min-efficiency median over 6 interleaved rounds: "
+        f"{thr_eff:.2f} (rounds: {[round(e, 2) for e in round_effs]})")
     # the >=0.8 BASELINE bar is carried by the structural audit (zero
     # collectives => per-chip efficiency); the wall-clock ratio on the
     # shared-core 2-vCPU virtual mesh gates only against pathological
@@ -167,24 +180,29 @@ def main() -> None:
     x2 = rng.integers(-128, 128, (H2, W2)).astype(np.int32)
     LL2, bands2 = dwt_ops.dwt2d(x2, 2, reversible=True)
     b2 = tuple(tuple(l) for l in bands2)
-    times = {}
+    sfns = {}
     for sp_n in (1, 8):
         mesh = make_mesh(dp=1, sp=sp_n)
-        f = jax.jit(lambda ll, b: dwt_ops.idwt2d_rows_sharded(
-            ll, list(b), (H2, W2), True, mesh))
-        jax.block_until_ready(f(LL2, b2))
-        bt = None
-        for _round in range(5):
+        sfns[sp_n] = jax.jit(lambda ll, b, m=mesh: dwt_ops.idwt2d_rows_sharded(
+            ll, list(b), (H2, W2), True, m))
+        jax.block_until_ready(sfns[sp_n](LL2, b2))
+    sp_effs = []
+    times = {1: None, 8: None}
+    for _round in range(6):  # interleaved, paired per round (same as DP)
+        dt = {}
+        for sp_n in (1, 8):
             t0 = time.perf_counter()
             for _ in range(6):
-                o = f(LL2, b2)
+                o = sfns[sp_n](LL2, b2)
             jax.block_until_ready(o)
-            dt = (time.perf_counter() - t0) / 6
-            bt = dt if bt is None else min(bt, dt)
-        times[sp_n] = bt
-    sp_eff = times[1] / times[8]
+            dt[sp_n] = (time.perf_counter() - t0) / 6
+            times[sp_n] = (dt[sp_n] if times[sp_n] is None
+                           else min(times[sp_n], dt[sp_n]))
+        sp_effs.append(dt[1] / dt[8])
+    sp_eff = _median(sp_effs)
     log(f"SP IDWT 512x512 wall: sp=1 {times[1]*1e3:.1f} ms, "
-        f"sp=8 {times[8]*1e3:.1f} ms (fixed-work efficiency {sp_eff:.2f})")
+        f"sp=8 {times[8]*1e3:.1f} ms (fixed-work efficiency paired-median "
+        f"{sp_eff:.2f}; rounds: {[round(e, 2) for e in sp_effs]})")
 
     print(json.dumps({
         "metric": "scaling_audit",
