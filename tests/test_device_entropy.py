@@ -208,3 +208,21 @@ def test_progressive_refinement_gray(photo):
     data = oracle.jpeg_encode(photo[:, :, 0], 85, "gray", progressive=True,
                               restart_interval=5)
     _check_prog(data)
+
+
+def test_progressive_refinement_randomized():
+    """Randomized geometry/quality battery for the Ah>0 device kernels
+    (seeded): every stream must match the host decoder bit-exactly at the
+    coefficient level."""
+    rng = np.random.default_rng(123)
+    for trial in range(6):
+        h = int(rng.integers(40, 200))
+        w = int(rng.integers(40, 200))
+        q = int(rng.integers(50, 96))
+        ss = ["420", "422", "444", "gray"][trial % 4]
+        ri = int(rng.integers(3, 12))
+        img = make_photo(h, w, seed=1000 + trial)
+        src = img[:, :, 0] if ss == "gray" else img
+        data = oracle.jpeg_encode(src, q, ss, progressive=True,
+                                  restart_interval=ri)
+        _check_prog(data)
