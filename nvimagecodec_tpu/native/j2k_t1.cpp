@@ -615,6 +615,10 @@ struct T1Decoder {
         for (int x = 0; x < w; x++) {
           uint32_t f = rowp[x];
           if (!(f & SIG_ALL)) continue;
+          // fully-significant column: every row has its self bit, so no
+          // sample is SPP-codable and no flag changes — exact skip (the
+          // dominant case at the deep bitplanes of busy images)
+          if ((f & CENTER_ALL) == CENTER_ALL) continue;
           T1_SPP_ROW(0, r0)
           T1_SPP_ROW(1, r1)
           T1_SPP_ROW(2, r2)
@@ -775,6 +779,12 @@ struct T1Decoder {
       for (int x = 0; x < w; x++) {
         uint32_t f = rowp[x];
         if (full) {
+          // fully-significant column: no row is CLN-codable; only the
+          // visited bits need clearing for the next plane's MRP
+          if ((f & CENTER_ALL) == CENTER_ALL) {
+            rowp[x] = f & ~PI_ALL;
+            continue;
+          }
           if (!(f & (clnm | PI_ALL))) {
             // run-length mode
             if (mq_decode(mv, &crun) == 0) continue;
@@ -924,6 +934,8 @@ struct T1EncoderFast {
         for (int x = 0; x < w; x++) {
           uint32_t f = rowp[x];
           if (!(f & SIG_ALL)) continue;
+          // fully-significant column: nothing SPP-codable, exact skip
+          if ((f & CENTER_ALL) == CENTER_ALL) continue;
           T1E_SPP_ROW(0, r0)
           T1E_SPP_ROW(1, r1)
           T1E_SPP_ROW(2, r2)
@@ -1086,6 +1098,11 @@ struct T1EncoderFast {
       for (int x = 0; x < w; x++) {
         uint32_t f = rowp[x];
         if (full) {
+          // fully-significant column: no row is CLN-codable; clear PI
+          if ((f & CENTER_ALL) == CENTER_ALL) {
+            rowp[x] = f & ~PI_ALL;
+            continue;
+          }
           if (!(f & (clnm | PI_ALL))) {
             // run-length mode: none of the 4 rows has a sig neighbor
             if (!((morrow[x] >> bp) & 1)) {
