@@ -529,7 +529,7 @@ def section_j2k_device() -> None:
 SECTIONS = [
     ("scaling", 300, False),
     ("j2k_host", 420, False),
-    ("dri", 420, True),
+    ("dri", 600, True),
     ("idx", 300, True),
     ("j2k_device", 300, True),
     ("prog", 420, True),
