@@ -7,7 +7,7 @@ extensions/nvjpeg2k/cuda_decoder.cpp:601-640), while dequantization,
 inverse DWT, inverse MCT and level shift are vectorized array ops that run
 under numpy (CPU backend) or jax (TPU backend).
 
-Restrictions documented in codestream.py (default code-block style).
+All part-1 code-block styles are handled natively (see native/j2k_t1.cpp).
 """
 from __future__ import annotations
 
