@@ -272,10 +272,12 @@ def section_j2k_host() -> None:
 
     big = make_photo(1024, 1024, seed=3)
 
-    def _rate(fn, budget=2.0):
+    def _rate(fn, budget=2.0, min_iters=10):
+        # slow contenders (~4 img/s) get too few samples in one budget
+        # window — enforce a minimum iteration count for stable ratios
         t0 = time.perf_counter()
         n = 0
-        while time.perf_counter() - t0 < budget:
+        while time.perf_counter() - t0 < budget or n < min_iters:
             fn()
             n += 1
         return n / (time.perf_counter() - t0)
@@ -499,10 +501,12 @@ def section_j2k_device() -> None:
     big = make_photo(1024, 1024, seed=3)
     stream = encode_j2k(big, reversible=True, levels=5, stream_type="j2k")
 
-    def _rate(fn, budget=2.0):
+    def _rate(fn, budget=2.0, min_iters=10):
+        # slow contenders (~4 img/s) get too few samples in one budget
+        # window — enforce a minimum iteration count for stable ratios
         t0 = time.perf_counter()
         n = 0
-        while time.perf_counter() - t0 < budget:
+        while time.perf_counter() - t0 < budget or n < min_iters:
             fn()
             n += 1
         return n / (time.perf_counter() - t0)
