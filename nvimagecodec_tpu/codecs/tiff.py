@@ -396,10 +396,11 @@ def decode_tiff(data: bytes, region=None, work=None) -> np.ndarray:
             samples = _undo_predictor(samples.astype(dtype), cpp)
         return samples
 
-    planes = np.zeros((nplanes, rh, rw * cpp), dtype)
-    units = units_total = 0
+    planes = None  # allocated when a unit loop needs it (the fast path
+    units = units_total = 0  # below builds it from one buffer view)
 
     if d.tiled:
+        planes = np.zeros((nplanes, rh, rw * cpp), dtype)
         tw = d.tags[T_TILE_W][0]
         th = d.tags[T_TILE_H][0]
         offsets = d.tags[T_TILE_OFFSETS]
@@ -435,6 +436,35 @@ def decode_tiff(data: bytes, region=None, work=None) -> np.ndarray:
         strips_per_plane = (H + rps - 1) // rps
         rowbytes = bits_to_bytes(W * cpp * bps)
         units_total = nplanes * strips_per_plane
+        # uncompressed strips laid out back-to-back: the whole plane is
+        # ONE buffer view + reshape instead of a per-strip python loop
+        # with two copies each (libtiff reads these at memcpy speed; we
+        # were 3x behind on exactly this layout)
+        need = H * rowbytes
+        if (d.compression == 1 and not jpeg_unit and region is None
+                and nplanes == 1 and d.predictor in (1, 2)
+                and len(offsets) >= strips_per_plane
+                and len(counts) >= strips_per_plane
+                and offsets[0] + need <= len(data)
+                and all(offsets[k + 1] == offsets[k] + counts[k]
+                        for k in range(strips_per_plane - 1))):
+            rows = np.frombuffer(data, np.uint8, need,
+                                 offsets[0]).reshape(H, rowbytes)
+            if d.predictor == 3:
+                raise ValueError("TIFF: predictor 3 requires float samples")
+            samples = expand_row_bytes(rows, W * cpp)
+            if d.predictor == 2:
+                samples = _undo_predictor(samples.astype(dtype), cpp)
+            # samples may be a read-only view of the input bytes —
+            # materialize one writable copy (the only copy on this path)
+            planes = np.ascontiguousarray(samples)
+            if not planes.flags.writeable:
+                planes = planes.copy()
+            planes = planes.reshape(1, rh, rw * cpp)
+            units = units_total
+            strips_per_plane = 0  # loop below: nothing left to do
+        if planes is None:
+            planes = np.zeros((nplanes, rh, rw * cpp), dtype)
         for s in range(nplanes):
             for si in range(strips_per_plane):
                 y0 = si * rps
