@@ -169,7 +169,8 @@ class GenericDecoder(GenericBatchProcessor):
                      priority=30)
         return promise.future()
 
-    def _prepare_and_distribute(self, streams, params, promise) -> None:
+    def _prepare_and_distribute(self, streams, params, promise,
+                                inline: bool = False) -> None:
         # Parse all infos (parse errors fail just that sample).
         entries = []  # (orig_index, stream, info, codec_name)
         for i, cs in enumerate(streams):
@@ -197,8 +198,11 @@ class GenericDecoder(GenericBatchProcessor):
             per_codec.setdefault(e[3], []).append(e)
 
         for codec_name, group in per_codec.items():
-            self._submit(self._process_codec_group, codec_name, group, params,
-                         promise, priority=10)
+            if inline:
+                self._process_codec_group(codec_name, group, params, promise)
+            else:
+                self._submit(self._process_codec_group, codec_name, group,
+                             params, promise, priority=10)
 
     # -- per-codec chain ----------------------------------------------------
     def _process_codec_group(self, codec_name, group, params, promise) -> None:
@@ -299,6 +303,19 @@ class GenericDecoder(GenericBatchProcessor):
     def decode_batch(
         self, streams: Sequence[CodeStream], params: Optional[DecodeParams] = None
     ) -> List[DecodeResult]:
+        if len(streams) == 1 and self._pool_is_priority:
+            # single-sample synchronous fast path: run the whole chain
+            # inline on the caller thread — the two worker-thread hops +
+            # condition-variable waits cost ~0.2 ms, dominating small
+            # decodes (codec plugins still fan their own internal work
+            # over the pool). A USER executor keeps the submit path:
+            # routing work through it is its contract (user_executor.h).
+            params = params or DecodeParams()
+            promise: ProcessingResultsPromise[DecodeResult] = (
+                ProcessingResultsPromise(1))
+            self._prepare_and_distribute(list(streams), params, promise,
+                                         inline=True)
+            return promise.future().wait_all()
         return self.decode_batch_async(streams, params).wait_all()
 
 
