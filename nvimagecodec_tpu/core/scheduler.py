@@ -404,4 +404,13 @@ class GenericEncoder(GenericBatchProcessor):
                 self._run_chain(rest, failed, params, promise)
 
     def encode_batch(self, arrays, infos, codec_name, params=None) -> List[EncodeResult]:
+        if len(arrays) == 1 and self._pool_is_priority:
+            # single-sample synchronous fast path (see GenericDecoder)
+            params = params or EncodeParams()
+            promise: ProcessingResultsPromise[EncodeResult] = (
+                ProcessingResultsPromise(1))
+            self._process_group(codec_name,
+                                list(zip(range(1), arrays, infos)),
+                                params, promise)
+            return promise.future().wait_all()
         return self.encode_batch_async(arrays, infos, codec_name, params).wait_all()
