@@ -31,6 +31,7 @@ Hot-path design (measured on the axon TPU tunnel — see PARITY.md):
 from __future__ import annotations
 
 import functools
+import logging
 import os
 import threading
 from concurrent.futures import ThreadPoolExecutor
@@ -45,6 +46,8 @@ from ...core.trace import span
 from ...core.types import ProcessingStatus
 from .headers import parse_jpeg_structure
 from .pixel import cmyk_to_rgb, decode_pixels, geometry_key
+
+log = logging.getLogger(__name__)
 
 _PACK_HEAD = 8  # zigzag positions carrying a high byte on the packed wire
 
@@ -695,17 +698,34 @@ def _h2d_floor_ok() -> bool:
         return True
     if _H2D_FLOOR[0] is None:
         global _LINK_DEGRADED
-        try:
-            from ..jpeg2000.core import _h2d_mb_per_s
+        # dedicated probe thread: the shared "errchk" pool carries the
+        # deferred validation fetches, and a stuck probe there would
+        # cascade timeouts onto healthy batches
+        import threading
 
-            fut = _shared_pool("errchk", 1).submit(_h2d_mb_per_s)
-            _H2D_FLOOR[0] = float(fut.result(
-                timeout=float(os.environ.get("TIC_LINK_TIMEOUT", "90"))))
-        except FuturesTimeout:
+        box = {}
+
+        def _probe():
+            try:
+                from ..jpeg2000.core import _h2d_mb_per_s
+
+                box["rate"] = float(_h2d_mb_per_s())
+            except Exception as e:  # pragma: no cover - device init races
+                box["err"] = e
+
+        th = threading.Thread(target=_probe, name="h2d-probe", daemon=True)
+        th.start()
+        th.join(timeout=float(os.environ.get("TIC_LINK_TIMEOUT", "90")))
+        if th.is_alive():
+            log.warning("H2D probe timed out: latching device entropy off")
             _LINK_DEGRADED = True
             _H2D_FLOOR[0] = 0.0
-        except Exception:
+        elif "err" in box:
+            log.warning("H2D probe failed (%s): device entropy route "
+                        "disabled for this process", box["err"])
             _H2D_FLOOR[0] = 0.0
+        else:
+            _H2D_FLOOR[0] = box["rate"]
     return _H2D_FLOOR[0] >= floor
 
 

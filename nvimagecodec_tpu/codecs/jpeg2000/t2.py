@@ -428,8 +428,10 @@ class PacketEncoder:
                     # that could split further (TERMALL/BYPASS) never take
                     # this writer, but guard so a >2 split can never make
                     # the native side read past the row
-                    assert len(segments) <= 2, (
-                        f"native packet writer got {len(segments)} segments")
+                    if len(segments) > 2:  # not an assert: must survive -O
+                        raise ValueError(
+                            "native packet writer got "
+                            f"{len(segments)} segments (max 2)")
                     row[2] = len(segments)
                     for sgi, (sdat, snp) in enumerate(segments[:2]):
                         row[3 + 2 * sgi] = len(sdat)

@@ -18,7 +18,8 @@ from typing import List, Optional
 import numpy as np
 
 from ..core.interfaces import DecodeParams, DecodeResult, DecoderPlugin
-from ..core.types import BackendKind, Priority, ProcessingStatus
+from ..core.types import (BackendKind, Priority, ProcessingStatus,
+                          SampleDataType)
 
 
 def _load(*names) -> Optional[ctypes.CDLL]:
@@ -58,7 +59,7 @@ def _sys_shim() -> ctypes.CDLL:
     u8pp = ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8))
     i32p = ctypes.POINTER(ctypes.c_int)
     L.tic_sys_jpeg_decode.argtypes = [
-        ctypes.c_char_p, ctypes.c_size_t, u8pp, i32p, i32p, i32p]
+        ctypes.c_char_p, ctypes.c_size_t, u8pp, i32p, i32p, i32p, i32p]
     L.tic_sys_jpeg_decode.restype = ctypes.c_int
     L.tic_sys_png_decode.argtypes = [
         ctypes.c_char_p, ctypes.c_size_t, u8pp, i32p, i32p]
@@ -79,8 +80,10 @@ class JpegSystemDecoder(DecoderPlugin):
     backend_kind = BackendKind.CPU_ONLY
     priority = Priority.LOW
 
-    def __init__(self):
-        self._L = _sys_shim()
+    # shim builds LAZILY on first decode attempt (a synchronous C++
+    # compile during codec registration would tax every Decoder()
+    # construction, fallback used or not); a failed build surfaces as
+    # per-sample FAIL exactly like an absent rung would
 
     def can_decode(self, data_batch, info_batch, params) -> List[ProcessingStatus]:
         out = []
@@ -94,14 +97,15 @@ class JpegSystemDecoder(DecoderPlugin):
         return out
 
     def _decode_one(self, data: bytes) -> np.ndarray:
-        L = self._L
+        L = _sys_shim()
         buf = ctypes.POINTER(ctypes.c_uint8)()
         w = ctypes.c_int()
         h = ctypes.c_int()
         ch = ctypes.c_int()
+        adobe = ctypes.c_int()
         rc = L.tic_sys_jpeg_decode(data, len(data), ctypes.byref(buf),
                                    ctypes.byref(w), ctypes.byref(h),
-                                   ctypes.byref(ch))
+                                   ctypes.byref(ch), ctypes.byref(adobe))
         if rc != 0:
             raise ValueError(f"libjpeg decode failed rc={rc}")
         try:
@@ -113,8 +117,11 @@ class JpegSystemDecoder(DecoderPlugin):
         if ch.value == 1:
             return img[..., 0]
         if ch.value == 4:
-            # CMYK with the Adobe inverted-stored convention: R = C*K/255
             cmyk = img.astype(np.uint16)
+            if not adobe.value:
+                # plain CMYK stores non-inverted ink values: invert first
+                cmyk = 255 - cmyk
+            # Adobe CMYK stores inverted values: R = C*K/255 directly
             return ((cmyk[..., :3] * cmyk[..., 3:4]) // 255).astype(np.uint8)
         return img
 
@@ -141,13 +148,20 @@ class PngSystemDecoder(DecoderPlugin):
     backend_kind = BackendKind.CPU_ONLY
     priority = Priority.LOW
 
-    def __init__(self):
-        self._L = _sys_shim()
+    # shim builds lazily on first decode attempt (see JpegSystemDecoder)
 
     def can_decode(self, data_batch, info_batch, params) -> List[ProcessingStatus]:
         out = []
-        for data in data_batch:
+        for data, info in zip(data_batch, info_batch):
             ok = bytes(data[:8]) == b"\x89PNG\r\n\x1a\n"
+            # the simplified libpng API reads 8-bit only: reject 16-bit
+            # streams rather than silently truncating what ImageInfo
+            # advertises as 16-bit data
+            if ok and info is not None and getattr(info, "planes", None):
+                if int(getattr(info.planes[0], "sample_type", 0)) in (
+                        int(SampleDataType.UINT16),
+                        int(SampleDataType.INT16)):
+                    ok = False
             out.append(
                 ProcessingStatus.SUCCESS
                 if ok
@@ -156,7 +170,7 @@ class PngSystemDecoder(DecoderPlugin):
         return out
 
     def _decode_one(self, data: bytes, info) -> np.ndarray:
-        L = self._L
+        L = _sys_shim()
         buf = ctypes.POINTER(ctypes.c_uint8)()
         w = ctypes.c_int()
         h = ctypes.c_int()

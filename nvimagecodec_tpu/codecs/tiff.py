@@ -446,12 +446,15 @@ def decode_tiff(data: bytes, region=None, work=None) -> np.ndarray:
                 and len(offsets) >= strips_per_plane
                 and len(counts) >= strips_per_plane
                 and offsets[0] + need <= len(data)
+                # every strip must carry EXACTLY its rows (StripByteCounts
+                # with trailing padding would shift later rows) and sit
+                # back-to-back in the file
+                and all(counts[k] == min(rps, H - k * rps) * rowbytes
+                        for k in range(strips_per_plane))
                 and all(offsets[k + 1] == offsets[k] + counts[k]
                         for k in range(strips_per_plane - 1))):
             rows = np.frombuffer(data, np.uint8, need,
                                  offsets[0]).reshape(H, rowbytes)
-            if d.predictor == 3:
-                raise ValueError("TIFF: predictor 3 requires float samples")
             samples = expand_row_bytes(rows, W * cpp)
             if d.predictor == 2:
                 samples = _undo_predictor(samples.astype(dtype), cpp)

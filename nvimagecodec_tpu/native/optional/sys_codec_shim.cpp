@@ -33,11 +33,12 @@ void jerr_silent(j_common_ptr, int) {}
 }  // namespace
 
 // Decode to packed 8-bit pixels. *ch on return: 1 (gray), 3 (RGB) or
-// 4 (CMYK — inverted-Adobe handling is the caller's job). Returns 0 on
-// success. Tolerates truncated/partial streams the way libjpeg does
-// (warnings suppressed, error only on hard failure).
+// 4 (CMYK); *adobe = saw_Adobe_marker (Adobe CMYK stores inverted values,
+// the caller branches on it). Returns 0 on success. Tolerates
+// truncated/partial streams the way libjpeg does (warnings suppressed,
+// error only on hard failure).
 int tic_sys_jpeg_decode(const uint8_t* data, size_t len, uint8_t** out,
-                        int* w, int* h, int* ch) {
+                        int* w, int* h, int* ch, int* adobe) {
   jpeg_decompress_struct cinfo;
   JErr jerr;
   cinfo.err = jpeg_std_error(&jerr.pub);
@@ -75,6 +76,7 @@ int tic_sys_jpeg_decode(const uint8_t* data, size_t len, uint8_t** out,
     jpeg_read_scanlines(&cinfo, &row, 1);
   }
   jpeg_finish_decompress(&cinfo);
+  *adobe = cinfo.saw_Adobe_marker ? 1 : 0;
   jpeg_destroy_decompress(&cinfo);
   *w = W;
   *h = H;
