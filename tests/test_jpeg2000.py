@@ -881,3 +881,81 @@ def test_openjpeg_encoded_poc_streams_decode(poc_list):
     opix, _, _ = opj_bridge.decode(s)
     assert np.array_equal(opix.astype(np.uint8).squeeze(), img)
     assert np.array_equal(np.asarray(decode_j2k(s)), img)
+
+
+@pytest.mark.parametrize("poc_list", [
+    [(0, 0, 1, 4, 3, 2), (0, 0, 2, 4, 3, 3)],   # RPCL layer-0 then PCRL
+    [(0, 0, 2, 2, 3, 3), (1, 0, 2, 4, 3, 2)],   # res-split PCRL/RPCL
+    [(0, 0, 2, 4, 3, 4)],                        # single CPRL volume
+])
+def test_poc_with_precincts_cross_validated(poc_list):
+    """POC over MULTI-PRECINCT resolutions (position-based sub-orders with
+    p > 1): our packet order must decode bit-exact in openjpeg AND in our
+    own reader — exercises the precinct-anchor sorting of the bounded
+    progression volumes (T.800 B.12.1.3-5 under B.11)."""
+    import struct as _st
+
+    from nvimagecodec_tpu.codecs.jpeg2000 import t2 as t2m
+    from nvimagecodec_tpu.codecs.jpeg2000.codestream import (
+        build_resolutions,
+        parse_main_header,
+        progression_iter_poc,
+        unwrap_jp2,
+    )
+    from nvimagecodec_tpu.codecs.jpeg2000.core import decode_j2k, encode_j2k
+    from nvimagecodec_tpu.native import opj_bridge
+
+    try:
+        opj_bridge.lib()
+    except Exception:
+        pytest.skip("no system libopenjp2")
+
+    recs = []
+    orig = t2m.PacketEncoder.write_packet
+
+    def rec(self, c, r, p, layer):
+        b = orig(self, c, r, p, layer)
+        recs.append(((layer, r, c, p), len(b)))
+        return b
+
+    t2m.PacketEncoder.write_packet = rec
+    try:
+        img = make_photo(256, 256, seed=6)
+        s = encode_j2k(img, reversible=True, levels=3, stream_type="j2k",
+                       num_layers=2, precincts=(6, 6))
+    finally:
+        t2m.PacketEncoder.write_packet = orig
+
+    i = s.find(b"\xff\x90")
+    psot = _st.unpack_from(">I", s, i + 6)[0]
+    sod = s.find(b"\xff\x93", i) + 2
+    tdata = s[sod:i + psot]
+    spans = {}
+    off = 0
+    for key, ln in recs:
+        spans[key] = tdata[off:off + ln]
+        off += ln
+    assert off == len(tdata)
+
+    raw = unwrap_jp2(s)
+    siz, cp, _ = parse_main_header(raw, 0)
+    cp.poc = list(poc_list)
+    resolutions = {c: build_resolutions(0, 0, siz.width, siz.height,
+                                        cp.levels)
+                   for c in range(siz.ncomp)}
+    order = list(progression_iter_poc(cp, resolutions, siz.ncomp, 0, 0))
+    assert sorted(order) == sorted(spans)
+    new_tdata = b"".join(spans[k] for k in order)
+    poc_body = b"".join(
+        bytes([rs, cs]) + _st.pack(">H", lye) + bytes([re_, ce, ppoc])
+        for rs, cs, lye, re_, ce, ppoc in poc_list)
+    poc_seg = b"\xff\x5f" + _st.pack(">H", 2 + len(poc_body)) + poc_body
+    j = raw.find(b"\xff\x90")
+    new_psot = 14 + len(poc_seg) + len(new_tdata)
+    isot = _st.unpack_from(">H", raw, j + 4)[0]
+    stream2 = (raw[:j]
+               + _st.pack(">HHHIBB", 0xFF90, 10, isot, new_psot, 0, 1)
+               + poc_seg + b"\xff\x93" + new_tdata + b"\xff\xd9")
+    opix, _p, _s = opj_bridge.decode(stream2)
+    assert np.array_equal(opix.astype(np.uint8), img)
+    assert np.array_equal(np.asarray(decode_j2k(stream2)), img)
